@@ -1,0 +1,254 @@
+"""Typed configuration for the TPU-native Monte Carlo localization engine.
+
+Every constant that is hard-coded somewhere in the reference stack
+(Bright8787/MonteCarloLocalisation, mounted at /root/reference) is captured
+here as a frozen dataclass field whose default is the reference value, with a
+file:line citation so parity can be audited.  Configs are hashable and are
+closed over by jit-compiled functions (they are static, never traced).
+"""
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Tuple
+
+# --------------------------------------------------------------------------
+# Wall / direction conventions (reference: msg/Cell.msg, msg/Pose.msg)
+# --------------------------------------------------------------------------
+WALL_RIGHT, WALL_TOP, WALL_LEFT, WALL_BOTTOM = 0, 1, 2, 3
+DIR_RIGHT, DIR_UP, DIR_LEFT, DIR_DOWN = 0, 1, 2, 3
+
+
+@dataclasses.dataclass(frozen=True)
+class GridConfig:
+    """Maze raster geometry (reference: src/publish_map_rviz.cpp:272-276)."""
+
+    cell_px: int = 8              # CELL_SIZE: pixels per maze cell side
+    cell_meters: float = 0.8      # CELL_METERS: maze cell side in meters
+    wall_occupied: int = 100      # WALL_OCCUPIED
+    free_space: int = 0           # FREE_SPACE
+    occupied_threshold: int = 50  # isOccupied: cell value > 50 (monte_carlo.cpp:348)
+    origin_x: float = 0.0         # OccupancyGrid origin (publish_map_rviz.cpp:429)
+    origin_y: float = 0.0
+
+    @property
+    def resolution(self) -> float:
+        """Meters per pixel (0.8 / 8 = 0.1)."""
+        return self.cell_meters / self.cell_px
+
+
+@dataclasses.dataclass(frozen=True)
+class SensorModelConfig:
+    """Beam likelihood model (reference: src/monte_carlo.cpp:623-682,139-181)."""
+
+    w_hit: float = 0.8            # monte_carlo.cpp:180
+    w_rand: float = 0.2           # monte_carlo.cpp:181
+    sigma: float = 0.1            # Gaussian sensor noise (monte_carlo.cpp:628, LUT :176)
+    max_range: float = 1.0        # max_laser_range (monte_carlo.cpp:629)
+    rand_window: float = 0.01     # |obs - max_range| < 0.01 -> random hit (:672)
+    gauss_max_diff: float = 1.1   # LUT support [0, 1.1]; 0 outside (:142,155)
+    laser_offset: float = 0.1     # LIDAR mount offset along heading (:631,644-645)
+    invalid_beam_range: float = 1.05  # NaN/Inf replacement radius (:263)
+    angle_crop_deg: float = 120.0 # filterAngles(-120, 120) (:635)
+    beam_skip: int = 20           # every 20th filtered beam (:650)
+    ray_step: float = 0.1         # fixed ray-march step (:370)
+    negate_beam_angle: bool = True  # angle = -(beam angle) (:653)
+    # "fixed" = reference 0.1 m stepping; "dda" = exact grid traversal.
+    ray_mode: str = "fixed"
+    # The reference quantizes ray directions to ~1 degree via an int-keyed
+    # memo (monte_carlo.cpp:355-363).  We default to exact angles; set True
+    # to reproduce the 1-degree quantization.
+    quantize_ray_deg: bool = False
+
+    @property
+    def num_ray_steps(self) -> int:
+        """Steps r = 0, step, ..., < max_range (monte_carlo.cpp:370-372)."""
+        return int(math.ceil(self.max_range / self.ray_step))
+
+
+@dataclasses.dataclass(frozen=True)
+class MotionModelConfig:
+    """Odometry / motion noise (reference: monte_carlo.cpp:695-739,1198)."""
+
+    wheel_space: float = 0.265    # PID_lib.hpp:19
+    wheel_size: float = 0.062     # PID_lib.hpp:20 (encoder rad -> m factor is *0.5)
+    alpha_1: float = 0.001        # rot noise from rot      (monte_carlo.cpp:1198)
+    alpha_2: float = 0.001        # rot noise from trans
+    alpha_3: float = 0.0001       # trans noise from trans
+    alpha_4: float = 0.0001       # trans noise from rot
+    # The reference samples ONE shared (rot1, trans, rot2) noise triple per
+    # step for all particles (monte_carlo.cpp:695-715, updateParticlePos
+    # :740-755).  per-particle noise is the statistically correct option.
+    shared_noise: bool = True
+
+
+@dataclasses.dataclass(frozen=True)
+class ResampleConfig:
+    """Resampling + AMCL-style adaptive injection (monte_carlo.cpp:457-561)."""
+
+    # Lost regime (jitterState=true)
+    lost_max_injection: int = 200     # :474
+    lost_alpha_slow: float = 0.05     # :475
+    lost_alpha_fast: float = 0.5      # :476
+    lost_jitter_xy: float = 0.05      # uniformJitter(-0.05, 0.05) (:537-538)
+    lost_jitter_theta: float = math.pi / 12.0   # :539
+    # Confident regime (jitterState=false)
+    conf_max_injection: int = 50      # :479
+    conf_alpha_slow: float = 0.02     # :480
+    conf_alpha_fast: float = 2.0      # :481 (>1: deliberate reference quirk)
+    conf_jitter_xy: float = 0.01      # :545-546
+    conf_jitter_theta: float = 0.0    # theta unchanged when confident (:547)
+    # "multinomial" matches the reference CDF + lower_bound draw (:513-555);
+    # "systematic" is the low-variance production path.
+    method: str = "multinomial"
+
+
+@dataclasses.dataclass(frozen=True)
+class ClusterConfig:
+    """k-means pose clustering / confidence (monte_carlo.cpp:802-949)."""
+
+    k: int = 3                    # :889
+    max_iters: int = 20           # :890
+    near_radius: float = 0.4      # countParticlesNearCluster radius (:931)
+
+
+@dataclasses.dataclass(frozen=True)
+class HysteresisConfig:
+    """Lost/recovered state machine (monte_carlo.cpp:78-81,1030-1081)."""
+
+    init_cluster_threshold: float = 0.1       # :78
+    init_confident_threshold: float = 0.80    # confident_level_threshhold :80
+    lost_cluster_threshold: float = 0.1       # :1036
+    lost_confident_threshold: float = 0.8     # :1037
+    conf_cluster_threshold: float = 0.4       # :1048
+    conf_confident_threshold: float = 0.5     # :1051
+    song_lost: int = 1                        # :1039 (songs_lib.cpp)
+    song_recovered: int = 2                   # :1058
+
+
+@dataclasses.dataclass(frozen=True)
+class InitConfig:
+    """Uniform particle sampler (monte_carlo.cpp:415-450,394-407)."""
+
+    cell_offset: float = 0.2      # uniform in-cell offset +-0.2 m (:434)
+    global_offset: float = 0.05   # +0.05 m map offset on x and y (:444-445)
+    init_weight: float = 1.0      # :446
+
+
+@dataclasses.dataclass(frozen=True)
+class FilterConfig:
+    """Full MCL configuration; defaults reproduce the reference filter."""
+
+    num_particles: int = 1500     # Particle_number (monte_carlo.cpp:84)
+    tick_dt: float = 0.1          # 10 Hz timer (monte_carlo.cpp:1210)
+    grid: GridConfig = GridConfig()
+    sensor: SensorModelConfig = SensorModelConfig()
+    motion: MotionModelConfig = MotionModelConfig()
+    resample: ResampleConfig = ResampleConfig()
+    cluster: ClusterConfig = ClusterConfig()
+    hysteresis: HysteresisConfig = HysteresisConfig()
+    init: InitConfig = InitConfig()
+    # isValidPos 9-point stencil offset (monte_carlo.cpp:331-349)
+    valid_pos_offset: float = 0.1
+    dtype: str = "float32"
+
+    def replace(self, **kw) -> "FilterConfig":
+        return dataclasses.replace(self, **kw)
+
+
+# --------------------------------------------------------------------------
+# Controller configs
+# --------------------------------------------------------------------------
+@dataclasses.dataclass(frozen=True)
+class PIDConfig:
+    """Two-phase PID point-to-point drive (src/PID_drive.cpp)."""
+
+    heading_gain: float = 8.0         # PID_drive.cpp:128,169
+    rotate_exit_rad: float = 0.05     # phase-1 exit |err| < 0.05 (:234)
+    dist_exit_m: float = 0.05         # phase-2 exit dist < 0.05 (:253)
+    max_wheel_speed: float = 100.0    # drive_motor clamp (:66-90)
+    rate_hz: float = 10.0             # control loop (:226)
+    max_phase_ticks: int = 600        # fixed bound for lax.while (60 s @ 10 Hz)
+
+
+@dataclasses.dataclass(frozen=True)
+class APFConfig:
+    """Artificial-potential-field drive.  Presets for each reference node."""
+
+    attract_gain: float = 90.0
+    repel_gain: float = 0.0
+    influence_radius: float = 0.2
+    heading_gain: float = 8.0
+    fade_exponent: float = 1.0
+    repel_half: bool = True           # the *0.5 factor (avf.cpp:265)
+    repel_sign: float = 1.0           # avf.cpp uses +u (toward point!); pf.cpp -u
+    min_obstacle_dist: float = 0.005
+    dist_exit_m: float = 0.1
+    attract_mag_exit: float = 40.0    # avf.cpp exit needs attract_mag < 40 (:363)
+    use_attract_exit: bool = True
+    mix_sign: float = 1.0             # motor mixing: +1 avf.cpp, -1 potential_field
+    subtract_theta: bool = True       # avf.cpp: err = heading - theta; pf.cpp: heading
+    near_goal_dist: float = 0.2       # repel_gain -> 0 within this (avf.cpp:368)
+    near_goal_repel: float = 0.0
+    near_goal_radius: float = 0.2
+    rate_hz: float = 10.0
+    max_ticks: int = 600
+
+    @staticmethod
+    def avf() -> "APFConfig":
+        """src/avf.cpp:73-79 gains (service Potential_drive)."""
+        return APFConfig()
+
+    @staticmethod
+    def potential_field() -> "APFConfig":
+        """src/potential_field.cpp:70-74 (service Potential_drive_1)."""
+        return APFConfig(
+            attract_gain=100.0, repel_gain=0.05, influence_radius=0.5,
+            heading_gain=1.0, repel_half=False, repel_sign=-1.0,
+            mix_sign=-1.0, subtract_theta=False, use_attract_exit=False,
+            near_goal_dist=0.3, near_goal_repel=0.01, near_goal_radius=0.2,
+            fade_exponent=0.0,
+        )
+
+    @staticmethod
+    def global_apf() -> "APFConfig":
+        """src/moveToPosition_server.cpp:54-56 global-frame APF."""
+        return APFConfig(attract_gain=50.0, repel_gain=0.0,
+                         influence_radius=0.6, heading_gain=4.0,
+                         subtract_theta=False)
+
+
+@dataclasses.dataclass(frozen=True)
+class WandererConfig:
+    """Reactive obstacle-avoidance (src/wanderer_try_final.cpp)."""
+
+    threshold: float = 0.20       # min-range stop threshold (:219,226)
+    forward_speed: float = 8.0    # :222-223
+    turn_speed: float = 5.0       # :184-187
+    turn_angle: float = 3.14 / 3  # rotate pi/3 (:184-187)
+    wheel_space: float = 0.265
+    wheel_size: float = 0.062
+
+
+@dataclasses.dataclass(frozen=True)
+class AVFWandererConfig:
+    """Pure-repulsion wanderer (src/avf_wanderer.cpp:173-248)."""
+
+    repel_gain: float = 0.001
+    influence_radius: float = 0.4
+    heading_gain: float = 5.0
+    base_speed: float = 8.0
+
+
+@dataclasses.dataclass(frozen=True)
+class AlignConfig:
+    """RANSAC wall alignment (src/align_server.cpp)."""
+
+    distance_threshold: float = 0.05  # inlier distance (:805)
+    max_iterations: int = 100         # :805
+    min_inliers: int = 50             # :805
+    max_lines: int = 2                # :361
+    wall_standoff: float = 0.40       # drive to 0.40 m from wall (:712-755)
+
+
+DEFAULT_CONFIG = FilterConfig()
