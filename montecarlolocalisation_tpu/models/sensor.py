@@ -1,0 +1,169 @@
+"""Beam sensor model: scan filtering, likelihood, and scan simulation.
+
+Reference behavior reproduced:
+  * filterLaserReadings (monte_carlo.cpp:254-278): NaN/Inf beams become
+    radius 1.05 with their nominal angle; finite beams inside
+    [range_min, range_max] are kept; finite out-of-range beams are DROPPED
+    (which shifts downstream indices — handled host-side).
+  * filterAngles (monte_carlo.cpp:610-620): keep beams with angle strictly
+    inside (-120, +120) degrees.
+  * computeWeight (monte_carlo.cpp:623-682): every `beam_skip`-th filtered
+    beam; ray origin offset `laser_offset` along the heading; beam angle
+    NEGATED; per-beam prob = w_hit * TruncGauss(|obs - exp|; sigma)
+    + w_rand * 1[|obs - max_range| < 0.01]; probs SUMMED over beams (not
+    multiplied); particles failing isValidPos keep weight 0.
+
+In-graph beams are fixed-size arrays (angles [B], ranges [B], mask [B]) so a
+whole episode jit-compiles with static shapes; `filter_scan` is the host-side
+preprocessor that converts a raw (ragged) LaserScan into that form.
+"""
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import SensorModelConfig
+from ..maps.grid import MazeMap, is_valid_pos
+from .raycast import raycast
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class Scan:
+    """Fixed-size filtered scan: the observation fed to the filter step."""
+
+    angles: jax.Array  # [B] beam angles (radians, LIDAR frame, pre-negation)
+    ranges: jax.Array  # [B] observed radii (m)
+    mask: jax.Array    # [B] bool — False lanes contribute nothing
+
+
+def filter_scan(
+    ranges: np.ndarray,
+    angle_min: float,
+    angle_increment: float,
+    range_min: float,
+    range_max: float,
+    cfg: SensorModelConfig = SensorModelConfig(),
+    pad_to: Optional[int] = None,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Host-side reproduction of filterLaserReadings + filterAngles + skip.
+
+    Returns (angles [B], ranges [B], mask [B]) numpy arrays, optionally
+    padded to `pad_to` lanes.
+    """
+    ranges = np.asarray(ranges, dtype=np.float64)
+    idx = np.arange(len(ranges))
+    angles = angle_min + idx * angle_increment
+    bad = ~np.isfinite(ranges)
+    keep = bad | ((ranges >= range_min) & (ranges <= range_max))
+    radii = np.where(bad, cfg.invalid_beam_range, ranges)[keep]
+    angles = angles[keep]
+    # Angular crop, strict inequalities (monte_carlo.cpp:615).
+    deg = angles * 180.0 / math.pi
+    crop = (deg > -cfg.angle_crop_deg) & (deg < cfg.angle_crop_deg)
+    radii, angles = radii[crop], angles[crop]
+    # Every beam_skip-th beam (monte_carlo.cpp:650).
+    radii = radii[:: cfg.beam_skip]
+    angles = angles[:: cfg.beam_skip]
+    mask = np.ones(len(radii), dtype=bool)
+    if pad_to is not None:
+        pad = pad_to - len(radii)
+        if pad < 0:
+            raise ValueError(f"pad_to={pad_to} < {len(radii)} beams")
+        radii = np.pad(radii, (0, pad))
+        angles = np.pad(angles, (0, pad))
+        mask = np.pad(mask, (0, pad))
+    return (
+        angles.astype(np.float32),
+        radii.astype(np.float32),
+        mask,
+    )
+
+
+def default_beam_angles(
+    cfg: SensorModelConfig = SensorModelConfig(),
+    angle_min_deg: float = -135.0,
+    angle_increment_deg: float = 0.352,
+    n_raw_beams: int = 726,
+) -> np.ndarray:
+    """Nominal beam table of the reference LIDAR (monte_carlo.cpp:637-639:
+    0.352 deg/beam, angle_min -135 deg), filtered+subsampled."""
+    angles = (angle_min_deg + np.arange(n_raw_beams) * angle_increment_deg)
+    angles = angles[(angles > -cfg.angle_crop_deg) & (angles < cfg.angle_crop_deg)]
+    angles = angles[:: cfg.beam_skip]
+    return np.deg2rad(angles).astype(np.float32)
+
+
+def make_scan(angles, ranges, mask=None) -> Scan:
+    angles = jnp.asarray(angles, jnp.float32)
+    ranges = jnp.asarray(ranges, jnp.float32)
+    if mask is None:
+        mask = jnp.ones(angles.shape, dtype=bool)
+    return Scan(angles=angles, ranges=jnp.broadcast_to(ranges, angles.shape),
+                mask=jnp.asarray(mask))
+
+
+def gauss_pdf(diff, cfg: SensorModelConfig):
+    """Truncated N(0, sigma) pdf: zero outside [0, gauss_max_diff]
+    (GaussianLookup, monte_carlo.cpp:139-177).  Computed exactly; the
+    reference LUT (1e-4 resolution, lerp) agrees to ~1e-9."""
+    denom = cfg.sigma * math.sqrt(2.0 * math.pi)
+    pdf = jnp.exp(-(diff * diff) / (2.0 * cfg.sigma * cfg.sigma)) / denom
+    return jnp.where((diff >= 0.0) & (diff <= cfg.gauss_max_diff), pdf, 0.0)
+
+
+def expected_ranges(m: MazeMap, poses, scan_angles, cfg: SensorModelConfig):
+    """Raycast expected distances for poses [..., 3] x beams [B] -> [..., B].
+
+    Ray origin is laser_offset ahead of the pose along its heading
+    (monte_carlo.cpp:643-645); the beam angle is negated when
+    cfg.negate_beam_angle (monte_carlo.cpp:653: angle = -(beam.angle)).
+    """
+    x, y, theta = poses[..., 0], poses[..., 1], poses[..., 2]
+    ox = x + cfg.laser_offset * jnp.cos(theta)
+    oy = y + cfg.laser_offset * jnp.sin(theta)
+    sign = -1.0 if cfg.negate_beam_angle else 1.0
+    ray_angle = theta[..., None] + sign * scan_angles
+    return raycast(m, ox[..., None], oy[..., None], ray_angle, cfg)
+
+
+def beam_weights(m: MazeMap, particles, scan: Scan, cfg: SensorModelConfig,
+                 valid_offset: float = 0.1):
+    """computeWeight: unnormalized weights [N] for particles [N, 3].
+
+    (monte_carlo.cpp:623-682).  Invalid positions get exactly 0.
+    """
+    expected = expected_ranges(m, particles, scan.angles, cfg)  # [N, B]
+    observed = scan.ranges  # [B]
+    diff = jnp.abs(observed - expected)
+    p_hit = cfg.w_hit * gauss_pdf(diff, cfg)
+    p_rand = cfg.w_rand * (
+        jnp.abs(observed - cfg.max_range) < cfg.rand_window
+    ).astype(jnp.float32)
+    per_beam = (p_hit + p_rand) * scan.mask
+    prob = jnp.sum(per_beam, axis=-1)
+    valid = is_valid_pos(m, particles[..., 0], particles[..., 1], valid_offset)
+    return jnp.where(valid, prob, 0.0)
+
+
+def simulate_scan(m: MazeMap, pose, scan_angles, cfg: SensorModelConfig,
+                  key: Optional[jax.Array] = None,
+                  noise_sigma: Optional[float] = None) -> Scan:
+    """Generate an observed scan from a ground-truth pose.
+
+    Uses the same geometry the filter predicts with (offset + negation), so a
+    particle at the true pose scores the maximum-likelihood weight.  Optional
+    Gaussian range noise; ranges clamp to [0, max_range].
+    """
+    pose = jnp.asarray(pose, jnp.float32)
+    ranges = expected_ranges(m, pose, jnp.asarray(scan_angles, jnp.float32), cfg)
+    if key is not None:
+        sigma = cfg.sigma if noise_sigma is None else noise_sigma
+        ranges = ranges + sigma * jax.random.normal(key, ranges.shape)
+    ranges = jnp.clip(ranges, 0.0, cfg.max_range)
+    return make_scan(scan_angles, ranges)

@@ -1,0 +1,139 @@
+"""Sensor model tests: scan filtering, likelihood, simulator consistency."""
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from montecarlolocalisation_tpu.config import SensorModelConfig
+from montecarlolocalisation_tpu.maps import from_walls
+from montecarlolocalisation_tpu.models import sensor
+
+BOX = from_walls([[[0, 1, 2, 3]]])
+CFG = SensorModelConfig(ray_mode="dda")
+
+
+def test_filter_scan_reference_rules():
+    cfg = SensorModelConfig()
+    n = 726
+    angle_min = math.radians(-135.0)
+    inc = math.radians(0.352)
+    ranges = np.full(n, 0.5)
+    ranges[5] = np.nan          # -> replaced by 1.05, kept
+    ranges[6] = np.inf          # -> replaced by 1.05, kept
+    ranges[7] = 99.0            # finite out-of-range -> DROPPED
+    angles, radii, mask = sensor.filter_scan(
+        ranges, angle_min, inc, range_min=0.1, range_max=5.0, cfg=cfg)
+    # Crop (-120, 120) strict; beam 7 dropped shifts indices after it.
+    deg = np.degrees(angles)
+    assert (deg > -120).all() and (deg < 120).all()
+    assert mask.all()
+    # Reproduce by hand:
+    keep = []
+    for i in range(n):
+        r = ranges[i]
+        a = angle_min + i * inc
+        if not np.isfinite(r):
+            keep.append((1.05, a))
+        elif 0.1 <= r <= 5.0:
+            keep.append((r, a))
+    keep = [(r, a) for (r, a) in keep if -120 < math.degrees(a) < 120]
+    keep = keep[::cfg.beam_skip]
+    assert len(keep) == len(radii)
+    np.testing.assert_allclose(radii, [r for r, _ in keep], rtol=1e-6)
+    np.testing.assert_allclose(angles, [a for _, a in keep], rtol=1e-6)
+
+
+def test_filter_scan_padding():
+    angles, radii, mask = sensor.filter_scan(
+        np.full(726, 0.5), math.radians(-135), math.radians(0.352),
+        0.1, 5.0, pad_to=40)
+    # 682 beams survive the (-120,120) crop; every 20th -> 35.
+    assert len(angles) == 40 and mask.sum() == 35
+
+
+def test_gauss_pdf_matches_lut_semantics():
+    cfg = SensorModelConfig()
+    d = jnp.array([0.0, 0.1, 1.0, 1.11, -0.01])
+    p = np.asarray(sensor.gauss_pdf(d, cfg))
+    denom = 0.1 * math.sqrt(2 * math.pi)
+    assert p[0] == pytest.approx(1.0 / denom, rel=1e-6)
+    assert p[1] == pytest.approx(math.exp(-0.5) / denom, rel=1e-5)
+    assert p[3] == 0.0 and p[4] == 0.0  # outside LUT support
+
+
+def test_true_pose_scores_highest():
+    angles = np.deg2rad(np.linspace(-120, 120, 13)).astype(np.float32)
+    true_pose = jnp.array([0.45, 0.38, 0.7])
+    scan = sensor.simulate_scan(BOX, true_pose, angles, CFG)
+    candidates = jnp.stack([
+        true_pose,
+        jnp.array([0.30, 0.50, 2.0]),
+        jnp.array([0.55, 0.25, -1.0]),
+        jnp.array([0.45, 0.38, 0.7 + np.pi]),
+    ])
+    w = np.asarray(sensor.beam_weights(BOX, candidates, scan, CFG))
+    assert w[0] == w.max()
+    assert w[0] > 0
+
+
+def test_invalid_particle_weight_exactly_zero():
+    angles = np.deg2rad(np.linspace(-120, 120, 13)).astype(np.float32)
+    scan = sensor.simulate_scan(BOX, jnp.array([0.45, 0.45, 0.0]), angles, CFG)
+    parts = jnp.array([
+        [0.05, 0.45, 0.0],   # inside wall
+        [-1.0, 0.45, 0.0],   # off map
+        [0.45, 0.45, 0.0],   # valid-ish? stencil 0.1 touches walls at 0.8/0.0
+    ])
+    w = np.asarray(sensor.beam_weights(BOX, parts, scan, CFG))
+    assert w[0] == 0.0 and w[1] == 0.0
+
+
+def test_rand_component_on_max_range():
+    cfg = CFG
+    angles = np.array([0.0], dtype=np.float32)
+    # Open 2x2 map, pose far from walls -> expected = max_range.
+    m = from_walls([[[1, 2], [1]], [[2], []]])
+    pose = jnp.array([0.45, 0.45, 0.0])
+    scan = sensor.simulate_scan(m, pose, angles, cfg)
+    assert float(scan.ranges[0]) == pytest.approx(1.0)
+    # A particle at the same pose: diff=0 -> gauss max, plus w_rand kicks in
+    # because obs == max_range.
+    w = sensor.beam_weights(m, pose[None, :], scan, cfg)
+    denom = cfg.sigma * math.sqrt(2 * math.pi)
+    expected = cfg.w_hit * (1.0 / denom) + cfg.w_rand * 1.0
+    assert float(w[0]) == pytest.approx(expected, rel=1e-5)
+
+
+def test_mask_zeroes_contribution():
+    angles = np.deg2rad(np.linspace(-120, 120, 13)).astype(np.float32)
+    pose = jnp.array([0.45, 0.38, 0.7])
+    scan = sensor.simulate_scan(BOX, pose, angles, CFG)
+    masked = sensor.Scan(angles=scan.angles, ranges=scan.ranges,
+                         mask=jnp.zeros_like(scan.mask))
+    w = sensor.beam_weights(BOX, pose[None, :], masked, CFG)
+    assert float(w[0]) == 0.0
+
+
+def test_negation_convention_is_applied():
+    # With an asymmetric pose, negated vs non-negated beam angles must give
+    # different expectations for off-axis beams.
+    cfg_neg = CFG
+    cfg_pos = SensorModelConfig(ray_mode="dda", negate_beam_angle=False)
+    pose = jnp.array([0.45, 0.25, 0.3])
+    a = jnp.array([np.deg2rad(60.0)], dtype=jnp.float32)
+    e_neg = sensor.expected_ranges(BOX, pose, a, cfg_neg)
+    e_pos = sensor.expected_ranges(BOX, pose, a, cfg_pos)
+    assert abs(float(e_neg[0]) - float(e_pos[0])) > 1e-3
+
+
+def test_simulator_noise_reproducible():
+    angles = np.deg2rad(np.linspace(-120, 120, 13)).astype(np.float32)
+    pose = jnp.array([0.45, 0.38, 0.7])
+    k = jax.random.PRNGKey(0)
+    s1 = sensor.simulate_scan(BOX, pose, angles, CFG, key=k)
+    s2 = sensor.simulate_scan(BOX, pose, angles, CFG, key=k)
+    np.testing.assert_array_equal(np.asarray(s1.ranges), np.asarray(s2.ranges))
+    s3 = sensor.simulate_scan(BOX, pose, angles, CFG, key=jax.random.PRNGKey(1))
+    assert not np.array_equal(np.asarray(s1.ranges), np.asarray(s3.ranges))
