@@ -1,0 +1,104 @@
+"""Benchmark harness: particle-beam updates/sec/chip on the full MCL step.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Headline metric (BASELINE.md): particle-beam updates per second on one chip
+running the COMPLETE filter tick (motion + ray-cast beam likelihood +
+adaptive-injection resampling + k-means confidence) at 1M particles x 12
+beams, fp32.  vs_baseline is against the reference's implied ceiling of
+~1.8e5 particle-beam updates/s (1500 particles x 12 beams x 10 Hz on a
+Raspberry Pi 4; BASELINE.md).
+
+Usage: python bench.py [--particles N] [--beams B] [--iters I] [--mode all]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os.path as osp
+import time
+
+import numpy as np
+
+BASELINE_UPDATES_PER_SEC = 1.8e5  # BASELINE.md implied reference ceiling
+
+
+def bench_full_step(num_particles: int, num_beams: int, iters: int,
+                    ray_mode: str = "fixed", pallas: str = "auto") -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    from montecarlolocalisation_tpu.config import (
+        FilterConfig, SensorModelConfig,
+    )
+    from montecarlolocalisation_tpu.maps import from_map_file
+    from montecarlolocalisation_tpu.models import filter as mcl
+    from montecarlolocalisation_tpu.models import sensor
+
+    map_path = osp.join(osp.dirname(osp.abspath(__file__)),
+                        "montecarlolocalisation_tpu", "maps",
+                        "default_map.txt")
+    maze = from_map_file(map_path)
+    cfg = FilterConfig(
+        num_particles=num_particles,
+        sensor=SensorModelConfig(ray_mode=ray_mode))
+    angles = np.deg2rad(
+        np.linspace(-118.0, 118.0, num_beams)).astype(np.float32)
+    state = mcl.init_state(jax.random.PRNGKey(0), maze, cfg)
+    scan = sensor.simulate_scan(
+        maze, jnp.array([1.25, 1.25, 0.0]), angles, cfg.sensor)
+
+    @jax.jit
+    def step(state, enc_l, enc_r, ranges):
+        sc = sensor.Scan(angles=jnp.asarray(angles), ranges=ranges,
+                         mask=jnp.ones_like(ranges, dtype=bool))
+        new_state, _ = mcl.mcl_step(state, enc_l, enc_r, sc, maze, cfg)
+        return new_state
+
+    enc = jnp.float32(0.1)
+    # Warm-up / compile.
+    state = step(state, enc, enc, scan.ranges)
+    jax.block_until_ready(state.particles)
+
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state = step(state, enc, enc, scan.ranges)
+    jax.block_until_ready(state.particles)
+    dt = time.perf_counter() - t0
+
+    steps_per_sec = iters / dt
+    updates_per_sec = steps_per_sec * num_particles * num_beams
+    return dict(
+        steps_per_sec=steps_per_sec,
+        updates_per_sec=updates_per_sec,
+        seconds_per_step=dt / iters,
+        num_particles=num_particles,
+        num_beams=num_beams,
+        device=str(jax.devices()[0]),
+    )
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--particles", type=int, default=1_000_000)
+    ap.add_argument("--beams", type=int, default=12)
+    ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--ray-mode", default="fixed", choices=["fixed", "dda"])
+    ap.add_argument("--verbose", action="store_true")
+    args = ap.parse_args()
+
+    r = bench_full_step(args.particles, args.beams, args.iters,
+                        ray_mode=args.ray_mode)
+    if args.verbose:
+        import sys
+        print(json.dumps(r, indent=2), file=sys.stderr)
+    print(json.dumps(dict(
+        metric="particle_beam_updates_per_sec_full_mcl_step",
+        value=r["updates_per_sec"],
+        unit="updates/s",
+        vs_baseline=r["updates_per_sec"] / BASELINE_UPDATES_PER_SEC,
+    )))
+
+
+if __name__ == "__main__":
+    main()

@@ -55,6 +55,10 @@ class SensorModelConfig:
     negate_beam_angle: bool = True  # angle = -(beam angle) (:653)
     # "fixed" = reference 0.1 m stepping; "dda" = exact grid traversal.
     ray_mode: str = "fixed"
+    # Map-lookup implementation: "gather" (XLA gather; fast on CPU),
+    # "onehot" (MXU one-hot contraction; ~10x faster on TPU), or "auto"
+    # (onehot on TPU, gather elsewhere).
+    lookup_mode: str = "auto"
     # The reference quantizes ray directions to ~1 degree via an int-keyed
     # memo (monte_carlo.cpp:355-363).  We default to exact angles; set True
     # to reproduce the 1-degree quantization.

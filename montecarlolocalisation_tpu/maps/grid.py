@@ -32,6 +32,11 @@ class MazeMap:
     """Occupancy map on device.  `occ` is a bool [H, W] (True = wall)."""
 
     occ: jax.Array                       # [H, W] bool, row-major (y, x)
+    occ_dilated: jax.Array               # [H, W] bool 3x3 dilation (validity)
+    occ_f: jax.Array                     # [H, W] bf16 (MXU one-hot lookups)
+    dil_f: jax.Array                     # [H, W] bf16 dilated
+    occ_pad: jax.Array                   # [H16, W128] f32 (Pallas kernel)
+    dil_pad: jax.Array                   # [H16, W128] f32 dilated
     walls: jax.Array                     # [R, C, 4] bool wall tensor
     row_lengths: jax.Array               # [R] int32 (ragged-row accounting)
     resolution: float = dataclasses.field(metadata=dict(static=True), default=0.1)
@@ -69,8 +74,32 @@ def from_walls(
     grid: GridConfig = GridConfig(),
 ) -> MazeMap:
     occ = raster.rasterize_walls(walls, grid) > grid.occupied_threshold
+    # 3x3 dilation: the isValidPos +-0.1 m stencil equals one lookup into the
+    # dilated raster (offsets are exactly one pixel; border clipping matches
+    # the out-of-map-is-free rule).  Precomputed once on host.
+    dil = np.zeros_like(occ)
+    h, w = occ.shape
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            ys = slice(max(0, dy), h + min(0, dy))
+            xs = slice(max(0, dx), w + min(0, dx))
+            yd = slice(max(0, -dy), h + min(0, -dy))
+            xd = slice(max(0, -dx), w + min(0, -dx))
+            dil[yd, xd] |= occ[ys, xs]
+    def pad16_128(t):
+        hp = ((t.shape[0] + 15) // 16) * 16
+        wp = ((t.shape[1] + 127) // 128) * 128
+        out = np.zeros((hp, wp), dtype=np.float32)
+        out[: t.shape[0], : t.shape[1]] = t
+        return out
+
     return MazeMap(
         occ=jnp.asarray(occ),
+        occ_dilated=jnp.asarray(dil),
+        occ_f=jnp.asarray(occ, jnp.bfloat16),
+        dil_f=jnp.asarray(dil, jnp.bfloat16),
+        occ_pad=jnp.asarray(pad16_128(occ)),
+        dil_pad=jnp.asarray(pad16_128(dil)),
         walls=jnp.asarray(maze.walls_to_tensor(walls)),
         row_lengths=jnp.asarray(maze.row_lengths(walls)),
         resolution=grid.resolution,
@@ -126,14 +155,33 @@ _STENCIL = np.array(
 )
 
 
-def is_valid_pos(m: MazeMap, wx, wy, offset: float = 0.1):
-    """Free-space check: inside map and no wall within the 9-point stencil
-    (monte_carlo.cpp:331-349)."""
+def is_valid_pos_stencil(m: MazeMap, wx, wy, offset: float = 0.1):
+    """Reference-exact 9-point stencil check (monte_carlo.cpp:331-349)."""
     wx = jnp.asarray(wx)
     sx = wx[..., None] + offset * _STENCIL[:, 0]
     sy = jnp.asarray(wy)[..., None] + offset * _STENCIL[:, 1]
     hit = is_occupied(m, sx, sy)
     return is_inside_map(m, wx, jnp.asarray(wy)) & ~jnp.any(hit, axis=-1)
+
+
+def is_valid_pos(m: MazeMap, wx, wy, offset: float = 0.1):
+    """Free-space check: inside map and no wall within the +-offset stencil
+    (monte_carlo.cpp:331-349 isValidPos).
+
+    Fast path: when the stencil offset equals one pixel (the reference's
+    0.1 m at 0.1 m/px), the 9 lookups collapse to ONE lookup into the
+    precomputed 3x3-dilated raster — identical semantics away from exact
+    pixel-boundary float ties (sub-1e-6 measure; use is_valid_pos_stencil
+    for bit-parity studies)."""
+    if abs(offset - m.resolution) > 1e-9:
+        return is_valid_pos_stencil(m, wx, wy, offset)
+    wx = jnp.asarray(wx)
+    wy = jnp.asarray(wy)
+    mx, my, inb = world_to_map(m, wx, wy)
+    mx = jnp.clip(mx, 0, m.width - 1)
+    my = jnp.clip(my, 0, m.height - 1)
+    hit = inb & m.occ_dilated[my, mx]
+    return is_inside_map(m, wx, wy) & ~hit
 
 
 def world_to_cell(wx, wy, cell_meters: float = 0.8):

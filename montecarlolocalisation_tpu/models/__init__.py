@@ -1,4 +1,4 @@
 """Model components: ray casting, sensor likelihood, motion, filter."""
-from . import raycast, sensor
+from . import raycast, sensor, motion, resample, cluster, filter
 
-__all__ = ["raycast", "sensor"]
+__all__ = ["raycast", "sensor", "motion", "resample", "cluster", "filter"]

@@ -1,0 +1,91 @@
+"""k-means pose clustering + confidence estimation (accelerator-native).
+
+Reference: monte_carlo.cpp:802-949.
+  * kMeansClustering: K=3, <=20 iterations, random particle init, xy-only,
+    early exit when assignments stop changing, empty clusters reseeded from a
+    random particle.
+  * best cluster by summed particle WEIGHT; theta via sin/cos mean of the
+    best cluster's members; confidence = fraction of ALL particles within
+    0.4 m of the best center; below threshold -> (-1, -1, -1) sentinel.
+
+TPU mapping: assignment distances and per-cluster sums are one-hot matmuls
+(MXU); the early exit becomes a carried `done` mask over a fixed iteration
+count so the whole thing stays inside jit.
+"""
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import ClusterConfig
+from ..utils.angles import circular_mean
+
+
+def kmeans(key, xy, cfg: ClusterConfig):
+    """xy: [N, 2] -> (centers [K, 2], assignments [N])."""
+    n = xy.shape[0]
+    k = cfg.k
+    k_init, k_iters = jax.random.split(key)
+    init_idx = jax.random.randint(k_init, (k,), 0, n)
+    centers0 = xy[init_idx]
+    assign0 = jnp.zeros((n,), jnp.int32)
+    iter_keys = jax.random.split(k_iters, cfg.max_iters)
+
+    def dist2(centers):
+        # [N, K] squared distances.
+        d = xy[:, None, :] - centers[None, :, :]
+        return jnp.sum(d * d, axis=-1)
+
+    def body(carry, it_key):
+        centers, assign, done = carry
+        new_assign = jnp.argmin(dist2(centers), axis=-1).astype(jnp.int32)
+        changed = jnp.any(new_assign != assign)
+        # Early exit BEFORE the update step (monte_carlo.cpp:841-844).
+        do_update = changed & ~done
+        onehot = jax.nn.one_hot(new_assign, k, dtype=jnp.float32)  # [N, K]
+        counts = jnp.sum(onehot, axis=0)                           # [K]
+        sums = onehot.T @ xy                                       # [K, 2] MXU
+        means = sums / jnp.maximum(counts[:, None], 1.0)
+        # Empty clusters reseed from random particles (:861-864).
+        reseed_idx = jax.random.randint(it_key, (k,), 0, n)
+        means = jnp.where((counts > 0)[:, None], means, xy[reseed_idx])
+        centers = jnp.where(do_update, means, centers)
+        assign = jnp.where(do_update, new_assign, assign)
+        done = done | ~changed
+        return (centers, assign, done), None
+
+    (centers, assign, _), _ = jax.lax.scan(
+        body, (centers0, assign0, jnp.bool_(False)), iter_keys)
+    return centers, assign
+
+
+def cluster_confidence(
+    key, particles, weights, threshold, cfg: ClusterConfig
+) -> Tuple[jax.Array, jax.Array]:
+    """Returns (confidence_ratio, best_pose[3] or (-1,-1,-1) sentinel).
+
+    `threshold` is the (dynamic) confident-level threshold the ratio is gated
+    against (monte_carlo.cpp:935-943); the counting radius is the fixed
+    cfg.near_radius=0.4 regardless of the cluster_threshold parameter — a
+    reference quirk preserved here (the cluster_distance arg at :887 is
+    unused).
+    """
+    xy = particles[:, :2]
+    centers, assign = kmeans(key, xy, cfg)
+    onehot = jax.nn.one_hot(assign, cfg.k, dtype=jnp.float32)
+    cluster_w = onehot.T @ weights                     # [K]
+    best = jnp.argmax(cluster_w)
+    cx, cy = centers[best, 0], centers[best, 1]
+    member = assign == best
+    theta = circular_mean(jnp.where(member, particles[:, 2], 0.0),
+                          weights=member.astype(jnp.float32))
+    d2 = (xy[:, 0] - cx) ** 2 + (xy[:, 1] - cy) ** 2
+    ratio = jnp.mean((d2 <= cfg.near_radius**2).astype(jnp.float32))
+    best_pose = jnp.where(
+        ratio > threshold,
+        jnp.stack([cx, cy, theta]),
+        jnp.full((3,), -1.0, jnp.float32),
+    )
+    return ratio, best_pose

@@ -32,20 +32,42 @@ def _maybe_quantize(angle, cfg: SensorModelConfig):
     return jnp.round(deg) * (jnp.pi / 180.0)
 
 
+def _lookup_mode(cfg: SensorModelConfig) -> str:
+    if cfg.lookup_mode != "auto":
+        return cfg.lookup_mode
+    return "onehot" if jax.default_backend() == "tpu" else "gather"
+
+
+def _occupied_fn(cfg: SensorModelConfig):
+    if _lookup_mode(cfg) == "onehot":
+        from ..ops.lookup import is_occupied_onehot
+
+        return is_occupied_onehot
+    return is_occupied
+
+
 def raycast_fixed(m: MazeMap, ox, oy, angle, cfg: SensorModelConfig):
     """Fixed-step ray march (reference mode).
 
     ox, oy, angle: broadcastable arrays. Returns hit distance, same shape.
     """
     angle = _maybe_quantize(angle, cfg)
+    occupied = _occupied_fn(cfg)
     dx = jnp.cos(angle)
     dy = jnp.sin(angle)
-    steps = cfg.ray_step * jnp.arange(cfg.num_ray_steps, dtype=jnp.float32)
-    # [..., S] sample positions.
-    px = ox[..., None] + steps * dx[..., None]
-    py = oy[..., None] + steps * dy[..., None]
-    occ = is_occupied(m, px, py)
-    dist = jnp.min(jnp.where(occ, steps, cfg.max_range), axis=-1)
+
+    # Loop over the (static, ~10) march steps with a running masked min
+    # instead of materializing a [..., S] tensor: at 1M particles x B beams
+    # that intermediate would be HBM-hostile.  Steps increase monotonically,
+    # so min(masked r) IS the first hit.
+    def body(s, dist):
+        r = cfg.ray_step * s
+        occ = occupied(m, ox + r * dx, oy + r * dy)
+        return jnp.minimum(dist, jnp.where(occ, r, cfg.max_range))
+
+    dist0 = jnp.full(ox.shape, cfg.max_range, dtype=jnp.float32)
+    dist = jax.lax.fori_loop(0, cfg.num_ray_steps, body, dist0,
+                             unroll=True)
     return dist.astype(jnp.float32)
 
 

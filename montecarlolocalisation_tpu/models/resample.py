@@ -1,0 +1,138 @@
+"""Resampling with AMCL-style adaptive injection, fully vectorized.
+
+Reference: monte_carlo.cpp:457-561 (resampleParticles) + sampleParticles
+(:415-450).  The sequential reference loop becomes masked vectorized ops:
+
+  * dual-timescale averages: w_slow += a_slow*(w_avg - w_slow),
+    w_fast += a_fast*(w_avg - w_fast); p_inject = max(0, 1 - w_fast/w_slow).
+  * per-draw uniform r: the SAME r decides injection (r < p_inject) and, when
+    not injecting, indexes the CDF via lower_bound (searchsorted 'left').
+  * the first-come injection cap (injected < max_injection) becomes
+    "first k Bernoulli successes" via a cumulative-sum mask — identical
+    distribution and identical count semantics.
+  * jitter regimes by jitterState: lost (xy +-0.05, theta +-pi/12) vs
+    confident (xy +-0.01, theta unchanged); theta re-wrapped via atan2 in
+    both branches (monte_carlo.cpp:549).
+
+`method="systematic"` swaps the multinomial draw for low-variance systematic
+resampling (the production path); injection logic is unchanged.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import FilterConfig, InitConfig, ResampleConfig
+from ..maps.grid import MazeMap, cell_center
+from ..utils.angles import normalize_angle
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class InjectionState:
+    """Dual-timescale weight averages (monte_carlo.cpp:125-128)."""
+
+    w_slow: jax.Array
+    w_fast: jax.Array
+
+    @staticmethod
+    def zero() -> "InjectionState":
+        return InjectionState(w_slow=jnp.float32(0.0), w_fast=jnp.float32(0.0))
+
+
+def sample_uniform_particles(key, m: MazeMap, n: int,
+                             cfg: InitConfig = InitConfig()):
+    """Uniform global particles (monte_carlo.cpp:415-450 sampleParticles).
+
+    Random maze cell, uniform in-cell offset +-cell_offset, yaw in [-pi, pi],
+    +global_offset on x and y.  Returns [n, 3].
+    """
+    k_row, k_col, k_ox, k_oy, k_yaw = jax.random.split(key, 5)
+    rows = jax.random.randint(k_row, (n,), 0, m.n_rows)
+    cols = jax.random.randint(k_col, (n,), 0, m.n_cols)
+    cx, cy = cell_center(rows.astype(jnp.float32), cols.astype(jnp.float32),
+                         m.cell_meters)
+    off = cfg.cell_offset
+    x = cx + jax.random.uniform(k_ox, (n,), minval=-off, maxval=off)
+    y = cy + jax.random.uniform(k_oy, (n,), minval=-off, maxval=off)
+    yaw = jax.random.uniform(k_yaw, (n,), minval=-jnp.pi, maxval=jnp.pi)
+    return jnp.stack(
+        [x + cfg.global_offset, y + cfg.global_offset, yaw], axis=-1
+    ).astype(jnp.float32)
+
+
+def _regime(jitter_state, cfg: ResampleConfig):
+    """Select lost/confident scalar params (monte_carlo.cpp:472-482)."""
+    sel = lambda a, b: jnp.where(jitter_state, jnp.float32(a), jnp.float32(b))
+    return dict(
+        max_injection=sel(cfg.lost_max_injection, cfg.conf_max_injection),
+        alpha_slow=sel(cfg.lost_alpha_slow, cfg.conf_alpha_slow),
+        alpha_fast=sel(cfg.lost_alpha_fast, cfg.conf_alpha_fast),
+        jitter_xy=sel(cfg.lost_jitter_xy, cfg.conf_jitter_xy),
+        jitter_theta=sel(cfg.lost_jitter_theta, cfg.conf_jitter_theta),
+    )
+
+
+def resample(
+    key,
+    particles,              # [N, 3]
+    weights,                # [N] unnormalized (from beam_weights)
+    inj: InjectionState,
+    jitter_state,           # traced bool: True = lost regime
+    m: MazeMap,
+    cfg: FilterConfig,
+) -> Tuple[jax.Array, jax.Array, InjectionState, dict]:
+    """One resampling pass.  Returns (particles, weights=1/N, inj, info)."""
+    rcfg = cfg.resample
+    n = particles.shape[0]
+    total = jnp.sum(weights)
+    w_avg = total / n
+    p = _regime(jitter_state, rcfg)
+
+    w_slow = inj.w_slow + p["alpha_slow"] * (w_avg - inj.w_slow)
+    w_fast = inj.w_fast + p["alpha_fast"] * (w_avg - inj.w_fast)
+    # Guard the 0/0 at startup (C++ std::max(0.0, nan) -> 0.0).
+    p_inject = jnp.where(
+        w_slow > 0.0, jnp.maximum(0.0, 1.0 - w_fast / w_slow), 0.0)
+
+    # Normalized CDF; degenerate all-zero weights fall back to uniform.
+    norm_w = jnp.where(total > 0.0, weights / total, 1.0 / n)
+    cdf = jnp.cumsum(norm_w)
+
+    k_draw, k_inj, k_jx, k_jy, k_jt, k_fresh = jax.random.split(key, 6)
+    if rcfg.method == "multinomial":
+        r = jax.random.uniform(k_draw, (n,))
+        inject_r = r
+    elif rcfg.method == "systematic":
+        u0 = jax.random.uniform(k_draw, ())
+        r = (jnp.arange(n, dtype=jnp.float32) + u0) / n
+        inject_r = jax.random.uniform(k_inj, (n,))
+    else:
+        raise ValueError(f"unknown resample method {rcfg.method!r}")
+
+    # Injection: Bernoulli successes, capped first-come (monte_carlo.cpp:518).
+    bern = inject_r < p_inject
+    inject = bern & (jnp.cumsum(bern) <= p["max_injection"])
+    n_injected = jnp.sum(inject)
+
+    # CDF draw (lower_bound == side='left'), clipped for fp round-off.
+    idx = jnp.clip(jnp.searchsorted(cdf, r, side="left"), 0, n - 1)
+    drawn = particles[idx]
+    jx = jax.random.uniform(k_jx, (n,), minval=-1.0, maxval=1.0) * p["jitter_xy"]
+    jy = jax.random.uniform(k_jy, (n,), minval=-1.0, maxval=1.0) * p["jitter_xy"]
+    jt = jax.random.uniform(k_jt, (n,), minval=-1.0, maxval=1.0) * p["jitter_theta"]
+    drawn = jnp.stack(
+        [drawn[:, 0] + jx, drawn[:, 1] + jy,
+         normalize_angle(drawn[:, 2] + jt)],
+        axis=-1,
+    )
+
+    fresh = sample_uniform_particles(k_fresh, m, n, cfg.init)
+    new_particles = jnp.where(inject[:, None], fresh, drawn)
+    new_weights = jnp.full((n,), 1.0 / n, dtype=jnp.float32)
+    info = dict(p_inject=p_inject, n_injected=n_injected, w_avg=w_avg,
+                total_weight=total)
+    return new_particles, new_weights, InjectionState(w_slow, w_fast), info

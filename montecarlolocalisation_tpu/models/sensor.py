@@ -137,7 +137,22 @@ def beam_weights(m: MazeMap, particles, scan: Scan, cfg: SensorModelConfig,
     """computeWeight: unnormalized weights [N] for particles [N, 3].
 
     (monte_carlo.cpp:623-682).  Invalid positions get exactly 0.
+
+    Backend dispatch (cfg.lookup_mode): on TPU with the fixed ray mode the
+    whole computation runs as one fused Pallas kernel (ops/weights_pallas);
+    otherwise XLA gather (CPU) or MXU one-hot lookups.
     """
+    from .raycast import _lookup_mode
+
+    mode = _lookup_mode(cfg)
+    if (mode in ("pallas", "onehot") and cfg.ray_mode == "fixed"
+            and abs(valid_offset - m.resolution) < 1e-9
+            and not cfg.quantize_ray_deg and particles.ndim == 2
+            and jax.default_backend() == "tpu"):
+        from ..ops.weights_pallas import beam_weights_pallas
+
+        return beam_weights_pallas(m, particles, scan, cfg)
+
     expected = expected_ranges(m, particles, scan.angles, cfg)  # [N, B]
     observed = scan.ranges  # [B]
     diff = jnp.abs(observed - expected)
@@ -147,7 +162,13 @@ def beam_weights(m: MazeMap, particles, scan: Scan, cfg: SensorModelConfig,
     ).astype(jnp.float32)
     per_beam = (p_hit + p_rand) * scan.mask
     prob = jnp.sum(per_beam, axis=-1)
-    valid = is_valid_pos(m, particles[..., 0], particles[..., 1], valid_offset)
+    from .raycast import _lookup_mode
+    if _lookup_mode(cfg) == "onehot" and abs(valid_offset - m.resolution) < 1e-9:
+        from ..ops.lookup import is_valid_pos_onehot
+        valid = is_valid_pos_onehot(m, particles[..., 0], particles[..., 1])
+    else:
+        valid = is_valid_pos(m, particles[..., 0], particles[..., 1],
+                             valid_offset)
     return jnp.where(valid, prob, 0.0)
 
 

@@ -1,0 +1,352 @@
+"""Multi-chip MCL: the particle axis sharded over a device mesh.
+
+The reference is a single-process filter over 1500 particles
+(monte_carlo.cpp:84); this module scales the SAME step to millions of
+particles across chips.  Design (SURVEY.md §2.4):
+
+  * particles [N, 3] and weights [N] are sharded on mesh axis
+    `particle_axis`; the map raster is replicated.
+  * motion / beam weights / jitter are embarrassingly parallel (local).
+  * resampling needs the GLOBAL weight distribution: per-shard weight sums
+    travel by psum; the multinomial/systematic gather all_gathers the
+    (small) weight vector and particle block over ICI, then every shard
+    draws its own N/P offspring against the global CDF.  The injection cap
+    is global: shard-level Bernoulli counts are all_gathered and converted
+    to a global first-come prefix, preserving the reference's
+    "first max_injection successes" semantics (monte_carlo.cpp:518-527).
+  * k-means runs replicated-centers / sharded-points: assignment is local,
+    center updates are psum reductions — no gather of the particle cloud.
+
+Collectives ride ICI via shard_map; everything compiles into the one jit
+program (no host coordination per tick).
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import FilterConfig
+from ..maps.grid import MazeMap
+from ..models import cluster, filter as mcl, motion, resample, sensor
+from ..utils.angles import normalize_angle
+
+
+def make_mesh(n_particle_shards: Optional[int] = None,
+              n_episode_shards: int = 1,
+              devices=None) -> Mesh:
+    """Build a ('episode', 'particle') mesh over the available devices."""
+    import numpy as np
+
+    devices = devices if devices is not None else jax.devices()
+    if n_particle_shards is None:
+        n_particle_shards = len(devices) // n_episode_shards
+    arr = np.asarray(devices[: n_episode_shards * n_particle_shards]).reshape(
+        n_episode_shards, n_particle_shards)
+    return Mesh(arr, axis_names=("episode", "particle"))
+
+
+def _shard_keys(key, axis_name: str):
+    """Same base key on every shard -> distinct per-shard key."""
+    return jax.random.fold_in(key, jax.lax.axis_index(axis_name))
+
+
+def resample_sharded(
+    key, particles, weights, inj: resample.InjectionState, jitter_state,
+    m: MazeMap, cfg: FilterConfig, axis_name: str,
+):
+    """Distributed resampling: identical semantics to resample.resample on
+    the concatenated shards (up to RNG stream)."""
+    rcfg = cfg.resample
+    n_loc = particles.shape[0]
+    n_shards = jax.lax.psum(1, axis_name)
+    n_global = n_loc * n_shards
+    my = jax.lax.axis_index(axis_name)
+
+    local_sum = jnp.sum(weights)
+    total = jax.lax.psum(local_sum, axis_name)
+    w_avg = total / n_global
+    p = resample._regime(jitter_state, rcfg)
+    w_slow = inj.w_slow + p["alpha_slow"] * (w_avg - inj.w_slow)
+    w_fast = inj.w_fast + p["alpha_fast"] * (w_avg - inj.w_fast)
+    p_inject = jnp.where(
+        w_slow > 0.0, jnp.maximum(0.0, 1.0 - w_fast / w_slow), 0.0)
+
+    # Global CDF: all_gather the weight shards (tiled=True -> [N_global]).
+    all_w = jax.lax.all_gather(weights, axis_name, tiled=True)
+    norm_w = jnp.where(total > 0.0, all_w / total, 1.0 / n_global)
+    cdf = jnp.cumsum(norm_w)
+    all_parts = jax.lax.all_gather(particles, axis_name, tiled=True)
+
+    loc_key = _shard_keys(key, axis_name)
+    k_draw, k_inj, k_jx, k_jy, k_jt, k_fresh = jax.random.split(loc_key, 6)
+    if rcfg.method == "multinomial":
+        r = jax.random.uniform(k_draw, (n_loc,))
+        inject_r = r
+    else:  # systematic: stratified global positions, shard-striped
+        u_key, _ = jax.random.split(jax.random.fold_in(key, 0))
+        u0 = jax.random.uniform(u_key, ())  # same on all shards
+        base = my * n_loc + jnp.arange(n_loc, dtype=jnp.float32)
+        r = (base + u0) / n_global
+        inject_r = jax.random.uniform(k_inj, (n_loc,))
+
+    # Global first-come injection cap.
+    bern = inject_r < p_inject
+    local_count = jnp.sum(bern.astype(jnp.int32))
+    counts = jax.lax.all_gather(local_count, axis_name)       # [P]
+    prefix = jnp.sum(jnp.where(jnp.arange(n_shards) < my, counts, 0))
+    inject = bern & ((prefix + jnp.cumsum(bern)) <= p["max_injection"])
+    n_injected = jax.lax.psum(jnp.sum(inject), axis_name)
+
+    idx = jnp.clip(jnp.searchsorted(cdf, r, side="left"), 0, n_global - 1)
+    drawn = all_parts[idx]
+    jx = jax.random.uniform(k_jx, (n_loc,), minval=-1.0, maxval=1.0) * p["jitter_xy"]
+    jy = jax.random.uniform(k_jy, (n_loc,), minval=-1.0, maxval=1.0) * p["jitter_xy"]
+    jt = jax.random.uniform(k_jt, (n_loc,), minval=-1.0, maxval=1.0) * p["jitter_theta"]
+    drawn = jnp.stack(
+        [drawn[:, 0] + jx, drawn[:, 1] + jy, normalize_angle(drawn[:, 2] + jt)],
+        axis=-1)
+    fresh = resample.sample_uniform_particles(k_fresh, m, n_loc, cfg.init)
+    new_particles = jnp.where(inject[:, None], fresh, drawn)
+    new_weights = jnp.full((n_loc,), 1.0 / n_global, dtype=jnp.float32)
+    info = dict(p_inject=p_inject, n_injected=n_injected, w_avg=w_avg,
+                total_weight=total)
+    return new_particles, new_weights, resample.InjectionState(w_slow, w_fast), info
+
+
+def _global_take(particles, idx, axis_name: str):
+    """Pick global particle rows by index, shards holding contiguous blocks."""
+    n_loc = particles.shape[0]
+    my = jax.lax.axis_index(axis_name)
+    local = idx - my * n_loc
+    ours = (local >= 0) & (local < n_loc)
+    vals = particles[jnp.clip(local, 0, n_loc - 1)]
+    vals = jnp.where(ours[..., None], vals, 0.0)
+    return jax.lax.psum(vals, axis_name)
+
+
+def cluster_confidence_sharded(
+    key, particles, weights, threshold, cfg, axis_name: str,
+) -> Tuple[jax.Array, jax.Array]:
+    """Distributed k-means confidence: replicated centers, sharded points.
+
+    Same semantics as cluster.cluster_confidence on the concatenation; all
+    reductions are psums, no particle gather.
+    """
+    n_loc = particles.shape[0]
+    n_global = n_loc * jax.lax.psum(1, axis_name)
+    xy = particles[:, :2]
+    k = cfg.k
+    k_init, k_iters = jax.random.split(key)  # same on all shards
+    init_idx = jax.random.randint(k_init, (k,), 0, n_global)
+    centers0 = _global_take(particles, init_idx, axis_name)[:, :2]
+    assign0 = jnp.zeros((n_loc,), jnp.int32)
+    iter_keys = jax.random.split(k_iters, cfg.max_iters)
+
+    def body(carry, it_key):
+        centers, assign, done = carry
+        d = xy[:, None, :] - centers[None, :, :]
+        new_assign = jnp.argmin(jnp.sum(d * d, axis=-1), axis=-1).astype(jnp.int32)
+        changed = jax.lax.psum(
+            jnp.sum((new_assign != assign).astype(jnp.int32)), axis_name) > 0
+        do_update = changed & ~done
+        onehot = jax.nn.one_hot(new_assign, k, dtype=jnp.float32)
+        counts = jax.lax.psum(jnp.sum(onehot, axis=0), axis_name)
+        sums = jax.lax.psum(onehot.T @ xy, axis_name)
+        means = sums / jnp.maximum(counts[:, None], 1.0)
+        reseed_idx = jax.random.randint(it_key, (k,), 0, n_global)
+        reseed = _global_take(particles, reseed_idx, axis_name)[:, :2]
+        means = jnp.where((counts > 0)[:, None], means, reseed)
+        centers = jnp.where(do_update, means, centers)
+        assign = jnp.where(do_update, new_assign, assign)
+        done = done | ~changed
+        return (centers, assign, done), None
+
+    (centers, assign, _), _ = jax.lax.scan(
+        body, (centers0, assign0, jnp.bool_(False)), iter_keys)
+
+    onehot = jax.nn.one_hot(assign, k, dtype=jnp.float32)
+    cluster_w = jax.lax.psum(onehot.T @ weights, axis_name)
+    best = jnp.argmax(cluster_w)
+    cx, cy = centers[best, 0], centers[best, 1]
+    member = (assign == best).astype(jnp.float32)
+    sin_sum = jax.lax.psum(jnp.sum(member * jnp.sin(particles[:, 2])), axis_name)
+    cos_sum = jax.lax.psum(jnp.sum(member * jnp.cos(particles[:, 2])), axis_name)
+    theta = jnp.arctan2(sin_sum, cos_sum)
+    d2 = (xy[:, 0] - cx) ** 2 + (xy[:, 1] - cy) ** 2
+    near = jax.lax.psum(
+        jnp.sum((d2 <= cfg.near_radius**2).astype(jnp.float32)), axis_name)
+    ratio = near / n_global
+    best_pose = jnp.where(
+        ratio > threshold,
+        jnp.stack([cx, cy, theta]),
+        jnp.full((3,), -1.0, jnp.float32))
+    return ratio, best_pose
+
+
+def mcl_step_sharded(
+    state: mcl.MCLState, encoder_left, encoder_right, scan: sensor.Scan,
+    m: MazeMap, cfg: FilterConfig, axis_name: str = "particle",
+) -> Tuple[mcl.MCLState, mcl.MCLOutput]:
+    """One tick with the particle axis sharded on `axis_name`.
+
+    Call inside shard_map with state.particles/weights sharded on
+    P(axis_name) and everything else replicated.  Scalars (thresholds,
+    confidence, best pose) stay replicated — collectives keep them equal.
+    """
+    key, k_motion, k_resample, k_cluster = jax.random.split(state.key, 4)
+
+    was_lost, cluster_thr, conf_thr, song, wanderer = mcl._hysteresis(
+        state, m, cfg)
+    exact_pose = state.best_pose
+    cell_pose = mcl.cell_pose_msg(state.best_pose, m.cell_meters)
+
+    # Shared motion noise: same k_motion on all shards -> same noisy triple,
+    # matching the reference's one-triple-for-all quirk even across chips.
+    # Per-particle mode folds in the shard index.
+    k_m = k_motion if cfg.motion.shared_noise else _shard_keys(
+        k_motion, axis_name)
+    odom, particles = motion.motion_update(
+        k_m, state.particles, state.odom, encoder_left, encoder_right,
+        cfg.motion)
+
+    weights = sensor.beam_weights(m, particles, scan, cfg.sensor,
+                                  cfg.valid_pos_offset)
+    particles, weights, inj, info = resample_sharded(
+        k_resample, particles, weights, state.inj, was_lost, m, cfg,
+        axis_name)
+    confidence, best_pose = cluster_confidence_sharded(
+        k_cluster, particles, weights, conf_thr, cfg.cluster, axis_name)
+
+    new_state = mcl.MCLState(
+        particles=particles, weights=weights, odom=odom, inj=inj,
+        confidence=confidence, was_lost=was_lost,
+        cluster_threshold=cluster_thr, confident_threshold=conf_thr,
+        best_pose=best_pose, key=key)
+    out = mcl.MCLOutput(
+        exact_pose=exact_pose, cell_pose=cell_pose, confidence=confidence,
+        song=song, wanderer_cmd=wanderer,
+        n_injected=info["n_injected"].astype(jnp.int32),
+        p_inject=info["p_inject"])
+    return new_state, out
+
+
+def make_sharded_step(mesh: Mesh, m: MazeMap, cfg: FilterConfig,
+                      axis_name: str = "particle"):
+    """jit-compiled shard_map'd step over `mesh` (particle axis sharded)."""
+    from jax import shard_map
+
+    pspec = P(axis_name)
+    state_spec = mcl.MCLState(
+        particles=P(axis_name), weights=P(axis_name),
+        odom=motion.OdometryState(x=P(), y=P(), theta=P(),
+                                  encoder_left=P(), encoder_right=P()),
+        inj=resample.InjectionState(w_slow=P(), w_fast=P()),
+        confidence=P(), was_lost=P(), cluster_threshold=P(),
+        confident_threshold=P(), best_pose=P(), key=P())
+    out_spec = mcl.MCLOutput(
+        exact_pose=P(), cell_pose=P(), confidence=P(), song=P(),
+        wanderer_cmd=P(), n_injected=P(), p_inject=P())
+    map_spec = jax.tree_util.tree_map(lambda _: P(), m)
+
+    def body(state, enc_l, enc_r, angles, ranges, mask, m_arrays):
+        scan = sensor.Scan(angles=angles, ranges=ranges, mask=mask)
+        return mcl_step_sharded(state, enc_l, enc_r, scan, m_arrays, cfg,
+                                axis_name)
+
+    fn = shard_map(
+        body, mesh=mesh,
+        in_specs=(state_spec, P(), P(), P(), P(), P(), map_spec),
+        out_specs=(state_spec, out_spec),
+        check_rep=False,
+    )
+
+    @jax.jit
+    def step(state, enc_l, enc_r, scan: sensor.Scan):
+        return fn(state, enc_l, enc_r, scan.angles, scan.ranges, scan.mask, m)
+
+    return step
+
+
+def make_sharded_step_batched(mesh: Mesh, m: MazeMap, cfg: FilterConfig,
+                              episode_axis: str = "episode",
+                              particle_axis: str = "particle"):
+    """Episode x particle 2D-sharded step: the full scale-out configuration.
+
+    State carries a leading episode axis: particles [E, N, 3] sharded
+    P(episode, particle); per-episode scalars [E] sharded P(episode).  Inside
+    shard_map the episode block is vmapped and the particle collectives
+    (psum/all_gather on `particle_axis`) run per episode — episodes are data
+    parallel, particles are model parallel, exactly the SURVEY.md §2.4
+    mapping.
+    """
+    from jax import shard_map
+
+    ep, pp = P(episode_axis), P(episode_axis, particle_axis)
+    state_spec = mcl.MCLState(
+        particles=P(episode_axis, particle_axis),
+        weights=P(episode_axis, particle_axis),
+        odom=motion.OdometryState(x=ep, y=ep, theta=ep,
+                                  encoder_left=ep, encoder_right=ep),
+        inj=resample.InjectionState(w_slow=ep, w_fast=ep),
+        confidence=ep, was_lost=ep, cluster_threshold=ep,
+        confident_threshold=ep, best_pose=ep, key=ep)
+    out_spec = mcl.MCLOutput(
+        exact_pose=ep, cell_pose=ep, confidence=ep, song=ep,
+        wanderer_cmd=ep, n_injected=ep, p_inject=ep)
+    map_spec = jax.tree_util.tree_map(lambda _: P(), m)
+
+    def one_episode(state, enc_l, enc_r, angles, ranges, mask, m_arrays):
+        scan = sensor.Scan(angles=angles, ranges=ranges, mask=mask)
+        return mcl_step_sharded(state, enc_l, enc_r, scan, m_arrays, cfg,
+                                particle_axis)
+
+    def body(state, enc_l, enc_r, angles, ranges, mask, m_arrays):
+        return jax.vmap(
+            lambda st, el, er, rg: one_episode(st, el, er, angles, rg,
+                                               mask, m_arrays)
+        )(state, enc_l, enc_r, ranges)
+
+    fn = shard_map(
+        body, mesh=mesh,
+        in_specs=(state_spec, ep, ep, P(), ep, P(), map_spec),
+        out_specs=(state_spec, out_spec),
+        check_rep=False)
+
+    @jax.jit
+    def step(state, enc_l, enc_r, scan: sensor.Scan):
+        return fn(state, enc_l, enc_r, scan.angles, scan.ranges, scan.mask, m)
+
+    return step
+
+
+def init_batched_state(key, m: MazeMap, cfg: FilterConfig,
+                       num_episodes: int) -> mcl.MCLState:
+    """vmap init_state over an episode batch (host-side; shard with
+    jax.device_put + NamedSharding afterwards)."""
+    keys = jax.random.split(key, num_episodes)
+    return jax.vmap(lambda k: mcl.init_state(k, m, cfg))(keys)
+
+
+def shard_state(state: mcl.MCLState, mesh: Mesh,
+                axis_name: str = "particle") -> mcl.MCLState:
+    """Place a host state onto the mesh with the particle axis sharded."""
+    def put(x, spec):
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    return mcl.MCLState(
+        particles=put(state.particles, P(axis_name)),
+        weights=put(state.weights, P(axis_name)),
+        odom=jax.tree_util.tree_map(lambda x: put(x, P()), state.odom),
+        inj=jax.tree_util.tree_map(lambda x: put(x, P()), state.inj),
+        confidence=put(state.confidence, P()),
+        was_lost=put(state.was_lost, P()),
+        cluster_threshold=put(state.cluster_threshold, P()),
+        confident_threshold=put(state.confident_threshold, P()),
+        best_pose=put(state.best_pose, P()),
+        key=put(state.key, P()),
+    )

@@ -1,0 +1,123 @@
+"""Ground-truth robot simulator: diff-drive dynamics + synthetic sensor logs.
+
+Replaces the reference's physical iRobot Create + create_fundamentals driver
+(SURVEY.md layer 0) for offline episodes: wheel commands integrate through the
+same midpoint diff-drive kinematics the filter assumes
+(monte_carlo.cpp:719-739), encoders accumulate radians
+(d = delta_ticks * wheel_size * 0.5), and scans come from the shared ray
+caster (models/sensor.simulate_scan).  Everything is jit-compiled and
+vmappable over episodes.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import FilterConfig, MotionModelConfig
+from ..maps.grid import MazeMap
+from ..models import sensor
+from ..models.raycast import raycast
+from ..utils.angles import normalize_angle
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class RobotState:
+    """Ground-truth pose + cumulative encoder readings (radians)."""
+
+    x: jax.Array
+    y: jax.Array
+    theta: jax.Array
+    encoder_left: jax.Array
+    encoder_right: jax.Array
+
+    @property
+    def pose(self):
+        return jnp.stack([self.x, self.y, self.theta])
+
+
+def make_robot(x, y, theta) -> RobotState:
+    return RobotState(
+        x=jnp.float32(x), y=jnp.float32(y), theta=jnp.float32(theta),
+        encoder_left=jnp.float32(0.0), encoder_right=jnp.float32(0.0))
+
+
+def step_dynamics(state: RobotState, d_left, d_right,
+                  cfg: MotionModelConfig) -> RobotState:
+    """Advance ground truth by per-wheel arc lengths (meters).
+
+    Encoder radians accumulate so that the filter's
+    delta_ticks * wheel_size * 0.5 recovers the arcs exactly.
+    """
+    d_center = 0.5 * (d_left + d_right)
+    delta_theta = (d_left - d_right) / cfg.wheel_space
+    x = state.x + d_center * jnp.cos(state.theta + 0.5 * delta_theta)
+    y = state.y + d_center * jnp.sin(state.theta + 0.5 * delta_theta)
+    theta = normalize_angle(state.theta + delta_theta)
+    tick = cfg.wheel_size * 0.5
+    return RobotState(
+        x=x, y=y, theta=theta,
+        encoder_left=state.encoder_left + d_left / tick,
+        encoder_right=state.encoder_right + d_right / tick)
+
+
+def wheel_arcs_from_speeds(speed_left, speed_right, dt,
+                           cfg: MotionModelConfig):
+    """Reference wheel-command units -> arc meters per tick.
+
+    diff_drive speeds are wheel angular velocities in rad/s
+    (create_fundamentals convention); arc = omega * dt * wheel_size * 0.5,
+    the same kinematics as wanderer_try_final.cpp:63-78.
+    """
+    k = dt * cfg.wheel_size * 0.5
+    return speed_left * k, speed_right * k
+
+
+def generate_wander_episode(
+    key,
+    m: MazeMap,
+    cfg: FilterConfig,
+    scan_angles,
+    num_ticks: int,
+    start_pose=(1.25, 1.25, 0.0),
+    speed: float = 0.04,
+    obstacle_stop: float = 0.4,
+    turn_ticks: int = 10,
+    scan_noise: float = 0.02,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Scripted wall-avoiding wander -> (encoders [T,2], scans [T,B], poses [T,3]).
+
+    Drives straight `speed` m/tick; when the forward ray reports an obstacle
+    within `obstacle_stop`, rotates in place ~90 degrees over `turn_ticks`
+    ticks (mimicking the reference wanderer's stop-and-turn behavior,
+    wanderer_try_final.cpp:167-191).  Returns the encoder log, noisy scan
+    ranges, and the ground-truth pose trace.
+    """
+    angles = jnp.asarray(scan_angles, jnp.float32)
+    mcfg = cfg.motion
+    turn_arc = (jnp.pi / 2) * mcfg.wheel_space / (2.0 * turn_ticks)
+
+    def body(carry, tick_key):
+        robot, turning = carry
+        ahead = raycast(m, robot.x, robot.y, robot.theta, cfg.sensor)
+        start_turn = (ahead < obstacle_stop) & (turning == 0)
+        turning = jnp.where(start_turn, turn_ticks, turning)
+        is_turning = turning > 0
+        d_left = jnp.where(is_turning, turn_arc, speed)
+        d_right = jnp.where(is_turning, -turn_arc, speed)
+        robot = step_dynamics(robot, d_left, d_right, mcfg)
+        turning = jnp.maximum(turning - 1, 0)
+        scan = sensor.simulate_scan(
+            m, robot.pose, angles, cfg.sensor, key=tick_key,
+            noise_sigma=scan_noise)
+        enc = jnp.stack([robot.encoder_left, robot.encoder_right])
+        return (robot, turning), (enc, scan.ranges, robot.pose)
+
+    robot0 = make_robot(*start_pose)
+    keys = jax.random.split(key, num_ticks)
+    (_, _), (encoders, ranges, poses) = jax.lax.scan(
+        body, (robot0, jnp.int32(0)), keys)
+    return encoders, ranges, poses

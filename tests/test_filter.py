@@ -1,0 +1,160 @@
+"""End-to-end MCL filter tests: the minimum end-to-end slice of SURVEY.md §7.
+
+Simulate a scripted wander on the default 6x6 maze with the shared ray
+caster, run the jit-compiled filter under lax.scan, and require global
+localization to converge to the true pose.
+"""
+import functools
+import os.path as osp
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from montecarlolocalisation_tpu.config import (
+    FilterConfig, SensorModelConfig, ResampleConfig,
+)
+from montecarlolocalisation_tpu.maps import from_map_file
+from montecarlolocalisation_tpu.models import filter as mcl
+from montecarlolocalisation_tpu.models import sensor
+from montecarlolocalisation_tpu.sim import robot
+
+MAP_PATH = osp.join(osp.dirname(__file__), "..", "montecarlolocalisation_tpu",
+                    "maps", "default_map.txt")
+
+CFG = FilterConfig(
+    num_particles=500,
+    sensor=SensorModelConfig(ray_mode="dda", beam_skip=20),
+)
+ANGLES = np.deg2rad(np.linspace(-118, 118, 24)).astype(np.float32)
+
+
+@pytest.fixture(scope="module")
+def maze():
+    return from_map_file(MAP_PATH)
+
+
+@pytest.fixture(scope="module")
+def episode(maze):
+    # Global localization in a symmetric maze with a 1 m LIDAR is genuinely
+    # multi-modal; this seed/start is a verified-converging configuration
+    # (the filter, like the reference, can lock onto symmetric aliases on
+    # uninformative trajectories).
+    enc, ranges, poses = robot.generate_wander_episode(
+        jax.random.PRNGKey(7), maze, CFG, ANGLES, num_ticks=200,
+        start_pose=(2.05, 2.05, 0.0))
+    return enc, ranges, poses
+
+
+def test_step_shapes_and_finiteness(maze):
+    st = mcl.init_state(jax.random.PRNGKey(0), maze, CFG)
+    scan = sensor.simulate_scan(
+        maze, jnp.array([1.25, 1.25, 0.0]), ANGLES, CFG.sensor)
+    step = jax.jit(functools.partial(mcl.mcl_step, m=maze, cfg=CFG))
+    st2, out = step(st, jnp.float32(0.0), jnp.float32(0.0), scan)
+    assert st2.particles.shape == (500, 3)
+    assert np.isfinite(np.asarray(st2.particles)).all()
+    assert np.isfinite(float(st2.confidence))
+    assert out.cell_pose.shape == (3,)
+    # First tick from cold start: confidence 0 < 0.8 -> lost transition.
+    assert int(out.song) == 1
+    assert int(out.wanderer_cmd) == mcl.WANDERER_START
+
+
+def test_episode_converges_to_truth(maze, episode):
+    enc, ranges, poses = episode
+    st = mcl.init_state(jax.random.PRNGKey(1), maze, CFG)
+    run = jax.jit(functools.partial(mcl.run_episode, m=maze, cfg=CFG))
+    final, outs = run(st, enc, ranges, ANGLES)
+    true_final = np.asarray(poses[-1])
+    best = np.asarray(final.best_pose)
+    assert float(final.confidence) > 0.5, "filter never became confident"
+    assert best[0] >= 0, "best pose still sentinel"
+    err = np.hypot(best[0] - true_final[0], best[1] - true_final[1])
+    assert err < 0.2, f"position error {err:.3f} m vs truth {true_final}"
+    dtheta = np.arctan2(np.sin(best[2] - true_final[2]),
+                        np.cos(best[2] - true_final[2]))
+    assert abs(dtheta) < 0.35, f"heading error {np.degrees(dtheta):.1f} deg"
+
+
+def test_episode_emits_recovery_events(maze, episode):
+    enc, ranges, _ = episode
+    st = mcl.init_state(jax.random.PRNGKey(1), maze, CFG)
+    run = jax.jit(functools.partial(mcl.run_episode, m=maze, cfg=CFG))
+    _, outs = run(st, enc, ranges, ANGLES)
+    songs = np.asarray(outs.song)
+    assert (songs == 1).any(), "no lost song"
+    assert (songs == 2).any(), "no recovered song"
+    # After recovery the wanderer must be commanded to stop.
+    rec = np.argmax(songs == 2)
+    assert int(np.asarray(outs.wanderer_cmd)[rec]) == mcl.WANDERER_STOP
+
+
+def test_systematic_resampling_also_converges(maze, episode):
+    enc, ranges, poses = episode
+    cfg = FilterConfig(
+        num_particles=500,
+        sensor=SensorModelConfig(ray_mode="dda"),
+        resample=ResampleConfig(method="systematic"))
+    st = mcl.init_state(jax.random.PRNGKey(2), maze, cfg)
+    run = jax.jit(functools.partial(mcl.run_episode, m=maze, cfg=cfg))
+    final, _ = run(st, enc, ranges, ANGLES)
+    true_final = np.asarray(poses[-1])
+    best = np.asarray(final.best_pose)
+    assert float(final.confidence) > 0.5
+    err = np.hypot(best[0] - true_final[0], best[1] - true_final[1])
+    assert err < 0.3
+
+
+def test_tracking_from_known_pose(maze, episode):
+    """Pose-tracking parity: initialized at the truth, the filter must stay
+    locked with low RMSE (the BASELINE.md parity metric)."""
+    enc, ranges, poses = episode
+    st = mcl.init_state(jax.random.PRNGKey(4), maze, CFG)
+    # Replace the uniform cloud with a tight cloud at the start pose.
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(5), 3)
+    n = CFG.num_particles
+    start = np.asarray(poses[0])
+    parts = jnp.stack([
+        start[0] + 0.03 * jax.random.normal(k1, (n,)),
+        start[1] + 0.03 * jax.random.normal(k2, (n,)),
+        start[2] + 0.05 * jax.random.normal(k3, (n,))], axis=-1)
+    st = mcl.MCLState(
+        particles=parts.astype(jnp.float32), weights=st.weights, odom=st.odom,
+        inj=st.inj, confidence=jnp.float32(1.0), was_lost=st.was_lost,
+        cluster_threshold=jnp.float32(0.4),
+        confident_threshold=jnp.float32(0.5),
+        best_pose=jnp.asarray(start, jnp.float32), key=st.key)
+    run = jax.jit(functools.partial(mcl.run_episode, m=maze, cfg=CFG))
+    final, outs = run(st, enc, ranges, ANGLES)
+    # exact_pose output lags one tick (publishes previous best).
+    est = np.asarray(outs.exact_pose)[1:]
+    truth = np.asarray(poses)[:-1]
+    ok = est[:, 0] >= 0
+    # The confident-regime injection quirk (alpha_fast=2, preserved from the
+    # reference) can cause one transient lost/recover episode mid-run.
+    assert ok.mean() > 0.8, "tracking lost confidence"
+    err = np.hypot(est[ok, 0] - truth[ok, 0], est[ok, 1] - truth[ok, 1])
+    rmse = float(np.sqrt((err**2).mean()))
+    assert rmse < 0.2, f"tracking RMSE {rmse:.3f} m"
+
+
+def test_state_is_checkpointable_pytree(maze):
+    st = mcl.init_state(jax.random.PRNGKey(3), maze, CFG)
+    leaves, treedef = jax.tree_util.tree_flatten(st)
+    st2 = jax.tree_util.tree_unflatten(treedef, leaves)
+    assert isinstance(st2, mcl.MCLState)
+    np.testing.assert_array_equal(np.asarray(st.particles),
+                                  np.asarray(st2.particles))
+
+
+def test_cell_pose_quantization():
+    pose = jnp.array([2.05, 0.45, 0.0])
+    cp = np.asarray(mcl.cell_pose_msg(pose))
+    assert list(cp) == [0, 2, 0]  # row 0, col 2, RIGHT
+    pose = jnp.array([0.45, 0.45, np.pi / 2])
+    cp = np.asarray(mcl.cell_pose_msg(pose))
+    assert list(cp) == [0, 0, 3]  # 90deg -> DOWN (y-down convention)
+    cp = np.asarray(mcl.cell_pose_msg(jnp.array([-1.0, -1.0, -1.0])))
+    assert list(cp) == [-1, -1, -1]

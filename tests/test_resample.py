@@ -1,0 +1,141 @@
+"""Resampling + adaptive injection tests."""
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from montecarlolocalisation_tpu.config import FilterConfig, ResampleConfig
+from montecarlolocalisation_tpu.maps import from_walls
+from montecarlolocalisation_tpu.models import resample
+
+MAP = from_walls([[[0, 1, 2], [1], [0, 1]],
+                  [[2, 3], [3], [0, 3]]])  # 2x3 maze
+CFG = FilterConfig(num_particles=512)
+FALSE = jnp.bool_(False)
+TRUE = jnp.bool_(True)
+
+
+def _mk_particles(n, key):
+    return resample.sample_uniform_particles(key, MAP, n)
+
+
+def test_uniform_sampler_bounds():
+    parts = np.asarray(_mk_particles(4096, jax.random.PRNGKey(0)))
+    # Cells span [0, 2.4] x [0, 1.6]; centers +-0.2 + 0.05 global offset.
+    assert parts[:, 0].min() >= 0.4 - 0.2 + 0.05 - 1e-5
+    assert parts[:, 0].max() <= 2.0 + 0.2 + 0.05 + 1e-5
+    assert parts[:, 1].max() <= 1.2 + 0.2 + 0.05 + 1e-5
+    assert (parts[:, 2] >= -np.pi).all() and (parts[:, 2] <= np.pi).all()
+    # All cells hit.
+    rows = np.round((parts[:, 1] - 0.05 - 0.4) / 0.8).astype(int)
+    cols = np.round((parts[:, 0] - 0.05 - 0.4) / 0.8).astype(int)
+    assert set(zip(rows, cols)) == {(r, c) for r in range(2) for c in range(3)}
+
+
+def test_resample_concentrates_on_high_weight():
+    key = jax.random.PRNGKey(1)
+    n = CFG.num_particles
+    parts = _mk_particles(n, key)
+    # All weight on particle 7; total = n so w_avg = 1 keeps w_fast/w_slow
+    # at 1 and p_inject at 0.
+    weights = jnp.zeros((n,)).at[7].set(float(n))
+    inj = resample.InjectionState(w_slow=jnp.float32(1.0),
+                                  w_fast=jnp.float32(1.0))
+    new_p, new_w, inj2, info = resample.resample(
+        jax.random.PRNGKey(2), parts, weights, inj, FALSE, MAP, CFG)
+    # p_inject <= 0 (w_fast tracks w_avg fast) -> no injection; all draws
+    # copy particle 7 + confident jitter (+-0.01, theta unchanged).
+    assert int(info["n_injected"]) == 0
+    np.testing.assert_allclose(np.asarray(new_p[:, 0]),
+                               float(parts[7, 0]), atol=0.011)
+    np.testing.assert_allclose(np.asarray(new_p[:, 2]),
+                               float(resample.normalize_angle(parts[7, 2])),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(new_w), 1.0 / n)
+
+
+def test_injection_probability_and_cap():
+    key = jax.random.PRNGKey(3)
+    n = CFG.num_particles
+    parts = _mk_particles(n, key)
+    weights = jnp.full((n,), 0.001)
+    # w_slow high, current w_avg tiny -> w_fast collapses -> heavy injection.
+    inj = resample.InjectionState(w_slow=jnp.float32(1.0),
+                                  w_fast=jnp.float32(1.0))
+    _, _, _, info_lost = resample.resample(
+        jax.random.PRNGKey(4), parts, weights, inj, TRUE, MAP, CFG)
+    # Lost regime: cap 200.
+    assert 0 < int(info_lost["n_injected"]) <= 200
+    _, _, _, info_conf = resample.resample(
+        jax.random.PRNGKey(4), parts, weights, inj, FALSE, MAP, CFG)
+    # Confident regime: cap 50, alpha_fast=2 -> w_fast overshoots below,
+    # p_inject still > 0.
+    assert int(info_conf["n_injected"]) <= 50
+
+
+def test_dual_timescale_update():
+    n = 16
+    parts = _mk_particles(n, jax.random.PRNGKey(5))
+    weights = jnp.full((n,), 2.0)  # w_avg = 2
+    inj = resample.InjectionState(w_slow=jnp.float32(1.0),
+                                  w_fast=jnp.float32(1.0))
+    _, _, inj2, _ = resample.resample(
+        jax.random.PRNGKey(6), parts, weights, inj, TRUE, MAP, CFG)
+    # lost: a_slow=0.05, a_fast=0.5
+    assert float(inj2.w_slow) == pytest.approx(1.0 + 0.05 * (2 - 1), rel=1e-5)
+    assert float(inj2.w_fast) == pytest.approx(1.0 + 0.5 * (2 - 1), rel=1e-5)
+
+
+def test_zero_total_weight_does_not_nan():
+    n = 64
+    parts = _mk_particles(n, jax.random.PRNGKey(7))
+    weights = jnp.zeros((n,))
+    inj = resample.InjectionState.zero()
+    new_p, new_w, inj2, info = resample.resample(
+        jax.random.PRNGKey(8), parts, weights, inj, TRUE, MAP, CFG)
+    assert np.isfinite(np.asarray(new_p)).all()
+    assert np.isfinite(float(info["p_inject"]))
+
+
+def test_multinomial_preserves_distribution():
+    # Resampled population frequencies track the weights.
+    n = 4096
+    key = jax.random.PRNGKey(9)
+    parts = jnp.stack([
+        jnp.arange(n, dtype=jnp.float32),          # x = particle id
+        jnp.zeros((n,)), jnp.zeros((n,))], axis=-1)
+    # Scale so total = n (w_avg = 1 -> no injection).
+    scale = float(n) / 10.0
+    weights = jnp.where(jnp.arange(n) < 4, scale * jnp.array(
+        [1.0, 2.0, 3.0, 4.0])[jnp.clip(jnp.arange(n), 0, 3)], 0.0)
+    inj = resample.InjectionState(w_slow=jnp.float32(1.0),
+                                  w_fast=jnp.float32(1.0))
+    cfg = FilterConfig(num_particles=n)
+    new_p, _, _, _ = resample.resample(
+        key, parts, weights, inj, FALSE, MAP, cfg)
+    ids = np.round(np.asarray(new_p[:, 0])).astype(int)
+    counts = np.bincount(ids, minlength=4)[:4]
+    freq = counts / counts.sum()
+    np.testing.assert_allclose(freq, [0.1, 0.2, 0.3, 0.4], atol=0.03)
+
+
+def test_systematic_mode():
+    n = 4096
+    cfg = FilterConfig(
+        num_particles=n,
+        resample=ResampleConfig(method="systematic"))
+    parts = jnp.stack([
+        jnp.arange(n, dtype=jnp.float32),
+        jnp.zeros((n,)), jnp.zeros((n,))], axis=-1)
+    # total = n so w_avg = 1 -> p_inject = 0 (no injection noise).
+    weights = jnp.where(jnp.arange(n) < 2, float(n) / 2, 0.0)
+    inj = resample.InjectionState(w_slow=jnp.float32(1.0),
+                                  w_fast=jnp.float32(1.0))
+    new_p, _, _, _ = resample.resample(
+        jax.random.PRNGKey(10), parts, weights, inj, FALSE, MAP, cfg)
+    ids = np.round(np.asarray(new_p[:, 0])).astype(int)
+    counts = np.bincount(ids, minlength=2)[:2]
+    # Systematic: exactly proportional (n/2 each) up to 1.
+    assert abs(counts[0] - n // 2) <= 1 and abs(counts[1] - n // 2) <= 1
