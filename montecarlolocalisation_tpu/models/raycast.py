@@ -32,14 +32,34 @@ def _maybe_quantize(angle, cfg: SensorModelConfig):
     return jnp.round(deg) * (jnp.pi / 180.0)
 
 
-def _lookup_mode(cfg: SensorModelConfig) -> str:
-    if cfg.lookup_mode != "auto":
-        return cfg.lookup_mode
-    return "onehot" if jax.default_backend() == "tpu" else "gather"
+def _lookup_mode(cfg: SensorModelConfig, m=None) -> str:
+    mode = cfg.lookup_mode
+    if mode == "auto":
+        if jax.default_backend() != "tpu":
+            return "gather"
+        mode = "bits"
+    if mode == "bits" and m is not None:
+        from ..ops.bitlookup import is_concrete_map
+
+        if not is_concrete_map(m):
+            return "onehot"  # traced map (vmap over maps): no host bits
+    return mode
 
 
-def _occupied_fn(cfg: SensorModelConfig):
-    if _lookup_mode(cfg) == "onehot":
+def _occupied_fn(cfg: SensorModelConfig, m=None):
+    mode = _lookup_mode(cfg, m)
+    if mode == "bits":
+        from ..ops.bitlookup import MapBitTables
+
+        occ_lookup, _ = MapBitTables.get(m)
+
+        def occupied_bits(m_, wx, wy):
+            mx = ((wx - m_.origin_x) / m_.resolution).astype(jnp.int32)
+            my = ((wy - m_.origin_y) / m_.resolution).astype(jnp.int32)
+            return occ_lookup(my, mx)
+
+        return occupied_bits
+    if mode == "onehot":
         from ..ops.lookup import is_occupied_onehot
 
         return is_occupied_onehot
@@ -52,7 +72,7 @@ def raycast_fixed(m: MazeMap, ox, oy, angle, cfg: SensorModelConfig):
     ox, oy, angle: broadcastable arrays. Returns hit distance, same shape.
     """
     angle = _maybe_quantize(angle, cfg)
-    occupied = _occupied_fn(cfg)
+    occupied = _occupied_fn(cfg, m)
     dx = jnp.cos(angle)
     dy = jnp.sin(angle)
 

@@ -144,8 +144,8 @@ def beam_weights(m: MazeMap, particles, scan: Scan, cfg: SensorModelConfig,
     """
     from .raycast import _lookup_mode
 
-    mode = _lookup_mode(cfg)
-    if (mode in ("pallas", "onehot") and cfg.ray_mode == "fixed"
+    mode = _lookup_mode(cfg, m)
+    if (mode == "pallas" and cfg.ray_mode == "fixed"
             and abs(valid_offset - m.resolution) < 1e-9
             and not cfg.quantize_ray_deg and particles.ndim == 2
             and jax.default_backend() == "tpu"):
@@ -162,13 +162,21 @@ def beam_weights(m: MazeMap, particles, scan: Scan, cfg: SensorModelConfig,
     ).astype(jnp.float32)
     per_beam = (p_hit + p_rand) * scan.mask
     prob = jnp.sum(per_beam, axis=-1)
-    from .raycast import _lookup_mode
-    if _lookup_mode(cfg) == "onehot" and abs(valid_offset - m.resolution) < 1e-9:
+    px, py = particles[..., 0], particles[..., 1]
+    if mode == "bits" and abs(valid_offset - m.resolution) < 1e-9:
+        from ..maps.grid import is_inside_map
+        from ..ops.bitlookup import MapBitTables
+
+        _, dil_lookup = MapBitTables.get(m)
+        mx = ((px - m.origin_x) / m.resolution).astype(jnp.int32)
+        my = ((py - m.origin_y) / m.resolution).astype(jnp.int32)
+        valid = is_inside_map(m, px, py) & ~dil_lookup(my, mx)
+    elif mode == "onehot" and abs(valid_offset - m.resolution) < 1e-9:
         from ..ops.lookup import is_valid_pos_onehot
-        valid = is_valid_pos_onehot(m, particles[..., 0], particles[..., 1])
+
+        valid = is_valid_pos_onehot(m, px, py)
     else:
-        valid = is_valid_pos(m, particles[..., 0], particles[..., 1],
-                             valid_offset)
+        valid = is_valid_pos(m, px, py, valid_offset)
     return jnp.where(valid, prob, 0.0)
 
 

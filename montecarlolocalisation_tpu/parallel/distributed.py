@@ -262,7 +262,7 @@ def make_sharded_step(mesh: Mesh, m: MazeMap, cfg: FilterConfig,
         body, mesh=mesh,
         in_specs=(state_spec, P(), P(), P(), P(), P(), map_spec),
         out_specs=(state_spec, out_spec),
-        check_rep=False,
+        check_vma=False,
     )
 
     @jax.jit
@@ -315,7 +315,7 @@ def make_sharded_step_batched(mesh: Mesh, m: MazeMap, cfg: FilterConfig,
         body, mesh=mesh,
         in_specs=(state_spec, ep, ep, P(), ep, P(), map_spec),
         out_specs=(state_spec, out_spec),
-        check_rep=False)
+        check_vma=False)
 
     @jax.jit
     def step(state, enc_l, enc_r, scan: sensor.Scan):

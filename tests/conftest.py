@@ -1,7 +1,9 @@
-"""Test config: force an 8-device virtual CPU platform BEFORE jax import.
+"""Test config: force an 8-device virtual CPU platform BEFORE any jax use.
 
 Multi-chip sharding tests run on a simulated 8-device mesh
 (XLA_FLAGS=--xla_force_host_platform_device_count=8), per SURVEY.md §4.
+NOTE: the env var JAX_PLATFORMS is not honored by all platform plugins
+(the axon TPU plugin overrides it), so we use jax.config.update, which is.
 """
 import os
 
@@ -10,7 +12,10 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import pytest  # noqa: E402
 

@@ -1,0 +1,154 @@
+"""Multi-chip sharding tests on the 8-device virtual CPU mesh.
+
+Validates that the particle-axis-sharded step (psum/all_gather resampling,
+distributed k-means) matches the single-device filter statistically, and
+that the 2D episode x particle mesh compiles and runs.
+"""
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from montecarlolocalisation_tpu.config import FilterConfig, SensorModelConfig
+from montecarlolocalisation_tpu.maps import from_map_file
+from montecarlolocalisation_tpu.models import filter as mcl
+from montecarlolocalisation_tpu.models import sensor
+from montecarlolocalisation_tpu.parallel import distributed as dist
+
+import os.path as osp
+
+MAP_PATH = osp.join(osp.dirname(__file__), "..", "montecarlolocalisation_tpu",
+                    "maps", "default_map.txt")
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 virtual devices")
+
+CFG = FilterConfig(num_particles=1024,
+                   sensor=SensorModelConfig(ray_mode="fixed"))
+ANGLES = np.deg2rad(np.linspace(-118, 118, 8)).astype(np.float32)
+
+
+@pytest.fixture(scope="module")
+def maze():
+    return from_map_file(MAP_PATH)
+
+
+@pytest.fixture(scope="module")
+def scan(maze):
+    return sensor.simulate_scan(
+        maze, jnp.array([1.25, 1.25, 0.0]), ANGLES, CFG.sensor)
+
+
+def test_sharded_step_runs_and_is_finite(maze, scan):
+    mesh = dist.make_mesh(n_particle_shards=8)
+    state = mcl.init_state(jax.random.PRNGKey(0), maze, CFG)
+    state = dist.shard_state(state, mesh)
+    step = dist.make_sharded_step(mesh, maze, CFG)
+    st2, out = step(state, jnp.float32(0.1), jnp.float32(0.12), scan)
+    assert st2.particles.shape == (1024, 3)
+    assert np.isfinite(np.asarray(st2.particles)).all()
+    assert np.isfinite(float(st2.confidence))
+    # Weights sum to 1 after resampling (1/N each).
+    np.testing.assert_allclose(float(jnp.sum(st2.weights)), 1.0, rtol=1e-5)
+
+
+def test_sharded_matches_single_device_statistically(maze, scan):
+    """Same inputs: sharded and local steps must produce statistically
+    equivalent posteriors (RNG streams differ by construction)."""
+    mesh = dist.make_mesh(n_particle_shards=8)
+    state0 = mcl.init_state(jax.random.PRNGKey(0), maze, CFG)
+
+    local_step = jax.jit(functools.partial(mcl.mcl_step, m=maze, cfg=CFG))
+    st_l = state0
+    sharded = dist.shard_state(state0, mesh)
+    step = dist.make_sharded_step(mesh, maze, CFG)
+
+    for i in range(3):
+        enc = jnp.float32(0.05 * i)
+        st_l, _ = local_step(st_l, enc, enc, scan)
+        sharded, _ = step(sharded, enc, enc, scan)
+
+    pl = np.asarray(st_l.particles)
+    ps = np.asarray(sharded.particles)
+    # Posterior mass concentrates in the same region: compare weighted
+    # centroids of the surviving clouds.
+    assert abs(pl[:, 0].mean() - ps[:, 0].mean()) < 0.4
+    assert abs(pl[:, 1].mean() - ps[:, 1].mean()) < 0.4
+    assert abs(float(st_l.confidence) - float(sharded.confidence)) < 0.5
+
+
+def test_sharded_injection_cap_is_global(maze):
+    """Force heavy injection: the global cap (200 lost-regime) must hold
+    across shards."""
+    mesh = dist.make_mesh(n_particle_shards=8)
+    state = mcl.init_state(jax.random.PRNGKey(1), maze, CFG)
+    # Degenerate scan far from anything -> tiny weights after good history.
+    bad_scan = sensor.Scan(
+        angles=jnp.asarray(ANGLES),
+        ranges=jnp.full((len(ANGLES),), 0.123, jnp.float32),
+        mask=jnp.ones((len(ANGLES),), dtype=bool))
+    from montecarlolocalisation_tpu.models import resample as rs
+    state = mcl.MCLState(
+        particles=state.particles, weights=state.weights, odom=state.odom,
+        inj=rs.InjectionState(w_slow=jnp.float32(10.0),
+                              w_fast=jnp.float32(10.0)),
+        confidence=state.confidence, was_lost=jnp.bool_(True),
+        cluster_threshold=state.cluster_threshold,
+        confident_threshold=state.confident_threshold,
+        best_pose=state.best_pose, key=state.key)
+    state = dist.shard_state(state, mesh)
+    step = dist.make_sharded_step(mesh, maze, CFG)
+    _, out = step(state, jnp.float32(0.0), jnp.float32(0.0), bad_scan)
+    n_inj = int(out.n_injected)
+    assert 0 < n_inj <= 200, f"global injection cap violated: {n_inj}"
+
+
+def test_batched_2d_mesh_step(maze):
+    """Episode x particle 2D mesh: the dryrun_multichip configuration."""
+    mesh = dist.make_mesh(n_particle_shards=4, n_episode_shards=2)
+    cfg = FilterConfig(num_particles=256,
+                       sensor=SensorModelConfig(ray_mode="fixed"))
+    n_episodes = 4
+    state = dist.init_batched_state(jax.random.PRNGKey(0), maze, cfg,
+                                    n_episodes)
+    ranges = jnp.full((n_episodes, len(ANGLES)), 0.7, dtype=jnp.float32)
+    ep_sh = NamedSharding(mesh, P("episode"))
+    pp_sh = NamedSharding(mesh, P("episode", "particle"))
+    state = mcl.MCLState(
+        particles=jax.device_put(state.particles, pp_sh),
+        weights=jax.device_put(state.weights, pp_sh),
+        odom=jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, ep_sh), state.odom),
+        inj=jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, ep_sh), state.inj),
+        confidence=jax.device_put(state.confidence, ep_sh),
+        was_lost=jax.device_put(state.was_lost, ep_sh),
+        cluster_threshold=jax.device_put(state.cluster_threshold, ep_sh),
+        confident_threshold=jax.device_put(state.confident_threshold, ep_sh),
+        best_pose=jax.device_put(state.best_pose, ep_sh),
+        key=jax.device_put(state.key, ep_sh))
+    enc = jax.device_put(jnp.full((n_episodes,), 0.3, jnp.float32), ep_sh)
+    sc = sensor.Scan(angles=jnp.asarray(ANGLES),
+                     ranges=jax.device_put(ranges, ep_sh),
+                     mask=jnp.ones((len(ANGLES),), dtype=bool))
+    step = dist.make_sharded_step_batched(mesh, maze, cfg)
+    st2, out = step(state, enc, enc, sc)
+    assert st2.particles.shape == (n_episodes, 256, 3)
+    assert np.isfinite(np.asarray(st2.particles)).all()
+    assert out.exact_pose.shape == (n_episodes, 3)
+
+
+def test_graft_entry_dryrun():
+    """The driver's dryrun_multichip must work on the virtual mesh."""
+    import importlib.util
+    import sys
+
+    spec = importlib.util.spec_from_file_location(
+        "graft_entry", osp.join(osp.dirname(__file__), "..",
+                                "__graft_entry__.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    mod.dryrun_multichip(8)
