@@ -24,12 +24,13 @@ BASELINE_UPDATES_PER_SEC = 1.8e5  # BASELINE.md implied reference ceiling
 
 
 def bench_full_step(num_particles: int, num_beams: int, iters: int,
-                    ray_mode: str = "fixed", pallas: str = "auto") -> dict:
+                    ray_mode: str = "fixed",
+                    resample_method: str = "systematic") -> dict:
     import jax
     import jax.numpy as jnp
 
     from montecarlolocalisation_tpu.config import (
-        FilterConfig, SensorModelConfig,
+        FilterConfig, ResampleConfig, SensorModelConfig,
     )
     from montecarlolocalisation_tpu.maps import from_map_file
     from montecarlolocalisation_tpu.models import filter as mcl
@@ -41,7 +42,8 @@ def bench_full_step(num_particles: int, num_beams: int, iters: int,
     maze = from_map_file(map_path)
     cfg = FilterConfig(
         num_particles=num_particles,
-        sensor=SensorModelConfig(ray_mode=ray_mode))
+        sensor=SensorModelConfig(ray_mode=ray_mode),
+        resample=ResampleConfig(method=resample_method))
     angles = np.deg2rad(
         np.linspace(-118.0, 118.0, num_beams)).astype(np.float32)
     state = mcl.init_state(jax.random.PRNGKey(0), maze, cfg)
@@ -84,11 +86,14 @@ def main() -> None:
     ap.add_argument("--beams", type=int, default=12)
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--ray-mode", default="fixed", choices=["fixed", "dda"])
+    ap.add_argument("--resample", default="systematic",
+                    choices=["systematic", "multinomial"])
     ap.add_argument("--verbose", action="store_true")
     args = ap.parse_args()
 
     r = bench_full_step(args.particles, args.beams, args.iters,
-                        ray_mode=args.ray_mode)
+                        ray_mode=args.ray_mode,
+                        resample_method=args.resample)
     if args.verbose:
         import sys
         print(json.dumps(r, indent=2), file=sys.stderr)

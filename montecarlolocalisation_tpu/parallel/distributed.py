@@ -87,11 +87,13 @@ def resample_sharded(
     if rcfg.method == "multinomial":
         r = jax.random.uniform(k_draw, (n_loc,))
         inject_r = r
-    else:  # systematic: stratified global positions, shard-striped
+        idx = jnp.clip(jnp.searchsorted(cdf, r, side="left"), 0,
+                       n_global - 1)
+    else:  # systematic: stratified global positions, this shard's block
         u_key, _ = jax.random.split(jax.random.fold_in(key, 0))
         u0 = jax.random.uniform(u_key, ())  # same on all shards
-        base = my * n_loc + jnp.arange(n_loc, dtype=jnp.float32)
-        r = (base + u0) / n_global
+        idx_full = resample.systematic_indices(cdf, u0)  # [n_global]
+        idx = jax.lax.dynamic_slice(idx_full, (my * n_loc,), (n_loc,))
         inject_r = jax.random.uniform(k_inj, (n_loc,))
 
     # Global first-come injection cap.
@@ -101,8 +103,6 @@ def resample_sharded(
     prefix = jnp.sum(jnp.where(jnp.arange(n_shards) < my, counts, 0))
     inject = bern & ((prefix + jnp.cumsum(bern)) <= p["max_injection"])
     n_injected = jax.lax.psum(jnp.sum(inject), axis_name)
-
-    idx = jnp.clip(jnp.searchsorted(cdf, r, side="left"), 0, n_global - 1)
     drawn = all_parts[idx]
     jx = jax.random.uniform(k_jx, (n_loc,), minval=-1.0, maxval=1.0) * p["jitter_xy"]
     jy = jax.random.uniform(k_jy, (n_loc,), minval=-1.0, maxval=1.0) * p["jitter_xy"]
