@@ -1,4 +1,5 @@
 """Model components: ray casting, sensor likelihood, motion, filter."""
-from . import raycast, sensor, motion, resample, cluster, filter
+from . import raycast, sensor, motion, resample, cluster, filter, diagnostics
 
-__all__ = ["raycast", "sensor", "motion", "resample", "cluster", "filter"]
+__all__ = ["raycast", "sensor", "motion", "resample", "cluster", "filter",
+           "diagnostics"]

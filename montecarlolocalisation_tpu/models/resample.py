@@ -84,7 +84,7 @@ def systematic_indices(cdf, u0):
     scatter_pos = jnp.where(has_offspring, starts, n)  # n -> dropped
     out = jnp.zeros((n,), jnp.int32).at[scatter_pos].max(
         ids, mode="drop")
-    return jax.lax.associative_scan(jnp.maximum, out)
+    return jax.lax.cummax(out)
 
 
 def _regime(jitter_state, cfg: ResampleConfig):

@@ -87,6 +87,8 @@ def generate_wander_episode(
     obstacle_stop: float = 0.4,
     turn_ticks: int = 10,
     scan_noise: float = 0.02,
+    kidnap_tick=None,
+    kidnap_pose=(0.45, 0.45, 0.0),
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Scripted wall-avoiding wander -> (encoders [T,2], scans [T,B], poses [T,3]).
 
@@ -100,8 +102,21 @@ def generate_wander_episode(
     mcfg = cfg.motion
     turn_arc = (jnp.pi / 2) * mcfg.wheel_space / (2.0 * turn_ticks)
 
-    def body(carry, tick_key):
+    def body(carry, xs):
         robot, turning = carry
+        tick, tick_key = xs
+        if kidnap_tick is not None:
+            # Kidnapped-robot event: teleport the TRUE pose while encoders
+            # keep integrating smoothly — the fault the adaptive-injection
+            # machinery exists to recover from (SURVEY.md §5).
+            kp = jnp.asarray(kidnap_pose, jnp.float32)
+            hit = tick == kidnap_tick
+            robot = RobotState(
+                x=jnp.where(hit, kp[0], robot.x),
+                y=jnp.where(hit, kp[1], robot.y),
+                theta=jnp.where(hit, kp[2], robot.theta),
+                encoder_left=robot.encoder_left,
+                encoder_right=robot.encoder_right)
         ahead = raycast(m, robot.x, robot.y, robot.theta, cfg.sensor)
         start_turn = (ahead < obstacle_stop) & (turning == 0)
         turning = jnp.where(start_turn, turn_ticks, turning)
@@ -118,6 +133,7 @@ def generate_wander_episode(
 
     robot0 = make_robot(*start_pose)
     keys = jax.random.split(key, num_ticks)
+    ticks = jnp.arange(num_ticks, dtype=jnp.int32)
     (_, _), (encoders, ranges, poses) = jax.lax.scan(
-        body, (robot0, jnp.int32(0)), keys)
+        body, (robot0, jnp.int32(0)), (ticks, keys))
     return encoders, ranges, poses

@@ -1,3 +1,3 @@
-from . import angles
+from . import angles, songs, profiling
 
-__all__ = ["angles"]
+__all__ = ["angles", "songs", "profiling"]
