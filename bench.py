@@ -20,7 +20,11 @@ import time
 
 import numpy as np
 
-BASELINE_UPDATES_PER_SEC = 1.8e5  # BASELINE.md implied reference ceiling
+# Reference implied ceiling: 1500 particles x ~34 beams x 10 Hz on a Pi 4.
+# (682 beams survive the (-120,120) crop of the 0.352deg LIDAR; every 20th
+# -> 34-35 used per update, monte_carlo.cpp:635-650; BASELINE.md's "~12" is
+# a miscount.)  We report against the same per-beam workload.
+BASELINE_UPDATES_PER_SEC = 1500 * 34 * 10.0
 
 
 def bench_full_step(num_particles: int, num_beams: int, iters: int,
@@ -83,7 +87,7 @@ def bench_full_step(num_particles: int, num_beams: int, iters: int,
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--particles", type=int, default=1_000_000)
-    ap.add_argument("--beams", type=int, default=12)
+    ap.add_argument("--beams", type=int, default=34)
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--ray-mode", default="fixed", choices=["fixed", "dda"])
     ap.add_argument("--resample", default="systematic",

@@ -1,0 +1,69 @@
+"""CLI runner: `python -m montecarlolocalisation_tpu <preset>`.
+
+The orchestration surface replacing the reference's roslaunch files:
+localisation | planning | challenge | sweep.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+
+import numpy as np
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(prog="montecarlolocalisation_tpu")
+    ap.add_argument("preset", choices=["localisation", "planning",
+                                       "challenge", "sweep"])
+    ap.add_argument("--particles", type=int, default=1500)
+    ap.add_argument("--beams", type=int, default=24)
+    ap.add_argument("--ticks", type=int, default=None)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--batch", type=int, default=64)
+    args = ap.parse_args()
+
+    from . import presets
+
+    world = presets.make_world(num_particles=args.particles,
+                               num_beams=args.beams)
+
+    if args.preset == "localisation":
+        final, outs, truth = presets.run_localisation(
+            world, seed=args.seed, num_ticks=args.ticks or 200)
+        best = np.asarray(final.best_pose)
+        tp = np.asarray(truth)[-1]
+        err = float(np.hypot(best[0] - tp[0], best[1] - tp[1])) \
+            if best[0] >= 0 else float("nan")
+        print(json.dumps(dict(
+            preset="localisation",
+            confidence=float(final.confidence),
+            best_pose=[round(float(v), 4) for v in best],
+            true_pose=[round(float(v), 4) for v in tp],
+            position_error_m=round(err, 4),
+            songs=[int(s) for s in np.asarray(outs.song) if s != 0][:8])))
+    elif args.preset == "planning":
+        path, final, outs = presets.run_planning(
+            world, seed=args.seed, num_ticks=args.ticks or 800)
+        print(json.dumps(dict(
+            preset="planning", plan=[list(c) for c in path],
+            waypoints_reached=int(final.wp_idx),
+            waypoints_total=len(path),
+            final_confidence=float(final.filt.confidence))))
+    elif args.preset == "challenge":
+        plan, final, outs = presets.run_challenge(
+            world, seed=args.seed, num_ticks=args.ticks or 2000)
+        print(json.dumps(dict(
+            preset="challenge",
+            tsp_gold_cost=plan.gold_cost,
+            legs=[list(leg.goal) for leg in plan.legs],
+            waypoints_reached=int(final.wp_idx))))
+    elif args.preset == "sweep":
+        metrics = presets.run_sweep(world, batch=args.batch,
+                                    num_ticks=args.ticks or 150,
+                                    seed=args.seed)
+        print(json.dumps({k: round(float(v), 4)
+                          for k, v in metrics.items()}))
+
+
+if __name__ == "__main__":
+    main()

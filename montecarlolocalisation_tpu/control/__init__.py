@@ -1,4 +1,4 @@
 """Closed-loop motion control: PID, APF variants, wanderer, alignment."""
-from . import controllers
+from . import controllers, align, timed
 
-__all__ = ["controllers"]
+__all__ = ["controllers", "align", "timed"]

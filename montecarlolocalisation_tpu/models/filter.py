@@ -193,17 +193,27 @@ def run_episode(
     cfg: FilterConfig,
     scan_mask=None,      # [T, B] optional
 ) -> Tuple[MCLState, MCLOutput]:
-    """lax.scan the filter over a recorded episode (latest-wins tick log)."""
+    """lax.scan the filter over a recorded episode (latest-wins tick log).
+
+    scan_angles may be [B] (static beam table) or [T, B] (per-tick tables
+    from raw-log replay, io/replay.preprocess_episode).
+    """
     angles = jnp.asarray(scan_angles, jnp.float32)
     if scan_mask is None:
         scan_mask = jnp.ones(scan_ranges.shape, dtype=bool)
+    per_tick_angles = angles.ndim == 2
 
     def body(st, xs):
-        enc, ranges, mask = xs
-        sc = sensor.Scan(angles=angles, ranges=ranges, mask=mask)
+        if per_tick_angles:
+            enc, ang, ranges, mask = xs
+        else:
+            enc, ranges, mask = xs
+            ang = angles
+        sc = sensor.Scan(angles=ang, ranges=ranges, mask=mask)
         return mcl_step(st, enc[0], enc[1], sc, m, cfg)
 
-    return jax.lax.scan(
-        body, state,
-        (jnp.asarray(encoders, jnp.float32),
-         jnp.asarray(scan_ranges, jnp.float32), scan_mask))
+    xs = (jnp.asarray(encoders, jnp.float32),
+          jnp.asarray(scan_ranges, jnp.float32), scan_mask)
+    if per_tick_angles:
+        xs = (xs[0], angles, xs[1], xs[2])
+    return jax.lax.scan(body, state, xs)

@@ -142,16 +142,23 @@ def beam_weights(m: MazeMap, particles, scan: Scan, cfg: SensorModelConfig,
     whole computation runs as one fused Pallas kernel (ops/weights_pallas);
     otherwise XLA gather (CPU) or MXU one-hot lookups.
     """
-    from .raycast import _lookup_mode
+    from ..ops.bitlookup import is_concrete_map
 
-    mode = _lookup_mode(cfg, m)
-    if (mode == "pallas" and cfg.ray_mode == "fixed"
-            and abs(valid_offset - m.resolution) < 1e-9
-            and not cfg.quantize_ray_deg and particles.ndim == 2
-            and jax.default_backend() == "tpu"):
-        from ..ops.weights_pallas import beam_weights_pallas
+    mode = cfg.lookup_mode
+    if mode == "auto":
+        mode = "pallas" if jax.default_backend() == "tpu" else "gather"
+    if mode == "pallas":
+        if (cfg.ray_mode == "fixed"
+                and abs(valid_offset - m.resolution) < 1e-9
+                and not cfg.quantize_ray_deg and particles.ndim == 2
+                and jax.default_backend() == "tpu"
+                and is_concrete_map(m)):
+            from ..ops.weights_pallas import beam_weights_pallas
 
-        return beam_weights_pallas(m, particles, scan, cfg)
+            return beam_weights_pallas(m, particles, scan, cfg)
+        mode = "bits"
+    if mode == "bits" and not is_concrete_map(m):
+        mode = "onehot"
 
     expected = expected_ranges(m, particles, scan.angles, cfg)  # [N, B]
     observed = scan.ranges  # [B]

@@ -1,20 +1,18 @@
-"""Fused Pallas TPU kernel: ray-march beam likelihood for the whole tile.
+"""Fused Pallas TPU kernel: ray-march beam likelihood, gather-free.
 
-This is the hot op of the framework (SURVEY.md §7 stage 7): per particle x
-beam, march the ray in fixed 0.1 m steps against the occupancy raster and
-accumulate the reference likelihood (monte_carlo.cpp:623-682), all in one
-kernel.
+The hot op of the framework (SURVEY.md §7 stage 7): per particle x beam,
+march the ray in fixed 0.1 m steps against the occupancy raster and
+accumulate the reference likelihood (monte_carlo.cpp:623-682) — one kernel,
+one HBM read of the particle tile, one HBM write of the weight tile.
 
-Why a kernel: the pure-XLA one-hot-matmul formulation materializes
-[N*B, 49]-sized one-hots in HBM every march step (~100 GB of traffic per
-1M-particle step measured).  Here each particle tile stays resident in VMEM:
-one-hots are built in registers/VMEM, contracted on the MXU against the
-VMEM-resident padded raster, and only the weight tile is written back.  Map
-lookups use the one-hot trick because TPU has no per-lane gather.
+TPU has no per-lane gather, so map lookups use the same bit-packed
+select-chain trick as ops/bitlookup (raster rows baked into the program as
+scalar constants), which is pure element-wise VPU work and needs no MXU or
+scratch: every tile stays entirely in registers/VMEM.
 
-Semantics match models/sensor.beam_weights with ray_mode="fixed" exactly
-(same trunc-toward-zero worldToMap, same masked-min first-hit, same
-truncated-Gaussian + random-hit mixture, same dilated-raster validity).
+Matches models/sensor.beam_weights (ray_mode="fixed") exactly: trunc
+worldToMap, masked-min first hit, truncated-Gaussian + random-hit mixture,
+dilated-raster validity, world-extent bounds.
 """
 from __future__ import annotations
 
@@ -29,43 +27,22 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..config import SensorModelConfig
 from ..maps.grid import MazeMap
+from .bitlookup import MapBitTables, is_concrete_map, make_bit_lookup
 
-# Tile of particles per grid step; laid out as (4, 128) f32 rows.
-TILE = 512
-
-
-def _round_up(v: int, m: int) -> int:
-    return ((v + m - 1) // m) * m
-
-
-def pad_map_table(table: np.ndarray) -> np.ndarray:
-    """Pad a [H, W] 0/1 table to MXU-friendly (mult-16, mult-128) f32."""
-    h, w = table.shape
-    t = np.zeros((_round_up(h, 16), _round_up(w, 128)), dtype=np.float32)
-    t[:h, :w] = np.asarray(table, dtype=np.float32)
-    return t
+# Particles per grid tile: (8, 128) f32 rows.
+TILE_SUB = 8
+TILE_LANE = 128
+TILE = TILE_SUB * TILE_LANE  # 1024
 
 
 def _weights_kernel(x_ref, y_ref, th_ref, ang_ref, obs_ref, msk_ref,
-                    occ_ref, dil_ref, out_ref, *, cfg: SensorModelConfig,
-                    num_beams: int, geom: tuple, h_pad: int, w_pad: int):
+                    out_ref, *, cfg: SensorModelConfig, num_beams: int,
+                    geom: tuple, occ_lookup, dil_lookup):
     (res, origin_x, origin_y, extent_x, extent_y) = geom
-    x = x_ref[0, :]          # [TILE]
-    y = y_ref[0, :]
-    th = th_ref[0, :]
+    x = x_ref[0]            # [8, 128]
+    y = y_ref[0]
+    th = th_ref[0]
     inv_res = 1.0 / res
-
-    rows_i = jax.lax.broadcasted_iota(jnp.int32, (TILE, h_pad), 1)
-    cols_i = jax.lax.broadcasted_iota(jnp.int32, (TILE, w_pad), 1)
-
-    def lookup(table_ref, my, mx):
-        """table[my, mx] via two-stage one-hot contraction; False outside
-        (out-of-range indices make all-zero one-hots)."""
-        rowoh = (my[:, None] == rows_i).astype(jnp.bfloat16)
-        coloh = (mx[:, None] == cols_i).astype(jnp.float32)
-        rows = jnp.dot(rowoh, table_ref[:].astype(jnp.bfloat16),
-                       preferred_element_type=jnp.float32)  # [TILE, w_pad]
-        return jnp.sum(rows * coloh, axis=-1) > 0.5
 
     def to_px(wx, wy):
         # C++ static_cast<int> truncation (worldToMap, monte_carlo.cpp:305).
@@ -73,14 +50,12 @@ def _weights_kernel(x_ref, y_ref, th_ref, ang_ref, obs_ref, msk_ref,
         my = ((wy - origin_y) * inv_res).astype(jnp.int32)
         return mx, my
 
-    # Ray origin: laser_offset ahead of the pose (monte_carlo.cpp:643-645).
     ox = x + cfg.laser_offset * jnp.cos(th)
     oy = y + cfg.laser_offset * jnp.sin(th)
     sign = -1.0 if cfg.negate_beam_angle else 1.0
-
     sigma = cfg.sigma
     denom = 1.0 / (sigma * math.sqrt(2.0 * math.pi))
-    prob = jnp.zeros((TILE,), jnp.float32)
+    prob = jnp.zeros_like(x)
 
     for b in range(num_beams):
         beam_angle = ang_ref[b]
@@ -89,11 +64,11 @@ def _weights_kernel(x_ref, y_ref, th_ref, ang_ref, obs_ref, msk_ref,
         ray = th + sign * beam_angle
         dx = jnp.cos(ray)
         dy = jnp.sin(ray)
-        dist = jnp.full((TILE,), cfg.max_range, jnp.float32)
+        dist = jnp.full_like(x, cfg.max_range)
         for s in range(cfg.num_ray_steps):
             r = cfg.ray_step * s
             mx, my = to_px(ox + r * dx, oy + r * dy)
-            hit = lookup(occ_ref, my, mx)
+            hit = occ_lookup(my, mx)
             dist = jnp.minimum(dist, jnp.where(hit, r, cfg.max_range))
         diff = jnp.abs(obs - dist)
         gauss = jnp.where(
@@ -103,44 +78,39 @@ def _weights_kernel(x_ref, y_ref, th_ref, ang_ref, obs_ref, msk_ref,
                            1.0, 0.0)
         prob = prob + bmask * (cfg.w_hit * gauss + cfg.w_rand * p_rand)
 
-    # Validity: dilated-raster lookup + world-extent bounds (isValidPos).
     pmx, pmy = to_px(x, y)
-    invalid = lookup(dil_ref, pmy, pmx)
+    invalid = dil_lookup(pmy, pmx)
     inside = ((x >= origin_x) & (x < extent_x)
               & (y >= origin_y) & (y < extent_y))
-    out_ref[0, :] = jnp.where(inside & ~invalid, prob, 0.0)
+    out_ref[0] = jnp.where(inside & ~invalid, prob, 0.0)
 
 
-@functools.partial(
-    jax.jit, static_argnames=("cfg", "geom", "num_beams", "interpret"))
-def _beam_weights_call(x, y, th, angles, ranges, mask, occ_pad, dil_pad,
-                       geom, num_beams: int, cfg: SensorModelConfig,
+def _beam_weights_call(x, y, th, angles, ranges, mask, geom, num_beams,
+                       cfg: SensorModelConfig, occ_lookup, dil_lookup,
                        interpret: bool):
     grid = x.shape[0] // TILE
-    h_pad, w_pad = occ_pad.shape
-    x = x.reshape(grid, TILE)
-    y = y.reshape(grid, TILE)
-    th = th.reshape(grid, TILE)
+    shp = (grid, TILE_SUB, TILE_LANE)
+    x = x.reshape(shp)
+    y = y.reshape(shp)
+    th = th.reshape(shp)
     kernel = functools.partial(
         _weights_kernel, cfg=cfg, num_beams=num_beams, geom=geom,
-        h_pad=h_pad, w_pad=w_pad)
-    row_spec = pl.BlockSpec((1, TILE), lambda i: (i, 0),
+        occ_lookup=occ_lookup, dil_lookup=dil_lookup)
+    row_spec = pl.BlockSpec((1, TILE_SUB, TILE_LANE), lambda i: (i, 0, 0),
                             memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((grid, TILE), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct(shp, jnp.float32),
         grid=(grid,),
         in_specs=[
             row_spec, row_spec, row_spec,
             pl.BlockSpec(memory_space=pltpu.SMEM),   # angles [B]
             pl.BlockSpec(memory_space=pltpu.SMEM),   # ranges [B]
             pl.BlockSpec(memory_space=pltpu.SMEM),   # mask [B]
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # occ padded
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # dil padded
         ],
         out_specs=row_spec,
         interpret=interpret,
-    )(x, y, th, angles, ranges, mask, occ_pad, dil_pad)
+    )(x, y, th, angles, ranges, mask)
     return out.reshape(grid * TILE)
 
 
@@ -148,8 +118,12 @@ def beam_weights_pallas(m: MazeMap, particles, scan, cfg: SensorModelConfig,
                         interpret: bool = False):
     """Drop-in for sensor.beam_weights (fixed ray mode, offset==resolution).
 
-    Pads the particle count up to a TILE multiple internally.
+    Requires a concrete (non-traced) map; pads N to a TILE multiple.
     """
+    if not is_concrete_map(m):
+        raise ValueError("beam_weights_pallas needs a concrete map "
+                         "(bit tables are baked at trace time)")
+    occ_lookup, dil_lookup = MapBitTables.get(m)
     n = particles.shape[0]
     pad = (-n) % TILE
     x = jnp.pad(particles[:, 0], (0, pad))
@@ -160,7 +134,6 @@ def beam_weights_pallas(m: MazeMap, particles, scan, cfg: SensorModelConfig,
     w = _beam_weights_call(
         x, y, th, jnp.asarray(scan.angles, jnp.float32),
         jnp.asarray(scan.ranges, jnp.float32),
-        jnp.asarray(scan.mask, jnp.float32),
-        m.occ_pad, m.dil_pad, geom, int(scan.angles.shape[0]), cfg,
-        interpret)
+        jnp.asarray(scan.mask, jnp.float32), geom,
+        int(scan.angles.shape[0]), cfg, occ_lookup, dil_lookup, interpret)
     return w[:n]

@@ -1,0 +1,118 @@
+"""Pipeline presets — the TPU-native equivalent of the reference launch files.
+
+Each reference .launch file starts a subset of ROS nodes with the /use_PID
+parameter (launch/*.launch, SURVEY.md §2.3).  Here a preset names a fully
+configured, jit-compiled pipeline over the same components:
+
+  * "localisation"  — wanderer exploration + MCL on simulated sensors
+                      (launch/localisation.launch: PID + wanderer +
+                      execute_plan + map + monte_carlo_matrix)
+  * "planning"      — MCL + BFS planner + waypoint executor closed-loop
+                      (launch/planning.launch)
+  * "moving"        — controllers only (launch/moving.launch: PID/wanderer)
+  * "challenge"     — gold/pickup TSP mission executed closed-loop
+  * "sweep"         — vmap'd multi-episode datagen (new capability)
+"""
+from __future__ import annotations
+
+import dataclasses
+import os.path as osp
+from typing import Optional, Tuple
+
+import jax
+import numpy as np
+
+from .config import FilterConfig, SensorModelConfig
+from .maps import from_map_file
+from .maps import maze as maze_mod
+
+_PKG = osp.dirname(osp.abspath(__file__))
+DEFAULT_MAP = osp.join(_PKG, "maps", "default_map.txt")
+DEFAULT_GOLD = osp.join(_PKG, "maps", "default_gold.txt")
+DEFAULT_PICKUP = osp.join(_PKG, "maps", "default_pickup.txt")
+
+
+@dataclasses.dataclass
+class World:
+    maze: object
+    walls: np.ndarray
+    cfg: FilterConfig
+    angles: np.ndarray
+
+
+def make_world(map_path: str = DEFAULT_MAP, num_particles: int = 1500,
+               num_beams: int = 24, ray_mode: str = "fixed") -> World:
+    maze = from_map_file(map_path)
+    walls = maze_mod.walls_to_tensor(maze_mod.load_map_file(map_path))
+    cfg = FilterConfig(num_particles=num_particles,
+                       sensor=SensorModelConfig(ray_mode=ray_mode))
+    angles = np.deg2rad(
+        np.linspace(-118.0, 118.0, num_beams)).astype(np.float32)
+    return World(maze=maze, walls=walls, cfg=cfg, angles=angles)
+
+
+def run_localisation(world: World, seed: int = 0, num_ticks: int = 200,
+                     start=(2.05, 2.05, 0.0)):
+    """Wander + globally localize; returns (final_state, outputs, truth)."""
+    from .models import filter as mcl
+    from .sim import robot
+
+    k1, k2 = jax.random.split(jax.random.PRNGKey(seed))
+    enc, scans, truth = robot.generate_wander_episode(
+        k1, world.maze, world.cfg, world.angles, num_ticks, start_pose=start)
+    state = mcl.init_state(k2, world.maze, world.cfg)
+    final, outs = jax.jit(
+        lambda s: mcl.run_episode(s, enc, scans, world.angles, world.maze,
+                                  world.cfg))(state)
+    return final, outs, truth
+
+
+def run_planning(world: World, start_cell=(2, 2), goal_cell=(4, 4),
+                 seed: int = 0, num_ticks: int = 800):
+    """BFS plan + closed-loop waypoint following under MCL."""
+    from .planning import bfs
+    from .sim import closed_loop
+
+    path = bfs.bfs_path(world.walls, start_cell, goal_cell)
+    wps = closed_loop.mission_waypoints(path)
+    sx, sy = wps[0]
+    final, outs = jax.jit(lambda k: closed_loop.run_closed_loop(
+        k, world.maze, world.cfg, wps, num_ticks, world.angles,
+        start_pose=(float(sx), float(sy), 0.0)))(jax.random.PRNGKey(seed))
+    return path, final, outs
+
+
+def run_challenge(world: World, start_cell=(5, 0),
+                  gold_path: str = DEFAULT_GOLD,
+                  pickup_path: str = DEFAULT_PICKUP,
+                  seed: int = 0, num_ticks: int = 2000):
+    """Gold/pickup TSP mission closed-loop (executeChallenge.cpp)."""
+    from .planning import mission
+    from .sim import closed_loop
+
+    gold = mission.load_waypoints(gold_path)
+    pickup = mission.load_waypoints(pickup_path)
+    plan = mission.plan_mission(world.walls, start_cell, gold, pickup)
+    cells = [plan.legs[0].path[0]]
+    for leg in plan.legs:
+        cells.extend(leg.path[1:])
+    wps = closed_loop.mission_waypoints(cells)
+    sx, sy = wps[0]
+    final, outs = jax.jit(lambda k: closed_loop.run_closed_loop(
+        k, world.maze, world.cfg, wps, num_ticks, world.angles,
+        start_pose=(float(sx), float(sy), 0.0)))(jax.random.PRNGKey(seed))
+    return plan, final, outs
+
+
+def run_sweep(world: World, batch: int = 64, num_ticks: int = 150,
+              seed: int = 0, mesh=None):
+    """vmap'd multi-episode localization sweep; returns metrics dict."""
+    from .parallel import episodes
+
+    k1, k2 = jax.random.split(jax.random.PRNGKey(seed))
+    enc, scans, truth = episodes.simulate_episode_batch(
+        k1, world.maze, world.cfg, world.angles, num_ticks, batch,
+        start_pose=(2.05, 2.05, 0.0))
+    final, outs = episodes.run_episode_batch(
+        k2, world.maze, world.cfg, enc, scans, world.angles, mesh=mesh)
+    return episodes.sweep_rmse(final, outs, truth)

@@ -1,3 +1,3 @@
-from . import angles, songs, profiling
+from . import angles, songs, profiling, viz
 
-__all__ = ["angles", "songs", "profiling"]
+__all__ = ["angles", "songs", "profiling", "viz"]

@@ -1,0 +1,36 @@
+"""Preset pipeline smoke tests (the launch-file equivalents)."""
+import numpy as np
+import pytest
+
+from montecarlolocalisation_tpu import presets
+
+
+@pytest.fixture(scope="module")
+def world():
+    return presets.make_world(num_particles=300, num_beams=16)
+
+
+def test_localisation_preset(world):
+    final, outs, truth = presets.run_localisation(world, num_ticks=60)
+    assert np.isfinite(float(final.confidence))
+    assert np.asarray(outs.song).shape == (60,)
+
+
+def test_planning_preset(world):
+    path, final, outs = presets.run_planning(
+        world, start_cell=(2, 2), goal_cell=(2, 4), num_ticks=40)
+    assert path[0] == (2, 2) and path[-1] == (2, 4)
+    assert int(final.wp_idx) >= 0
+    assert np.isfinite(np.asarray(outs.true_pose)).all()
+
+
+def test_challenge_preset(world):
+    plan, final, outs = presets.run_challenge(world, num_ticks=30)
+    assert len(plan.legs) == 4
+    assert plan.gold_cost > 0
+
+
+def test_sweep_preset(world):
+    metrics = presets.run_sweep(world, batch=4, num_ticks=30)
+    assert set(metrics) == {"converged_frac", "rmse_xy", "rmse_theta"}
+    assert 0.0 <= float(metrics["converged_frac"]) <= 1.0
