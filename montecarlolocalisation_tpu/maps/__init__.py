@@ -1,5 +1,6 @@
-"""Map pipeline: map.txt parsing, occupancy rasterization, transforms."""
-from . import maze, raster, grid
+"""Map pipeline: map.txt parsing, rasterization, transforms, generation."""
+from . import maze, raster, grid, generator
 from .grid import MazeMap, from_walls, from_map_file
 
-__all__ = ["maze", "raster", "grid", "MazeMap", "from_walls", "from_map_file"]
+__all__ = ["maze", "raster", "grid", "generator", "MazeMap", "from_walls",
+           "from_map_file"]

@@ -55,9 +55,11 @@ def _weights_kernel(x_ref, y_ref, th_ref, ang_ref, obs_ref, msk_ref,
     sign = -1.0 if cfg.negate_beam_angle else 1.0
     sigma = cfg.sigma
     denom = 1.0 / (sigma * math.sqrt(2.0 * math.pi))
-    prob = jnp.zeros_like(x)
 
-    for b in range(num_beams):
+    # Beam loop as fori_loop with dynamic SMEM reads: unrolling B beams
+    # multiplies the (already ~1k-op) select-chain body and blows up Mosaic
+    # compile time (observed 20+ min at B=34).  March steps stay unrolled.
+    def beam_body(b, prob):
         beam_angle = ang_ref[b]
         obs = obs_ref[b]
         bmask = msk_ref[b]
@@ -76,7 +78,9 @@ def _weights_kernel(x_ref, y_ref, th_ref, ang_ref, obs_ref, msk_ref,
             jnp.exp(-(diff * diff) / (2.0 * sigma * sigma)) * denom, 0.0)
         p_rand = jnp.where(jnp.abs(obs - cfg.max_range) < cfg.rand_window,
                            1.0, 0.0)
-        prob = prob + bmask * (cfg.w_hit * gauss + cfg.w_rand * p_rand)
+        return prob + bmask * (cfg.w_hit * gauss + cfg.w_rand * p_rand)
+
+    prob = jax.lax.fori_loop(0, num_beams, beam_body, jnp.zeros_like(x))
 
     pmx, pmy = to_px(x, y)
     invalid = dil_lookup(pmy, pmx)

@@ -61,6 +61,37 @@ def run_episode_batch(
     return fn(keys, encoders, scan_ranges)
 
 
+def run_multimap_sweep(
+    key, maps: MazeMap, cfg: FilterConfig, scan_angles, num_ticks: int,
+    episodes_per_map: int = 1, start_pose=(1.25, 1.25, 0.0),
+) -> Tuple[mcl.MCLState, mcl.MCLOutput, jax.Array]:
+    """Randomized-maps sweep (BASELINE config 4): vmap over maps x episodes.
+
+    `maps` is a stacked MazeMap (maps.generator.generate_map_batch); the
+    map arrays are traced under vmap, so lookups take the one-hot MXU path
+    automatically.  Returns (final_states, outputs, true_poses) with leading
+    [n_maps * episodes_per_map] axes.
+    """
+    from ..sim import robot
+
+    n_maps = maps.occ.shape[0]
+    total = n_maps * episodes_per_map
+    keys = jax.random.split(key, 2 * total).reshape(total, 2, -1)
+    angles = jnp.asarray(scan_angles, jnp.float32)
+
+    def one(m_arrays, ks):
+        enc, ranges, poses = robot.generate_wander_episode(
+            ks[0], m_arrays, cfg, angles, num_ticks, start_pose=start_pose)
+        st = mcl.init_state(ks[1], m_arrays, cfg)
+        final, outs = mcl.run_episode(st, enc, ranges, angles, m_arrays, cfg)
+        return final, outs, poses
+
+    # Repeat each map episodes_per_map times along the batch axis.
+    rep = lambda x: jnp.repeat(x, episodes_per_map, axis=0)
+    maps_b = jax.tree_util.tree_map(rep, maps)
+    return jax.jit(jax.vmap(one))(maps_b, keys)
+
+
 def sweep_rmse(final_states: mcl.MCLState, outs: mcl.MCLOutput,
                true_poses) -> dict:
     """Batch convergence metrics for a sweep (pose RMSE on final tick)."""
