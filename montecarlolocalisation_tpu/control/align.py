@@ -163,7 +163,11 @@ def is_corner(l1: Line, l2: Line, threshold: float = 0.5,
     def near(a, b):
         return float(np.hypot(a[0] - b[0], a[1] - b[1])) <= threshold
 
-    ang = line_angle_deg(l1, l2)
+    # |angle|: getLineAngleDeg's plain atan gives -90 for perpendicular
+    # lines when the normal dot-product is negative, which would make the
+    # reference's `abs(angle - 90) <= 10` check fail on a sign coin-flip
+    # (align_server.cpp:662); we use the intended magnitude.
+    ang = abs(line_angle_deg(l1, l2))
     return ((near(l1.first_inlier, p) or near(l1.last_inlier, p))
             and (near(l2.first_inlier, p) or near(l2.last_inlier, p))
             and abs(ang - 90.0) <= angle_tol)

@@ -1,0 +1,106 @@
+"""RANSAC wall-alignment tests with simulated corner scans."""
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from montecarlolocalisation_tpu.config import AlignConfig
+from montecarlolocalisation_tpu.control import align
+
+
+def corner_scan(n=360, wall_x=0.5, wall_y=-0.4, noise=0.003, seed=0):
+    """Synthetic scan of two perpendicular walls: x = wall_x (ahead) and
+    y = wall_y (right side), in the robot frame."""
+    rng = np.random.default_rng(seed)
+    angles = np.linspace(-np.pi, np.pi, n, endpoint=False)
+    ranges = np.full(n, np.inf)
+    for i, a in enumerate(angles):
+        c, s = math.cos(a), math.sin(a)
+        cands = []
+        if c > 1e-6:
+            t = wall_x / c
+            if t > 0:
+                cands.append(t)
+        if s < -1e-6:
+            t = wall_y / s
+            if t > 0:
+                cands.append(t)
+        if cands:
+            ranges[i] = min(cands)
+    valid = np.isfinite(ranges) & (ranges < 3.0)
+    ranges = ranges + rng.normal(0, noise, n)
+    return (jnp.asarray(ranges[valid], jnp.float32),
+            jnp.asarray(angles[valid], jnp.float32))
+
+
+def test_ransac_finds_two_perpendicular_walls():
+    r, a = corner_scan()
+    px, py, mask = align.polar_to_cartesian(r, a)
+    lines = align.ransac_extract(jax.random.PRNGKey(0), px, py,
+                                 np.asarray(mask))
+    assert len(lines) == 2
+    # getLineAngleDeg uses plain atan: near-perpendicular lines give +-90
+    # (sign from the denominator) — preserved reference behavior.
+    ang = align.line_angle_deg(lines[0], lines[1])
+    assert abs(abs(ang) - 90.0) < 4.0
+    d = sorted([align.distance_to_line(l) for l in lines])
+    assert d[0] == pytest.approx(0.4, abs=0.02)
+    assert d[1] == pytest.approx(0.5, abs=0.02)
+
+
+def test_wall_side_classification():
+    r, a = corner_scan()
+    px, py, mask = align.polar_to_cartesian(r, a)
+    lines = align.ransac_extract(jax.random.PRNGKey(0), px, py,
+                                 np.asarray(mask))
+    sides = {align.classify_wall_side(l) for l in lines}
+    # One wall ahead-ish (x=0.5: foot at y~0 -> FRONT or near), one right.
+    assert align.WALL_RIGHT_SIDE in sides
+
+
+def test_corner_detection():
+    r, a = corner_scan()
+    px, py, mask = align.polar_to_cartesian(r, a)
+    lines = align.ransac_extract(jax.random.PRNGKey(0), px, py,
+                                 np.asarray(mask))
+    p = align.intersect_lines(lines[0], lines[1])
+    assert p is not None
+    # True corner at (0.5, -0.4).
+    assert p[0] == pytest.approx(0.5, abs=0.03)
+    assert p[1] == pytest.approx(-0.4, abs=0.03)
+    assert align.is_corner(lines[0], lines[1])
+
+
+def test_align_plan_standoff():
+    r, a = corner_scan()
+    px, py, mask = align.polar_to_cartesian(r, a)
+    lines = align.ransac_extract(jax.random.PRNGKey(0), px, py,
+                                 np.asarray(mask))
+    plan = align.align_plan(lines[0], lines[1])
+    kinds = [act.kind for act in plan]
+    # rotate? drive rotate drive (faceWall may skip when already aligned).
+    assert kinds[-3:] == ["drive", "rotate", "drive"]
+    rot = [act for act in plan if act.kind == "rotate"]
+    assert abs(rot[-1].value) == pytest.approx(90.0)
+    # driveFromWall distance bookkeeping: d - 0.40 + 0.1 / + 0.08.
+    drives = [act for act in plan if act.kind == "drive"]
+    d0 = align.distance_to_line(lines[0])
+    assert drives[0].value == pytest.approx(d0 - 0.40 + 0.1, abs=0.02)
+    # Closer than 0.40 m -> reverse speed -5 (align_server.cpp:716-722).
+    if d0 * 100 < 40:
+        assert drives[0].speed == -5.0
+    else:
+        assert drives[0].speed == 5.0
+
+
+def test_ransac_no_lines_in_noise():
+    rng = np.random.default_rng(3)
+    # Uniform scatter: no 50-inlier line at 0.05 tolerance... use few points.
+    px = jnp.asarray(rng.uniform(-2, 2, 60), jnp.float32)
+    py = jnp.asarray(rng.uniform(-2, 2, 60), jnp.float32)
+    mask = np.ones(60, dtype=bool)
+    lines = align.ransac_extract(jax.random.PRNGKey(1), px, py, mask,
+                                 AlignConfig())
+    assert len(lines) == 0  # below min_inliers=50
