@@ -106,6 +106,30 @@ def test_sharded_injection_cap_is_global(maze):
     assert 0 < n_inj <= 200, f"global injection cap violated: {n_inj}"
 
 
+def test_sharded_systematic_resampling(maze, scan):
+    """Systematic mode on the mesh: global stratified indices sliced per
+    shard must reproduce the single-device expansion distribution."""
+    from montecarlolocalisation_tpu.config import ResampleConfig
+
+    cfg = FilterConfig(
+        num_particles=1024,
+        sensor=SensorModelConfig(ray_mode="fixed"),
+        resample=ResampleConfig(method="systematic"))
+    mesh = dist.make_mesh(n_particle_shards=8)
+    state = mcl.init_state(jax.random.PRNGKey(3), maze, cfg)
+    state = dist.shard_state(state, mesh)
+    step = dist.make_sharded_step(mesh, maze, cfg)
+    st = state
+    for i in range(3):
+        enc = jnp.float32(0.05 * i)
+        st, out = step(st, enc, enc, scan)
+    assert np.isfinite(np.asarray(st.particles)).all()
+    np.testing.assert_allclose(float(jnp.sum(st.weights)), 1.0, rtol=1e-5)
+    # Surviving cloud concentrates where the weights were (not uniform).
+    spread = np.asarray(st.particles)[:, :2].std(axis=0)
+    assert (spread < 1.6).all()
+
+
 def test_batched_2d_mesh_step(maze):
     """Episode x particle 2D mesh: the dryrun_multichip configuration."""
     mesh = dist.make_mesh(n_particle_shards=4, n_episode_shards=2)
