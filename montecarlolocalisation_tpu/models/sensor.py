@@ -153,13 +153,16 @@ def beam_weights(m: MazeMap, particles, scan: Scan, cfg: SensorModelConfig,
                 and not cfg.quantize_ray_deg and particles.ndim == 2
                 and jax.default_backend() == "tpu"
                 and is_concrete_map(m)):
-            from ..ops.weights_pallas import beam_weights_pallas
-
-            return beam_weights_pallas(m, particles, scan, cfg)
+            return _beam_weights_pallas_vmappable(m, particles, scan, cfg,
+                                                  valid_offset)
         mode = "bits"
     if mode == "bits" and not is_concrete_map(m):
         mode = "onehot"
+    return _beam_weights_dense(m, particles, scan, cfg, valid_offset, mode)
 
+
+def _beam_weights_dense(m, particles, scan, cfg, valid_offset, mode):
+    """The XLA implementation (gather / onehot / bits lookups)."""
     expected = expected_ranges(m, particles, scan.angles, cfg)  # [N, B]
     observed = scan.ranges  # [B]
     diff = jnp.abs(observed - expected)
@@ -185,6 +188,35 @@ def beam_weights(m: MazeMap, particles, scan: Scan, cfg: SensorModelConfig,
     else:
         valid = is_valid_pos(m, px, py, valid_offset)
     return jnp.where(valid, prob, 0.0)
+
+
+def _beam_weights_pallas_vmappable(m, particles, scan, cfg, valid_offset):
+    """Pallas kernel wrapped in custom_vmap: batching (vmap over episodes)
+    falls back to the vmappable bits path — pallas_call cannot batch its
+    SMEM beam operands.  (Needed because vmap-of-scan retraces bodies with
+    plain tracers, so batching is undetectable at dispatch time.)"""
+    from ..ops.bitlookup import is_concrete_map
+    from ..ops.weights_pallas import beam_weights_pallas
+
+    bits_mode = "bits" if is_concrete_map(m) else "onehot"
+
+    @jax.custom_batching.custom_vmap
+    def fn(p, angles, ranges, mask):
+        return beam_weights_pallas(
+            m, p, Scan(angles=angles, ranges=ranges, mask=mask), cfg)
+
+    @fn.def_vmap
+    def _rule(axis_size, in_batched, p, angles, ranges, mask):
+        in_axes = [0 if b else None for b in in_batched]
+        out = jax.vmap(
+            lambda pp, aa, rr, mm: _beam_weights_dense(
+                m, pp, Scan(angles=aa, ranges=rr, mask=mm), cfg,
+                valid_offset, bits_mode),
+            in_axes=in_axes)(p, angles, ranges, mask)
+        return out, True
+
+    return fn(particles, scan.angles,
+              jnp.broadcast_to(scan.ranges, scan.angles.shape), scan.mask)
 
 
 def simulate_scan(m: MazeMap, pose, scan_angles, cfg: SensorModelConfig,
