@@ -31,7 +31,49 @@ def rasterize_walls(
     walls: Sequence[Sequence[Sequence[int]]],
     grid: GridConfig = GridConfig(),
 ) -> np.ndarray:
-    """Nested wall lists (possibly ragged) -> uint8 occupancy raster [H, W]."""
+    """Nested wall lists (possibly ragged) -> uint8 occupancy raster [H, W].
+
+    Uses the native C++ rasterizer (native/raster.cpp — the reference's
+    rasterizer is C++ too) when the toolchain is available; this Python
+    implementation is the fallback and the parity oracle.
+    """
+    native = _rasterize_native(walls, grid)
+    if native is not None:
+        return native
+    return rasterize_walls_py(walls, grid)
+
+
+def _rasterize_native(walls, grid: GridConfig):
+    from ..native.build import load_native
+
+    lib = load_native()
+    if lib is None:
+        return None
+    import ctypes
+
+    from . import maze as maze_mod
+
+    t = np.ascontiguousarray(maze_mod.walls_to_tensor(walls).astype(np.uint8))
+    lengths = np.ascontiguousarray(maze_mod.row_lengths(walls))
+    rows, max_cols = t.shape[:2]
+    cs = grid.cell_px
+    out = np.full(((rows * cs + 1) * (max_cols * cs + 1),),
+                  grid.free_space, dtype=np.uint8)
+    rc = lib.mcl_rasterize(
+        t.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        lengths.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        rows, max_cols, cs, ctypes.c_uint8(grid.wall_occupied),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+    if rc != 0:
+        return None
+    return out.reshape(rows * cs + 1, max_cols * cs + 1)
+
+
+def rasterize_walls_py(
+    walls: Sequence[Sequence[Sequence[int]]],
+    grid: GridConfig = GridConfig(),
+) -> np.ndarray:
+    """Pure-Python rasterizer (reference-rule transcription)."""
     cs = grid.cell_px
     n_rows = len(walls)
     n_cols = max((len(r) for r in walls), default=0)

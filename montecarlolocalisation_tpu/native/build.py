@@ -17,7 +17,8 @@ import threading
 from typing import Optional
 
 _DIR = osp.dirname(osp.abspath(__file__))
-_SOURCES = [osp.join(_DIR, "planner.cpp"), osp.join(_DIR, "scanfilter.cpp")]
+_SOURCES = [osp.join(_DIR, "planner.cpp"), osp.join(_DIR, "scanfilter.cpp"),
+            osp.join(_DIR, "raster.cpp")]
 _LIB = osp.join(_DIR, "libmclnative.so")
 _LOCK = threading.Lock()
 _CACHED: Optional[ctypes.CDLL] = None
@@ -67,6 +68,9 @@ def load_native() -> Optional[ctypes.CDLL]:
         lib.mcl_filter_scan.restype = i32
         lib.mcl_filter_scan.argtypes = [f32p, i32, f32, f32, f32, f32, f32,
                                         f32, i32, f32p, f32p, i32]
+        lib.mcl_rasterize.restype = i32
+        lib.mcl_rasterize.argtypes = [u8p, i32p, i32, i32, i32,
+                                      ctypes.c_uint8, u8p]
         lib.mcl_filter_episode.restype = i32
         lib.mcl_filter_episode.argtypes = [f32p, i32, i32, f32, f32, f32,
                                            f32, f32, f32, i32, f32p, f32p,

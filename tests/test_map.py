@@ -120,3 +120,22 @@ def test_cell_transforms_roundtrip():
 def test_default_map_loads(default_map):
     assert default_map.occ.shape == (49, 49)
     assert default_map.walls.shape == (6, 6, 4)
+
+
+def test_native_rasterizer_matches_python():
+    from montecarlolocalisation_tpu.maps.raster import (
+        _rasterize_native, rasterize_walls_py,
+    )
+    from montecarlolocalisation_tpu.config import GridConfig
+
+    cases = [
+        maze.parse_map_text(MAP_TEXT),
+        [[[WALL_TOP], [WALL_TOP]], [[WALL_TOP]]],          # ragged
+        [[[], [WALL_BOTTOM]], [[]]],                        # next-row-shorter
+        [[[WALL_RIGHT, WALL_TOP, WALL_LEFT, WALL_BOTTOM]]], # single box
+    ]
+    for walls in cases:
+        native = _rasterize_native(walls, GridConfig())
+        assert native is not None, "native rasterizer unavailable"
+        py = rasterize_walls_py(walls)
+        np.testing.assert_array_equal(native, py)
