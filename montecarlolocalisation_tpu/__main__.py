@@ -21,6 +21,11 @@ def main() -> None:
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--batch", type=int, default=64)
     args = ap.parse_args()
+    for name in ("particles", "beams", "batch"):
+        if getattr(args, name) < 1:
+            ap.error(f"--{name} must be >= 1")
+    if args.ticks is not None and args.ticks < 1:
+        ap.error("--ticks must be >= 1")
 
     from . import presets
 
