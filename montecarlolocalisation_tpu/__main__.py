@@ -14,7 +14,7 @@ import numpy as np
 def main() -> None:
     ap = argparse.ArgumentParser(prog="montecarlolocalisation_tpu")
     ap.add_argument("preset", choices=["localisation", "planning",
-                                       "challenge", "sweep"])
+                                       "challenge", "sweep", "moving"])
     ap.add_argument("--particles", type=int, default=1500)
     ap.add_argument("--beams", type=int, default=24)
     ap.add_argument("--ticks", type=int, default=None)
@@ -62,6 +62,10 @@ def main() -> None:
             tsp_gold_cost=plan.gold_cost,
             legs=[list(leg.goal) for leg in plan.legs],
             waypoints_reached=int(final.wp_idx))))
+    elif args.preset == "moving":
+        out = presets.run_moving(world, seed=args.seed,
+                                 num_ticks=args.ticks or 300)
+        print(json.dumps(dict(preset="moving", **out)))
     elif args.preset == "sweep":
         metrics = presets.run_sweep(world, batch=args.batch,
                                     num_ticks=args.ticks or 150,

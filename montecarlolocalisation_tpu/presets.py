@@ -76,8 +76,12 @@ def run_planning(world: World, start_cell=(2, 2), goal_cell=(4, 4),
     path = bfs.bfs_path(world.walls, start_cell, goal_cell)
     wps = closed_loop.mission_waypoints(path)
     sx, sy = wps[0]
+    # The reference executor skips the first plan cell (the robot already
+    # stands there, moveToPosition_server.cpp:578); otherwise a cold-start
+    # robot must wander BACK to its origin before making progress.
+    drive_wps = wps[1:] if len(wps) > 1 else wps
     final, outs = jax.jit(lambda k: closed_loop.run_closed_loop(
-        k, world.maze, world.cfg, wps, num_ticks, world.angles,
+        k, world.maze, world.cfg, drive_wps, num_ticks, world.angles,
         start_pose=(float(sx), float(sy), 0.0)))(jax.random.PRNGKey(seed))
     return path, final, outs
 
@@ -98,10 +102,26 @@ def run_challenge(world: World, start_cell=(5, 0),
         cells.extend(leg.path[1:])
     wps = closed_loop.mission_waypoints(cells)
     sx, sy = wps[0]
+    drive_wps = wps[1:] if len(wps) > 1 else wps  # skip the start cell
     final, outs = jax.jit(lambda k: closed_loop.run_closed_loop(
-        k, world.maze, world.cfg, wps, num_ticks, world.angles,
+        k, world.maze, world.cfg, drive_wps, num_ticks, world.angles,
         start_pose=(float(sx), float(sy), 0.0)))(jax.random.PRNGKey(seed))
     return plan, final, outs
+
+
+def run_moving(world: World, seed: int = 0, num_ticks: int = 300,
+               start=(2.05, 2.05, 0.0)):
+    """Controllers-only roam (launch/moving.launch: wanderer, no MCL)."""
+    from .sim import robot
+
+    enc, scans, truth = robot.generate_wander_episode(
+        jax.random.PRNGKey(seed), world.maze, world.cfg, world.angles,
+        num_ticks, start_pose=start)
+    import numpy as np
+    tp = np.asarray(truth)
+    dist = float(np.sum(np.hypot(np.diff(tp[:, 0]), np.diff(tp[:, 1]))))
+    return dict(ticks=num_ticks, distance_m=round(dist, 3),
+                final_pose=[round(float(v), 3) for v in tp[-1]])
 
 
 def run_sweep(world: World, batch: int = 64, num_ticks: int = 150,
