@@ -1,4 +1,4 @@
-"""Simulation: ground-truth dynamics, scan generation, episode replay."""
-from . import robot
+"""Simulation: ground-truth dynamics, scans, episodes, closed-loop, align."""
+from . import robot, closed_loop, align_sim
 
-__all__ = ["robot"]
+__all__ = ["robot", "closed_loop", "align_sim"]

@@ -104,3 +104,25 @@ def test_ransac_no_lines_in_noise():
     lines = align.ransac_extract(jax.random.PRNGKey(1), px, py, mask,
                                  AlignConfig())
     assert len(lines) == 0  # below min_inliers=50
+
+
+def test_align_sim_end_to_end_roughly_centers():
+    """Full align_call flow through the simulator: scan -> RANSAC ->
+    plan -> timed execution.  The reference's standoff corrections were
+    tuned on hardware; the faithful port roughly centers the robot in a
+    closed cell (within 0.3 m of the center) and always issues the
+    4-action two-wall plan with a 90-degree second rotation."""
+    import jax as _jax
+
+    from montecarlolocalisation_tpu.config import FilterConfig, SensorModelConfig
+    from montecarlolocalisation_tpu.maps import from_walls
+    from montecarlolocalisation_tpu.sim import align_sim
+
+    box = from_walls([[[0, 1, 2, 3]]])
+    cfg = FilterConfig(sensor=SensorModelConfig(ray_mode="dda"))
+    for start in [(0.3, 0.55, 0.3), (0.6, 0.3, -1.0), (0.45, 0.45, 2.0)]:
+        rb, plan = align_sim.run_align(_jax.random.PRNGKey(0), box, cfg, start)
+        assert len(plan) == 4
+        assert abs(abs(plan[2].value) - 90.0) < 1e-6
+        d = np.hypot(float(rb.x) - 0.45, float(rb.y) - 0.45)
+        assert d < 0.30, f"align from {start} ended {d:.2f} m from center"
