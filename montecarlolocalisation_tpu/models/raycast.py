@@ -181,6 +181,20 @@ def raycast_dda(m: MazeMap, ox, oy, angle, cfg: SensorModelConfig):
     return carry[4]
 
 
+def raycast_analytic(m: MazeMap, ox, oy, angle, cfg: SensorModelConfig):
+    """Closed-form slab intersection (ops/analytic): exact DDA-equivalent
+    distances without marching.  Falls back to DDA for rasters that are
+    not gridline-structured (ragged maps) or traced maps."""
+    from ..ops.analytic import AnalyticCasterCache
+    from ..ops.bitlookup import is_concrete_map
+
+    cast = AnalyticCasterCache.get(m) if is_concrete_map(m) else None
+    if cast is None:
+        return raycast_dda(m, ox, oy, angle, cfg)
+    angle = _maybe_quantize(angle, cfg)
+    return cast(ox, oy, angle, cfg.max_range)
+
+
 def raycast(m: MazeMap, ox, oy, angle, cfg: SensorModelConfig):
     ox = jnp.asarray(ox, jnp.float32)
     oy = jnp.asarray(oy, jnp.float32)
@@ -190,4 +204,6 @@ def raycast(m: MazeMap, ox, oy, angle, cfg: SensorModelConfig):
         return raycast_fixed(m, ox, oy, angle, cfg)
     if cfg.ray_mode == "dda":
         return raycast_dda(m, ox, oy, angle, cfg)
+    if cfg.ray_mode == "analytic":
+        return raycast_analytic(m, ox, oy, angle, cfg)
     raise ValueError(f"unknown ray_mode {cfg.ray_mode!r}")

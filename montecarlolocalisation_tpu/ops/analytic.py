@@ -1,0 +1,216 @@
+"""Analytic slab ray casting: exact first-hit distances in closed form.
+
+Maze rasters (rectangular maps) place wall pixels only on multiple-of-8
+gridline rows/columns (publish_map_rviz.cpp drawing rules), i.e. the
+obstacle set is a union of axis-aligned slabs one pixel (0.1 m) thick on a
+0.8 m lattice.  A ray of length <= max_range crosses at most
+ceil(max_range / 0.8) + 1 vertical and horizontal slabs, so the first hit
+has a CLOSED FORM: per candidate slab, the entry/exit times and the range
+of pixel rows (columns) touched inside the slab; a hit exists iff the
+slab's packed bit-column has any bit in that range, and the hit time is
+max(slab entry, first-set-row entry).  No marching, no gathers — ~40 VPU
+ops per candidate, all fusible.
+
+Exactness: identical to the DDA traversal (raycast_dda) up to float
+rounding at pixel-boundary ties; verified against DDA on random rays in
+tests/test_analytic.py.  Requires a gridline-structured raster; callers
+fall back to DDA otherwise (ragged maps).
+
+Bit tricks used (TPU has no ctz/clz): lowest set bit position of a uint32
+via the float32 exponent of (x & -x); highest set bit via the exponent of
+the value itself.
+"""
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .bitlookup import _is_gridline_structured, _pack_rows
+
+_F32_BIAS = 127
+
+
+def _lowest_bit_pos(lo, hi):
+    """Position of the lowest set bit of the 64-bit value (hi:lo); 64 if 0."""
+    def low32(x):
+        iso = x & (~x + jnp.uint32(1))
+        f = iso.astype(jnp.float32)
+        e = (jax.lax.bitcast_convert_type(f, jnp.int32) >> 23) - _F32_BIAS
+        return jnp.where(x == 0, 64, e)
+
+    pl = low32(lo)
+    ph = low32(hi) + 32
+    return jnp.where(lo != 0, pl, ph)
+
+
+def _highest_bit_pos(lo, hi):
+    """Position of the highest set bit of (hi:lo); -1 if 0."""
+    def high32(x):
+        f = x.astype(jnp.float32)  # rounds up for >24-bit values; exponent
+        e = (jax.lax.bitcast_convert_type(f, jnp.int32) >> 23) - _F32_BIAS
+        # Rounding can push the exponent one too high (e.g. 0xffffffff).
+        e = jnp.where((x >> jnp.clip(e, 0, 31).astype(jnp.uint32)) == 0,
+                      e - 1, e)
+        return jnp.where(x == 0, -1, e)
+
+    return jnp.where(hi != 0, high32(hi) + 32, high32(lo))
+
+
+def _range_mask(lo_bit, hi_bit):
+    """(lo, hi) uint32 words with bits [lo_bit, hi_bit] set (inclusive);
+    empty if lo_bit > hi_bit.  Bits clamped into [0, 63]."""
+    lo_bit = jnp.clip(lo_bit, 0, 64)
+    hi_bit = jnp.clip(hi_bit, -1, 63)
+
+    def word(base):
+        # bits [max(lo-base,0), min(hi-base,31)] of one 32-bit word
+        a = jnp.clip(lo_bit - base, 0, 32)
+        b = jnp.clip(hi_bit - base, -1, 31)
+        n = b - a + 1
+        full = jnp.uint32(0xFFFFFFFF)
+        m = jnp.where(
+            n <= 0, jnp.uint32(0),
+            jnp.where(n >= 32, full,
+                      ((jnp.uint32(1) << n.astype(jnp.uint32))
+                       - jnp.uint32(1))
+                      << a.astype(jnp.uint32)))
+        return m
+
+    return word(0), word(32)
+
+
+def make_analytic_caster(
+    occ: np.ndarray, resolution: float, origin_x: float, origin_y: float,
+    cell_px: int = 8,
+) -> Optional[Callable]:
+    """Build `cast(ox, oy, angle, max_range) -> dist` or None if the raster
+    is not gridline-structured."""
+    occ = np.asarray(occ).astype(bool)
+    if not _is_gridline_structured(occ, cell_px):
+        return None
+    h, w = occ.shape
+    # Vertical gridline columns (pixel col = 8k): bits over rows.
+    n_v = (w - 1) // cell_px + 1
+    vlo, vhi = _pack_rows(occ[:, ::cell_px].T)       # [n_v] words over rows
+    # Horizontal gridline rows (pixel row = 8r): bits over cols.
+    n_h = (h - 1) // cell_px + 1
+    hlo, hhi = _pack_rows(occ[::cell_px])            # [n_h] words over cols
+
+    vlo = [int(x) for x in vlo]
+    vhi = [int(x) for x in vhi]
+    hlo = [int(x) for x in hlo]
+    hhi = [int(x) for x in hhi]
+
+    def select_words(idx, los, his):
+        wlo = jnp.zeros_like(idx, dtype=jnp.uint32)
+        whi = jnp.zeros_like(idx, dtype=jnp.uint32)
+        for i, (lo, hi) in enumerate(zip(los, his)):
+            if lo:
+                wlo = jnp.where(idx == i, jnp.uint32(lo), wlo)
+            if hi:
+                whi = jnp.where(idx == i, jnp.uint32(hi), whi)
+        return wlo, whi
+
+    inf = jnp.float32(3e38)
+    eps = 1e-9
+
+    def axis_hits(gu, gv, du, dv, n_lines, los, his, smax):
+        """First-hit s (pixel units) against slabs perpendicular to u.
+
+        gu/gv: origin coords (u = axis normal to the lines, v = along).
+        Returns s_hit (inf when none) considering 3 candidate lines.
+        """
+        small = jnp.abs(du) < eps
+        inv_du = 1.0 / jnp.where(small, eps, du)
+        sgn = jnp.where(du >= 0, 1, -1).astype(jnp.int32)
+        k0 = jnp.floor(gu / cell_px).astype(jnp.int32)
+        best = jnp.full(gu.shape, inf, jnp.float32)
+        for c in range(3):
+            k = k0 + sgn * c
+            line_u = (k * cell_px).astype(jnp.float32)   # slab [u, u+1)
+            inside = (gu >= line_u) & (gu < line_u + 1.0)
+            # Entry/exit times in pixel units.
+            t_near = (line_u - gu) * inv_du
+            t_far = (line_u + 1.0 - gu) * inv_du
+            t_in = jnp.minimum(t_near, t_far)
+            t_out = jnp.maximum(t_near, t_far)
+            # du ~ 0: never crosses; inside slab -> [0, smax].
+            t_in = jnp.where(small, jnp.where(inside, 0.0, inf), t_in)
+            t_out = jnp.where(small, jnp.where(inside, smax, -inf), t_out)
+            t_in = jnp.maximum(t_in, 0.0)
+            t_out_c = jnp.minimum(t_out, smax)
+            # Strict: a zero-measure touch (origin exactly on the slab's
+            # half-open exit face, gu == line_u + 1) is not a crossing.
+            window = t_in < t_out_c
+            valid_k = (k >= 0) & (k < n_lines)
+            # Rows (v-pixels) touched inside the slab.
+            v_in = gv + t_in * dv
+            v_out = gv + t_out_c * dv
+            r_in = jnp.floor(v_in).astype(jnp.int32)
+            r_out = jnp.floor(v_out).astype(jnp.int32)
+            lo_r = jnp.minimum(r_in, r_out)
+            hi_r = jnp.maximum(r_in, r_out)
+            wlo, whi = select_words(jnp.where(valid_k, k, n_lines),
+                                    los, his)
+            mlo, mhi = _range_mask(lo_r, hi_r)
+            blo = wlo & mlo
+            bhi = whi & mhi
+            any_hit = (blo | bhi) != 0
+            # First touched row along the ray direction.
+            rr = jnp.where(dv >= 0,
+                           _lowest_bit_pos(blo, bhi),
+                           _highest_bit_pos(blo, bhi)).astype(jnp.int32)
+            # Entry time into that row band.
+            small_v = jnp.abs(dv) < eps
+            inv_dv = 1.0 / jnp.where(small_v, eps, dv)
+            row_edge = jnp.where(dv >= 0, rr, rr + 1).astype(jnp.float32)
+            t_row = (row_edge - gv) * inv_dv
+            t_row = jnp.where(small_v, 0.0, t_row)
+            s_hit = jnp.maximum(t_in, t_row)
+            ok = window & valid_k & any_hit & (s_hit < smax)
+            best = jnp.minimum(best, jnp.where(ok, s_hit, inf))
+            # Origin inside this slab's occupied pixel -> hit at 0 even when
+            # the forward window is empty (e.g. moving out across the entry
+            # face; DDA/fixed return 0 for an occupied origin cell).
+            r0 = jnp.floor(gv).astype(jnp.int32)
+            m0lo, m0hi = _range_mask(r0, r0)
+            origin_bit = ((wlo & m0lo) | (whi & m0hi)) != 0
+            best = jnp.minimum(
+                best, jnp.where(inside & valid_k & origin_bit, 0.0, inf))
+        return best
+
+    def cast(ox, oy, angle, max_range):
+        gx = (ox - origin_x) / resolution
+        gy = (oy - origin_y) / resolution
+        dx = jnp.cos(angle)
+        dy = jnp.sin(angle)
+        smax = jnp.float32(max_range / resolution)
+        sv = axis_hits(gx, gy, dx, dy, n_v, vlo, vhi, smax)
+        sh = axis_hits(gy, gx, dy, dx, n_h, hlo, hhi, smax)
+        s = jnp.minimum(jnp.minimum(sv, sh), smax)
+        # Reference semantics: the march breaks on the first out-of-map
+        # sample, so out-of-map origins return max_range
+        # (monte_carlo.cpp:374 via worldToMap failure; DDA matches).
+        inb = ((gx >= 0.0) & (gy >= 0.0)
+               & (gx < float(w)) & (gy < float(h)))
+        s = jnp.where(inb, s, smax)
+        return (s * resolution).astype(jnp.float32)
+
+    return cast
+
+
+class AnalyticCasterCache:
+    _cache: dict = {}
+
+    @classmethod
+    def get(cls, m) -> Optional[Callable]:
+        occ = np.asarray(m.occ)
+        key = occ.tobytes()
+        if key not in cls._cache:
+            cls._cache[key] = make_analytic_caster(
+                occ, float(m.resolution), float(m.origin_x),
+                float(m.origin_y))
+        return cls._cache[key]

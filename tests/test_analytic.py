@@ -1,0 +1,79 @@
+"""Analytic slab ray caster: exact equivalence with the DDA traversal."""
+import os.path as osp
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from montecarlolocalisation_tpu.config import FilterConfig, SensorModelConfig
+from montecarlolocalisation_tpu.maps import from_map_file, from_walls
+from montecarlolocalisation_tpu.models.raycast import raycast
+
+MAP_PATH = osp.join(osp.dirname(__file__), "..", "montecarlolocalisation_tpu",
+                    "maps", "default_map.txt")
+
+DDA = SensorModelConfig(ray_mode="dda", lookup_mode="gather")
+ANA = SensorModelConfig(ray_mode="analytic")
+
+
+def _compare(m, n=20000, seed=0, extent_pad=0.2):
+    rng = np.random.default_rng(seed)
+    ext = float(m.extent_x)
+    ox = jnp.asarray(rng.uniform(-extent_pad, ext + extent_pad, n), jnp.float32)
+    oy = jnp.asarray(rng.uniform(-extent_pad, ext + extent_pad, n), jnp.float32)
+    ang = jnp.asarray(rng.uniform(-np.pi, np.pi, n), jnp.float32)
+    dda = np.asarray(raycast(m, ox, oy, ang, DDA))
+    ana = np.asarray(raycast(m, ox, oy, ang, ANA))
+    return np.abs(dda - ana)
+
+
+def test_exact_equivalence_default_map():
+    m = from_map_file(MAP_PATH)
+    diff = _compare(m)
+    assert diff.max() <= 1e-4, f"max diff {diff.max()}"
+
+
+def test_exact_equivalence_box():
+    m = from_walls([[[0, 1, 2, 3]]])
+    diff = _compare(m)
+    assert diff.max() <= 1e-4
+
+
+def test_exact_equivalence_generated_maze():
+    from montecarlolocalisation_tpu.maps import generator
+
+    m = from_walls(generator.generate_maze(5, 7, seed=3))
+    diff = _compare(m)
+    assert diff.max() <= 1e-4
+
+
+def test_axis_aligned_and_degenerate_rays():
+    m = from_walls([[[0, 1, 2, 3]]])
+    # Pure +x, -x, +y, -y and exactly-on-gridline origins.
+    ox = jnp.asarray([0.45, 0.45, 0.45, 0.45, 0.8, 0.1], jnp.float32)
+    oy = jnp.asarray([0.45, 0.45, 0.45, 0.45, 0.45, 0.45], jnp.float32)
+    ang = jnp.asarray([0.0, np.pi, np.pi / 2, -np.pi / 2, np.pi, 0.0],
+                      jnp.float32)
+    dda = np.asarray(raycast(m, ox, oy, ang, DDA))
+    ana = np.asarray(raycast(m, ox, oy, ang, ANA))
+    np.testing.assert_allclose(ana, dda, atol=1e-4)
+
+
+def test_ragged_map_falls_back_to_dda():
+    m = from_walls([[[1], [1]], [[1]]])  # ragged: pads off-grid pixels
+    diff = _compare(m, n=5000)
+    assert diff.max() <= 1e-4  # fallback = DDA itself
+
+
+def test_beam_weights_with_analytic_mode():
+    from montecarlolocalisation_tpu.models import resample, sensor
+
+    m = from_map_file(MAP_PATH)
+    angles = np.deg2rad(np.linspace(-118, 118, 16)).astype(np.float32)
+    parts = resample.sample_uniform_particles(jax.random.PRNGKey(0), m, 512)
+    scan = sensor.simulate_scan(m, jnp.array([2.05, 2.05, 0.3]), angles, DDA)
+    w_dda = np.asarray(sensor.beam_weights(m, parts, scan, DDA))
+    w_ana = np.asarray(sensor.beam_weights(
+        m, parts, scan, SensorModelConfig(ray_mode="analytic")))
+    np.testing.assert_allclose(w_ana, w_dda, rtol=1e-4, atol=1e-4)
