@@ -89,7 +89,8 @@ def main() -> None:
     ap.add_argument("--particles", type=int, default=1_000_000)
     ap.add_argument("--beams", type=int, default=34)
     ap.add_argument("--iters", type=int, default=20)
-    ap.add_argument("--ray-mode", default="fixed", choices=["fixed", "dda"])
+    ap.add_argument("--ray-mode", default="fixed",
+                    choices=["fixed", "dda", "analytic"])
     ap.add_argument("--resample", default="systematic",
                     choices=["systematic", "multinomial"])
     ap.add_argument("--verbose", action="store_true")

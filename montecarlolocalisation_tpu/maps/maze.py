@@ -53,8 +53,11 @@ def walls_to_tensor(walls: Sequence[Sequence[Sequence[int]]]) -> np.ndarray:
 
     wall_tensor[r, c, d] is True when cell (r, c) lists wall d
     (d in {RIGHT=0, TOP=1, LEFT=2, BOTTOM=3}).  Ragged short rows are padded
-    with all-False cells; the rasterizer marks those pixels occupied, matching
-    publish_map_rviz.cpp:399-416.
+    with ALL-WALLS cells: the rasterizer marks those pixels occupied
+    (publish_map_rviz.cpp:399-416), so the planner must treat them as
+    unreachable too.  (The reference planner indexes missing cells out of
+    bounds — undefined behavior, buildGraphFromWallArray
+    moveToPosition_server.cpp:237-264.)
     """
     rows = len(walls)
     cols = max((len(r) for r in walls), default=0)
@@ -63,6 +66,7 @@ def walls_to_tensor(walls: Sequence[Sequence[Sequence[int]]]) -> np.ndarray:
         for j, cell in enumerate(row):
             for w in cell:
                 t[i, j, int(w)] = True
+        t[i, len(row):, :] = True  # padded non-cells: fully walled
     return t
 
 

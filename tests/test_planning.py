@@ -143,3 +143,23 @@ def test_parse_waypoints_and_mission():
     for leg in plan.legs:
         assert leg.path[0] == cur and leg.path[-1] == leg.goal
         cur = leg.goal
+
+
+def test_bfs_ragged_padded_cells_unreachable():
+    """Ragged-row padded non-cells are fully walled: BFS must not route
+    through them (the raster marks them occupied; the reference planner
+    reads them out of bounds — UB)."""
+    ragged = [[[], []], [[]]]  # row 1 is short: (1,1) is a non-cell
+    t = maze.walls_to_tensor(ragged)
+    assert t[1, 1].all()  # fully walled
+    # (0,1) -> (1,1): the padded cell can't be exited, so any path THROUGH
+    # it is impossible; direct entry only if the source lacks the wall.
+    path = bfs.bfs_path(t, (1, 0), (1, 1))
+    # From (1,0) (no walls listed) entry is allowed by source-only semantics
+    # (reference behavior), but (1,1) is a dead end: no path may CONTINUE.
+    if path:
+        assert path[-1] == (1, 1)
+    # No route (0,0)->(0,1) may pass through (1,1): the only real route is
+    # direct (both cells open).
+    p = bfs.bfs_path(t, (0, 0), (0, 1))
+    assert (1, 1) not in p
