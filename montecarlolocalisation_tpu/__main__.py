@@ -52,7 +52,7 @@ def main() -> None:
         print(json.dumps(dict(
             preset="planning", plan=[list(c) for c in path],
             waypoints_reached=int(final.wp_idx),
-            waypoints_total=len(path),
+            waypoints_total=max(len(path) - 1, 1),  # start cell not driven
             final_confidence=float(final.filt.confidence))))
     elif args.preset == "challenge":
         plan, final, outs = presets.run_challenge(

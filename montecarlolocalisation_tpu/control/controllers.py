@@ -257,8 +257,12 @@ def wanderer_tick(st: WandererState, ranges, mask, enabled,
     n = ranges.shape[-1]
     half = n // 2
     lane = jnp.arange(n)
-    sum1 = jnp.sum(jnp.where(lane < half, r, 0.0))   # first half
-    sum2 = jnp.sum(jnp.where(lane >= half, r, 0.0))  # second half
+    # Pad lanes (mask False) are nonexistent beams and contribute nothing
+    # to the side sums (the reference's 9.99 fill-in applies only to real
+    # invalid READINGS, wanderer_try_final.cpp:32-48).
+    r_sum = jnp.where(mask, ranges, 0.0)
+    sum1 = jnp.sum(jnp.where(lane < half, r_sum, 0.0))   # first half
+    sum2 = jnp.sum(jnp.where(lane >= half, r_sum, 0.0))  # second half
 
     # Timed rotation: omega_robot = speed * (wheel_size/2) / (wheel_space/2);
     # ticks = ceil(angle / (omega * dt)) (calculate_rotate_time :63-72).

@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import SensorModelConfig
-from ..maps.grid import MazeMap, is_occupied
+from ..maps.grid import MazeMap, is_occupied, world_to_map
 
 
 def _maybe_quantize(angle, cfg: SensorModelConfig):
@@ -81,15 +81,24 @@ def raycast_fixed(m: MazeMap, ox, oy, angle, cfg: SensorModelConfig):
     # Loop over the (static, ~10) march steps with a running masked min
     # instead of materializing a [..., S] tensor: at 1M particles x B beams
     # that intermediate would be HBM-hostile.  Steps increase monotonically,
-    # so min(masked r) IS the first hit.
-    def body(s, dist):
+    # so min(masked r) IS the first hit.  The reference breaks the march at
+    # the first out-of-map sample (worldToMap failure, monte_carlo.cpp:374)
+    # — the carried `alive` mask reproduces that (matters for out-of-map
+    # origins pointing inward).
+    def body(s, carry):
+        dist, alive = carry
         r = cfg.ray_step * s
-        occ = occupied(m, ox + r * dx, oy + r * dy)
-        return jnp.minimum(dist, jnp.where(occ, r, cfg.max_range))
+        px = ox + r * dx
+        py = oy + r * dy
+        _, _, inb = world_to_map(m, px, py)  # trunc semantics, as worldToMap
+        occ = occupied(m, px, py) & alive
+        dist = jnp.minimum(dist, jnp.where(occ, r, cfg.max_range))
+        return dist, alive & inb
 
     dist0 = jnp.full(ox.shape, cfg.max_range, dtype=jnp.float32)
-    dist = jax.lax.fori_loop(0, cfg.num_ray_steps, body, dist0,
-                             unroll=True)
+    alive0 = jnp.ones(ox.shape, dtype=bool)
+    dist, _ = jax.lax.fori_loop(0, cfg.num_ray_steps, body, (dist0, alive0),
+                                unroll=True)
     return dist.astype(jnp.float32)
 
 

@@ -51,7 +51,10 @@ def _highest_bit_pos(lo, hi):
     def high32(x):
         f = x.astype(jnp.float32)  # rounds up for >24-bit values; exponent
         e = (jax.lax.bitcast_convert_type(f, jnp.int32) >> 23) - _F32_BIAS
-        # Rounding can push the exponent one too high (e.g. 0xffffffff).
+        # Rounding can push the exponent one too high (e.g. 0xffffffff
+        # rounds to 2^32 -> e=32).  Clamp to the valid bit range FIRST so
+        # the shift test can detect the overshoot, then correct.
+        e = jnp.minimum(e, 31)
         e = jnp.where((x >> jnp.clip(e, 0, 31).astype(jnp.uint32)) == 0,
                       e - 1, e)
         return jnp.where(x == 0, -1, e)
@@ -117,18 +120,19 @@ def make_analytic_caster(
     inf = jnp.float32(3e38)
     eps = 1e-9
 
-    def axis_hits(gu, gv, du, dv, n_lines, los, his, smax):
+    def axis_hits(gu, gv, du, dv, n_lines, los, his, smax, n_cand):
         """First-hit s (pixel units) against slabs perpendicular to u.
 
         gu/gv: origin coords (u = axis normal to the lines, v = along).
-        Returns s_hit (inf when none) considering 3 candidate lines.
+        Returns s_hit (inf when none) over n_cand candidate lines (the
+        origin's slab plus every line reachable within smax).
         """
         small = jnp.abs(du) < eps
         inv_du = 1.0 / jnp.where(small, eps, du)
         sgn = jnp.where(du >= 0, 1, -1).astype(jnp.int32)
         k0 = jnp.floor(gu / cell_px).astype(jnp.int32)
         best = jnp.full(gu.shape, inf, jnp.float32)
-        for c in range(3):
+        for c in range(n_cand):
             k = k0 + sgn * c
             line_u = (k * cell_px).astype(jnp.float32)   # slab [u, u+1)
             inside = (gu >= line_u) & (gu < line_u + 1.0)
@@ -183,13 +187,20 @@ def make_analytic_caster(
         return best
 
     def cast(ox, oy, angle, max_range):
+        # max_range must be a static Python float (it is cfg.max_range):
+        # the candidate-slab count derives from it.
+        max_range = float(max_range)
         gx = (ox - origin_x) / resolution
         gy = (oy - origin_y) / resolution
         dx = jnp.cos(angle)
         dy = jnp.sin(angle)
-        smax = jnp.float32(max_range / resolution)
-        sv = axis_hits(gx, gy, dx, dy, n_v, vlo, vhi, smax)
-        sh = axis_hits(gy, gx, dy, dx, n_h, hlo, hhi, smax)
+        smax_f = max_range / resolution
+        smax = jnp.float32(smax_f)
+        # Origin slab + every gridline reachable within smax (spacing =
+        # cell_px pixel units along the axis; |direction| <= 1).
+        n_cand = int(np.ceil(smax_f / cell_px)) + 1
+        sv = axis_hits(gx, gy, dx, dy, n_v, vlo, vhi, smax, n_cand)
+        sh = axis_hits(gy, gx, dy, dx, n_h, hlo, hhi, smax, n_cand)
         s = jnp.minimum(jnp.minimum(sv, sh), smax)
         # Reference semantics: the march breaks on the first out-of-map
         # sample, so out-of-map origins return max_range

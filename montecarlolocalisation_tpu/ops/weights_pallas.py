@@ -67,11 +67,21 @@ def _weights_kernel(x_ref, y_ref, th_ref, ang_ref, obs_ref, msk_ref,
         dx = jnp.cos(ray)
         dy = jnp.sin(ray)
         dist = jnp.full_like(x, cfg.max_range)
+        # `alive` reproduces the reference's break at the first out-of-map
+        # sample (worldToMap failure, monte_carlo.cpp:374).  Lower bounds
+        # use the truncated pixel (the (-res, 0) trunc quirk), upper bounds
+        # the world extent.
+        alive = jnp.ones_like(x, dtype=jnp.bool_)
         for s in range(cfg.num_ray_steps):
             r = cfg.ray_step * s
-            mx, my = to_px(ox + r * dx, oy + r * dy)
-            hit = occ_lookup(my, mx)
+            px_w = ox + r * dx
+            py_w = oy + r * dy
+            mx, my = to_px(px_w, py_w)
+            hit = occ_lookup(my, mx) & alive
             dist = jnp.minimum(dist, jnp.where(hit, r, cfg.max_range))
+            inb = ((mx >= 0) & (my >= 0)
+                   & (px_w < extent_x) & (py_w < extent_y))
+            alive = alive & inb
         diff = jnp.abs(obs - dist)
         gauss = jnp.where(
             diff <= cfg.gauss_max_diff,

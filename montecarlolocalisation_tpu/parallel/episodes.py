@@ -76,7 +76,7 @@ def run_multimap_sweep(
 
     n_maps = maps.occ.shape[0]
     total = n_maps * episodes_per_map
-    keys = jax.random.split(key, 2 * total).reshape(total, 2, -1)
+    keys = jax.random.split(key, (total, 2))  # typed-key-safe shape
     angles = jnp.asarray(scan_angles, jnp.float32)
 
     def one(m_arrays, ks):

@@ -78,6 +78,9 @@ def plan_tour(walls, start_cell, waypoints: Sequence[Tuple[int, int]]):
 
     nodes = [tuple(map(int, start_cell))] + [tuple(map(int, w))
                                              for w in waypoints]
-    d = all_pairs_distances(walls, nodes) - 1
-    cost, order = held_karp(np.maximum(d, 0))
+    raw = all_pairs_distances(walls, nodes)
+    d = np.maximum(raw - 1, 0)
+    # Unreachable pairs (BFS node count 0) must not look like free moves.
+    d = np.where(raw == 0, np.int32(10**6), d).astype(np.int32)
+    cost, order = held_karp(d)
     return cost, [nodes[i] for i in order[1:]]

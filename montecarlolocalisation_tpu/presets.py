@@ -97,6 +97,9 @@ def run_challenge(world: World, start_cell=(5, 0),
     gold = mission.load_waypoints(gold_path)
     pickup = mission.load_waypoints(pickup_path)
     plan = mission.plan_mission(world.walls, start_cell, gold, pickup)
+    if not plan.legs or not plan.legs[0].path:
+        # Empty waypoint files or unreachable first goal: nothing to drive.
+        return plan, None, None
     cells = [plan.legs[0].path[0]]
     for leg in plan.legs:
         cells.extend(leg.path[1:])

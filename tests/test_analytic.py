@@ -77,3 +77,31 @@ def test_beam_weights_with_analytic_mode():
     w_ana = np.asarray(sensor.beam_weights(
         m, parts, scan, SensorModelConfig(ray_mode="analytic")))
     np.testing.assert_allclose(w_ana, w_dda, rtol=1e-4, atol=1e-4)
+
+
+def test_long_max_range_covers_all_slabs():
+    """Regression: the candidate-slab count must scale with max_range
+    (a hard-coded 3 misses hits beyond ~1.6 m)."""
+    m = from_map_file(MAP_PATH)
+    cfg_d = SensorModelConfig(ray_mode="dda", lookup_mode="gather",
+                              max_range=3.0)
+    cfg_a = SensorModelConfig(ray_mode="analytic", max_range=3.0)
+    rng = np.random.default_rng(5)
+    n = 4000
+    ox = jnp.asarray(rng.uniform(0.0, 4.9, n), jnp.float32)
+    oy = jnp.asarray(rng.uniform(0.0, 4.9, n), jnp.float32)
+    ang = jnp.asarray(rng.uniform(-np.pi, np.pi, n), jnp.float32)
+    dda = np.asarray(raycast(m, ox, oy, ang, cfg_d))
+    ana = np.asarray(raycast(m, ox, oy, ang, cfg_a))
+    assert np.abs(dda - ana).max() <= 1e-3, np.abs(dda - ana).max()
+
+
+def test_fixed_mode_out_of_map_origin_matches_reference():
+    """Regression: the fixed march must break at the first out-of-map
+    sample (reference worldToMap failure), like dda/analytic."""
+    m = from_map_file(MAP_PATH)
+    for cfg in (SensorModelConfig(ray_mode="fixed", lookup_mode="gather"),
+                SensorModelConfig(ray_mode="fixed", lookup_mode="bits")):
+        d = raycast(m, jnp.float32(-0.5), jnp.float32(2.45),
+                    jnp.float32(0.0), cfg)
+        assert float(d) == 1.0, (cfg.lookup_mode, float(d))
