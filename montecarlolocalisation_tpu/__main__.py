@@ -61,7 +61,8 @@ def main() -> None:
             preset="challenge",
             tsp_gold_cost=plan.gold_cost,
             legs=[list(leg.goal) for leg in plan.legs],
-            waypoints_reached=int(final.wp_idx))))
+            waypoints_reached=(int(final.wp_idx) if final is not None
+                               else 0))))
     elif args.preset == "moving":
         out = presets.run_moving(world, seed=args.seed,
                                  num_ticks=args.ticks or 300)
