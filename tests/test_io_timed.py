@@ -129,3 +129,20 @@ def test_viz_render(tmp_path):
     viz.save_ppm(img, p)
     with open(p, "rb") as f:
         assert f.read(2) == b"P6"
+
+
+def test_profiling_stage_times():
+    from montecarlolocalisation_tpu.utils import profiling
+
+    maze = from_map_file(MAP_PATH)
+    cfg = FilterConfig(num_particles=128)
+    import jax as _jax
+    import numpy as _np
+    from montecarlolocalisation_tpu.models import sensor as S
+    angles = _np.deg2rad(_np.linspace(-118, 118, 8)).astype(_np.float32)
+    scan = S.simulate_scan(maze, jnp.array([1.25, 1.25, 0.0]), angles,
+                           cfg.sensor)
+    st = mcl.init_state(_jax.random.PRNGKey(0), maze, cfg)
+    t = profiling.stage_times(maze, cfg, scan, st, iters=2)
+    assert set(t) == {"motion", "weights", "resample", "cluster", "full"}
+    assert t["full"] > 0

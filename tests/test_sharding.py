@@ -176,3 +176,19 @@ def test_graft_entry_dryrun():
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     mod.dryrun_multichip(8)
+
+
+def test_episode_batch_sharded_over_mesh(maze):
+    """run_episode_batch with a mesh shards the episode axis (pure DP)."""
+    from montecarlolocalisation_tpu.parallel import episodes
+
+    mesh = dist.make_mesh(n_particle_shards=1, n_episode_shards=8)
+    cfg = FilterConfig(num_particles=64,
+                       sensor=SensorModelConfig(ray_mode="fixed"))
+    enc, scans, truth = episodes.simulate_episode_batch(
+        jax.random.PRNGKey(0), maze, cfg, ANGLES, num_ticks=8, batch=8,
+        start_pose=(2.05, 2.05, 0.0))
+    final, outs = episodes.run_episode_batch(
+        jax.random.PRNGKey(1), maze, cfg, enc, scans, ANGLES, mesh=mesh)
+    assert final.particles.shape == (8, 64, 3)
+    assert np.isfinite(np.asarray(final.particles)).all()
