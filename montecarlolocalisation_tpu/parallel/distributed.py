@@ -333,20 +333,31 @@ def init_batched_state(key, m: MazeMap, cfg: FilterConfig,
 
 
 def shard_state(state: mcl.MCLState, mesh: Mesh,
-                axis_name: str = "particle") -> mcl.MCLState:
-    """Place a host state onto the mesh with the particle axis sharded."""
+                axis_name: str = "particle",
+                episode_axis: str = None) -> mcl.MCLState:
+    """Place a host state onto the mesh with the particle axis sharded.
+
+    With `episode_axis` set, the state is the episode-batched layout
+    (leading [E] axis on every field; particles/weights also sharded on
+    `axis_name`) used by make_sharded_step_batched — this function is the
+    one place that knows the field-by-field sharding.
+    """
+    lead = (episode_axis,) if episode_axis else ()
+    p_spec = P(*lead, axis_name)
+    s_spec = P(*lead)
+
     def put(x, spec):
         return jax.device_put(x, NamedSharding(mesh, spec))
 
     return mcl.MCLState(
-        particles=put(state.particles, P(axis_name)),
-        weights=put(state.weights, P(axis_name)),
-        odom=jax.tree_util.tree_map(lambda x: put(x, P()), state.odom),
-        inj=jax.tree_util.tree_map(lambda x: put(x, P()), state.inj),
-        confidence=put(state.confidence, P()),
-        was_lost=put(state.was_lost, P()),
-        cluster_threshold=put(state.cluster_threshold, P()),
-        confident_threshold=put(state.confident_threshold, P()),
-        best_pose=put(state.best_pose, P()),
-        key=put(state.key, P()),
+        particles=put(state.particles, p_spec),
+        weights=put(state.weights, p_spec),
+        odom=jax.tree_util.tree_map(lambda x: put(x, s_spec), state.odom),
+        inj=jax.tree_util.tree_map(lambda x: put(x, s_spec), state.inj),
+        confidence=put(state.confidence, s_spec),
+        was_lost=put(state.was_lost, s_spec),
+        cluster_threshold=put(state.cluster_threshold, s_spec),
+        confident_threshold=put(state.confident_threshold, s_spec),
+        best_pose=put(state.best_pose, s_spec),
+        key=put(state.key, s_spec),
     )

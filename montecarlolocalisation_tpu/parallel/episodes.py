@@ -20,6 +20,12 @@ from ..maps.grid import MazeMap
 from ..models import filter as mcl
 from ..sim import robot
 
+# jit cache for the episode runners: re-wrapping a closure in jax.jit on
+# every call would retrace/recompile the full vmapped scan each time (the
+# datagen loop calls these once per seed/map chunk).  Keyed on the map's
+# buffer identity + static config/shapes.
+_JIT_CACHE: dict = {}
+
 
 def simulate_episode_batch(
     key, m: MazeMap, cfg: FilterConfig, scan_angles, num_ticks: int,
@@ -48,11 +54,16 @@ def run_episode_batch(
     keys = jax.random.split(key, batch)
     angles = jnp.asarray(scan_angles, jnp.float32)
 
-    def one(k, enc, ranges):
-        st = mcl.init_state(k, m, cfg)
-        return mcl.run_episode(st, enc, ranges, angles, m, cfg)
+    cache_key = ("batch", id(m.occ), cfg, encoders.shape,
+                 jnp.asarray(scan_ranges).shape, angles.shape)
+    fn = _JIT_CACHE.get(cache_key)
+    if fn is None:
+        def one(k, enc, ranges):
+            st = mcl.init_state(k, m, cfg)
+            return mcl.run_episode(st, enc, ranges, angles, m, cfg)
 
-    fn = jax.jit(jax.vmap(one))
+        fn = jax.jit(jax.vmap(one))
+        _JIT_CACHE[cache_key] = fn
     if mesh is not None:
         sh = NamedSharding(mesh, P(episode_axis))
         keys = jax.device_put(keys, sh)
@@ -72,8 +83,6 @@ def run_multimap_sweep(
     automatically.  Returns (final_states, outputs, true_poses) with leading
     [n_maps * episodes_per_map] axes.
     """
-    from ..sim import robot
-
     n_maps = maps.occ.shape[0]
     total = n_maps * episodes_per_map
     keys = jax.random.split(key, (total, 2))  # typed-key-safe shape
@@ -89,11 +98,16 @@ def run_multimap_sweep(
     # Repeat each map episodes_per_map times along the batch axis.
     rep = lambda x: jnp.repeat(x, episodes_per_map, axis=0)
     maps_b = jax.tree_util.tree_map(rep, maps)
-    return jax.jit(jax.vmap(one))(maps_b, keys)
+    cache_key = ("multimap", id(maps.occ), cfg, total, num_ticks,
+                 angles.shape, tuple(start_pose))
+    fn = _JIT_CACHE.get(cache_key)
+    if fn is None:
+        fn = jax.jit(jax.vmap(one))
+        _JIT_CACHE[cache_key] = fn
+    return fn(maps_b, keys)
 
 
-def sweep_rmse(final_states: mcl.MCLState, outs: mcl.MCLOutput,
-               true_poses) -> dict:
+def sweep_rmse(final_states: mcl.MCLState, true_poses) -> dict:
     """Batch convergence metrics for a sweep (pose RMSE on final tick)."""
     best = final_states.best_pose                      # [E, 3]
     truth = jnp.asarray(true_poses)[:, -1, :]          # [E, 3]

@@ -138,4 +138,4 @@ def run_sweep(world: World, batch: int = 64, num_ticks: int = 150,
         start_pose=(2.05, 2.05, 0.0))
     final, outs = episodes.run_episode_batch(
         k2, world.maze, world.cfg, enc, scans, world.angles, mesh=mesh)
-    return episodes.sweep_rmse(final, outs, truth)
+    return episodes.sweep_rmse(final, truth)

@@ -130,8 +130,11 @@ def run_closed_loop(
 
 
 def mission_waypoints(plan_cells, cell_meters: float = 0.8) -> np.ndarray:
-    """Cell path -> world waypoint array (x from col, y from row)."""
-    return np.array(
-        [[c * cell_meters + 0.5 * cell_meters,
-          r * cell_meters + 0.5 * cell_meters] for r, c in plan_cells],
-        dtype=np.float32)
+    """Cell path -> world waypoint array (x from col, y from row).
+
+    Thin wrapper over planning/executor.waypoint_targets so the cell-center
+    convention lives in one place."""
+    from ..planning import executor
+
+    return np.asarray(executor.waypoint_targets(plan_cells, cell_meters),
+                      dtype=np.float32)

@@ -18,7 +18,6 @@ import numpy as np
 
 from ..config import FilterConfig, PIDConfig
 from ..control import controllers as C
-from ..maps.grid import MazeMap
 from ..planning import executor
 from ..utils.angles import quantize_orientation
 from . import robot as R
@@ -41,7 +40,7 @@ def _run_pid(rb: R.RobotState, local_x: float, local_y: float,
 
 
 def execute_plan(
-    rb: R.RobotState, plan: Sequence[int], m: MazeMap, cfg: FilterConfig,
+    rb: R.RobotState, plan: Sequence[int], cfg: FilterConfig,
     speed: float = 6.0, pose_provider=None,
 ) -> Tuple[R.RobotState, List[Tuple[float, float]]]:
     """Run a RIGHT/UP/LEFT/DOWN action plan through local PID drives.

@@ -23,7 +23,7 @@ def test_square_loop_returns_to_start(maze):
     cfg = FilterConfig()
     rb = R.make_robot(2.0, 2.0, 0.0)  # center of open cell (2,2)
     rb, trace = plan_exec.execute_plan(
-        rb, [DIR_RIGHT, DIR_DOWN, DIR_LEFT, DIR_UP], maze, cfg)
+        rb, [DIR_RIGHT, DIR_DOWN, DIR_LEFT, DIR_UP], cfg)
     # Each leg lands near the next cell center (PID exit tol 0.05 m).
     want = [(2.8, 2.0), (2.8, 2.8), (2.0, 2.8), (2.0, 2.0)]
     for (gx, gy), (wx, wy) in zip(trace, want):
@@ -35,7 +35,7 @@ def test_turns_by_direction_diff(maze):
     # Facing DOWN (+y, theta=pi/2) then commanded RIGHT: diff -3 -> local
     # (0, -0.8) which from a DOWN heading is world +x.
     rb = R.make_robot(2.0, 2.0, np.pi / 2)
-    rb, trace = plan_exec.execute_plan(rb, [DIR_RIGHT], maze, cfg)
+    rb, trace = plan_exec.execute_plan(rb, [DIR_RIGHT], cfg)
     assert np.hypot(trace[0][0] - 2.8, trace[0][1] - 2.0) < 0.1
 
 
@@ -49,6 +49,6 @@ def test_pose_provider_hook(maze):
         return float(r.x), float(r.y), float(r.theta)
 
     rb, trace = plan_exec.execute_plan(
-        rb, [DIR_RIGHT], maze, cfg, pose_provider=provider)
+        rb, [DIR_RIGHT], cfg, pose_provider=provider)
     assert calls, "pose provider not consulted"
     assert np.hypot(trace[0][0] - 2.8, trace[0][1] - 2.0) < 0.1

@@ -140,20 +140,7 @@ def test_batched_2d_mesh_step(maze):
                                     n_episodes)
     ranges = jnp.full((n_episodes, len(ANGLES)), 0.7, dtype=jnp.float32)
     ep_sh = NamedSharding(mesh, P("episode"))
-    pp_sh = NamedSharding(mesh, P("episode", "particle"))
-    state = mcl.MCLState(
-        particles=jax.device_put(state.particles, pp_sh),
-        weights=jax.device_put(state.weights, pp_sh),
-        odom=jax.tree_util.tree_map(
-            lambda x: jax.device_put(x, ep_sh), state.odom),
-        inj=jax.tree_util.tree_map(
-            lambda x: jax.device_put(x, ep_sh), state.inj),
-        confidence=jax.device_put(state.confidence, ep_sh),
-        was_lost=jax.device_put(state.was_lost, ep_sh),
-        cluster_threshold=jax.device_put(state.cluster_threshold, ep_sh),
-        confident_threshold=jax.device_put(state.confident_threshold, ep_sh),
-        best_pose=jax.device_put(state.best_pose, ep_sh),
-        key=jax.device_put(state.key, ep_sh))
+    state = dist.shard_state(state, mesh, episode_axis="episode")
     enc = jax.device_put(jnp.full((n_episodes,), 0.3, jnp.float32), ep_sh)
     sc = sensor.Scan(angles=jnp.asarray(ANGLES),
                      ranges=jax.device_put(ranges, ep_sh),
