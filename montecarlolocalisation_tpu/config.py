@@ -59,6 +59,15 @@ class SensorModelConfig:
     # "onehot" (MXU one-hot contraction; ~10x faster on TPU), or "auto"
     # (onehot on TPU, gather elsewhere).
     lookup_mode: str = "auto"
+    # Beam combination: "sum" (the reference ADDS per-beam probabilities,
+    # monte_carlo.cpp:665-672) or "log" (product of per-beam likelihoods via
+    # summed logs — the textbook beam model; non-parity opt-in).  Measured
+    # tradeoff on 128-episode sweeps: log commits much faster (87% vs 63%
+    # confident) but overcommits to symmetric aliases (higher RMSE); raise
+    # log_temperature (divides the log-sum, ~geometric-mean tempering) to
+    # soften it and keep multimodality alive longer.
+    beam_combine: str = "sum"
+    log_temperature: float = 1.0
     # The reference quantizes ray directions to ~1 degree via an int-keyed
     # memo (monte_carlo.cpp:355-363).  We default to exact angles; set True
     # to reproduce the 1-degree quantization.

@@ -152,7 +152,8 @@ def beam_weights(m: MazeMap, particles, scan: Scan, cfg: SensorModelConfig,
                 and abs(valid_offset - m.resolution) < 1e-9
                 and not cfg.quantize_ray_deg and particles.ndim == 2
                 and jax.default_backend() == "tpu"
-                and is_concrete_map(m)):
+                and is_concrete_map(m)
+                and cfg.beam_combine == "sum"):
             return _beam_weights_pallas_vmappable(m, particles, scan, cfg,
                                                   valid_offset)
         mode = "bits"
@@ -170,8 +171,17 @@ def _beam_weights_dense(m, particles, scan, cfg, valid_offset, mode):
     p_rand = cfg.w_rand * (
         jnp.abs(observed - cfg.max_range) < cfg.rand_window
     ).astype(jnp.float32)
-    per_beam = (p_hit + p_rand) * scan.mask
-    prob = jnp.sum(per_beam, axis=-1)
+    per_beam = p_hit + p_rand
+    if cfg.beam_combine == "log":
+        # Product of per-beam likelihoods (summed logs), floored so one
+        # zero beam doesn't erase the particle.  Shift by the global max
+        # log-weight before exponentiating: at 34+ beams the raw product
+        # underflows f32 (relative weights are all resampling needs).
+        logs = jnp.sum(jnp.log(jnp.maximum(per_beam, 1e-6)) * scan.mask,
+                       axis=-1) / cfg.log_temperature
+        prob = jnp.exp(logs - jnp.max(logs))
+    else:
+        prob = jnp.sum(per_beam * scan.mask, axis=-1)
     px, py = particles[..., 0], particles[..., 1]
     if mode == "bits" and abs(valid_offset - m.resolution) < 1e-9:
         from ..maps.grid import is_inside_map

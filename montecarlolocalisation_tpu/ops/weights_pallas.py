@@ -88,6 +88,8 @@ def _weights_kernel(x_ref, y_ref, th_ref, ang_ref, obs_ref, msk_ref,
             jnp.exp(-(diff * diff) / (2.0 * sigma * sigma)) * denom, 0.0)
         p_rand = jnp.where(jnp.abs(obs - cfg.max_range) < cfg.rand_window,
                            1.0, 0.0)
+        # (log-combine mode routes through the dense path: the product
+        # needs a GLOBAL max-log shift that a per-tile kernel cannot do.)
         return prob + bmask * (cfg.w_hit * gauss + cfg.w_rand * p_rand)
 
     prob = jax.lax.fori_loop(0, num_beams, beam_body, jnp.zeros_like(x))

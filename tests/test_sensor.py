@@ -137,3 +137,27 @@ def test_simulator_noise_reproducible():
     np.testing.assert_array_equal(np.asarray(s1.ranges), np.asarray(s2.ranges))
     s3 = sensor.simulate_scan(BOX, pose, angles, CFG, key=jax.random.PRNGKey(1))
     assert not np.array_equal(np.asarray(s1.ranges), np.asarray(s3.ranges))
+
+
+def test_log_beam_combine_mode():
+    """Opt-in product-likelihood mode: positive weights, max at the truth,
+    and monotone in the sum-mode ordering near the mode."""
+    cfg = SensorModelConfig(ray_mode="dda", beam_combine="log")
+    angles = np.deg2rad(np.linspace(-120, 120, 13)).astype(np.float32)
+    true_pose = jnp.array([0.45, 0.38, 0.7])
+    scan = sensor.simulate_scan(BOX, true_pose, angles, CFG)
+    candidates = jnp.stack([
+        true_pose,
+        jnp.array([0.30, 0.50, 2.0]),
+        jnp.array([0.45, 0.38, 0.7 + np.pi]),
+    ])
+    w = np.asarray(sensor.beam_weights(BOX, candidates, scan, cfg))
+    assert (w >= 0).all() and np.isfinite(w).all()
+    assert w[0] == w.max() and w[0] > 0
+    # Max-shift normalization: the best particle gets weight 1.
+    assert w[0] == pytest.approx(1.0, rel=1e-5)
+    # Temperature softens the ratio.
+    cfg_t = SensorModelConfig(ray_mode="dda", beam_combine="log",
+                              log_temperature=4.0)
+    wt = np.asarray(sensor.beam_weights(BOX, candidates, scan, cfg_t))
+    assert wt[1] / wt[0] > w[1] / w[0]
