@@ -116,6 +116,45 @@ def plan_step_command(x_best: float, y_best: float, theta_best: float,
                 diff=diff)
 
 
+def generate_subgoals(start_xy: Tuple[float, float], plan: Sequence[int],
+                      cell_size: float = 0.8) -> List[Tuple[float, float]]:
+    """Compress a RIGHT/UP/LEFT/DOWN plan into straight-segment waypoints
+    (avf.cpp:187-222 generateSubgoals).
+
+    Runs of the same direction collapse into ONE waypoint at the segment
+    end, so the APF drives long straights instead of cell-by-cell; a U-turn
+    (opposite direction after a single step) still emits the intermediate
+    waypoint, exactly like the reference's run-length loop.  The reference's
+    avf node uses a y-up world frame (UP: y += n*cell); this repo's maze
+    world is y-down (cell_center: y from row), so UP maps to -y here —
+    same compression semantics, flipped vertical sign.
+    """
+    goals: List[Tuple[float, float]] = []
+    if len(plan) == 0:
+        return goals
+    units = {DIR_RIGHT: (1.0, 0.0), DIR_UP: (0.0, -1.0),
+             DIR_LEFT: (-1.0, 0.0), DIR_DOWN: (0.0, 1.0)}
+    x, y = float(start_xy[0]), float(start_xy[1])
+    cur = int(plan[0])
+    count = 1
+    for d in list(plan[1:]):
+        d = int(d)
+        if d == cur:
+            count += 1
+        else:
+            ux, uy = units[cur]
+            x += ux * count * cell_size
+            y += uy * count * cell_size
+            goals.append((x, y))
+            cur = d
+            count = 1
+    ux, uy = units[cur]
+    x += ux * count * cell_size
+    y += uy * count * cell_size
+    goals.append((x, y))
+    return goals
+
+
 def cell_center(row: int, col: int, cell_size: float = 0.8):
     return (col * cell_size + 0.5 * cell_size,
             row * cell_size + 0.5 * cell_size)

@@ -66,3 +66,29 @@ def execute_plan(
         rb = _run_pid(rb, cmd["local_x"], cmd["local_y"], speed, cfg)
         trace.append((float(rb.x), float(rb.y)))
     return rb, trace
+
+
+def execute_plan_subgoals(
+    rb: R.RobotState, plan: Sequence[int], cfg: FilterConfig,
+    speed: float = 6.0, pose_provider=None, max_ticks: int = 1200,
+) -> Tuple[R.RobotState, List[Tuple[float, float]]]:
+    """Subgoal-compressed plan execution (avf.cpp:187-222 + :224-356).
+
+    The reference's APF node first collapses the plan into straight-segment
+    waypoints via generateSubgoals, then drives each subgoal with ONE local
+    motion instead of cell-by-cell hops.  Here each compressed segment
+    becomes one PID drive of the world-frame delta rotated into the robot
+    frame (executor.world_to_local).  Returns (final robot, one trace entry
+    PER SUBGOAL) — a 5-straight plan issues exactly one drive.
+    """
+    trace: List[Tuple[float, float]] = []
+    if pose_provider is None:
+        pose_provider = lambda r: (float(r.x), float(r.y), float(r.theta))
+    x, y, _ = pose_provider(rb)
+    subgoals = executor.generate_subgoals((x, y), plan)
+    for gx, gy in subgoals:
+        x, y, th = pose_provider(rb)
+        lx, ly = executor.world_to_local(gx - x, gy - y, th)
+        rb = _run_pid(rb, lx, ly, speed, cfg, max_ticks=max_ticks)
+        trace.append((float(rb.x), float(rb.y)))
+    return rb, trace

@@ -52,3 +52,23 @@ def test_pose_provider_hook(maze):
         rb, [DIR_RIGHT], cfg, pose_provider=provider)
     assert calls, "pose provider not consulted"
     assert np.hypot(trace[0][0] - 2.8, trace[0][1] - 2.0) < 0.1
+
+
+def test_subgoal_executor_one_drive_for_straight_plan(maze):
+    # A 4-straight plan must issue ONE drive (one trace entry), not four,
+    # and land at the compressed segment end (avf.cpp generateSubgoals).
+    cfg = FilterConfig()
+    rb = R.make_robot(0.4, 2.0, 0.0)  # row 2 is an open corridor
+    rb, trace = plan_exec.execute_plan_subgoals(rb, [DIR_RIGHT] * 4, cfg)
+    assert len(trace) == 1, trace
+    assert np.hypot(trace[0][0] - (0.4 + 4 * 0.8), trace[0][1] - 2.0) < 0.15
+
+
+def test_subgoal_executor_l_path(maze):
+    cfg = FilterConfig()
+    rb = R.make_robot(2.0, 2.0, 0.0)
+    plan = [DIR_RIGHT, DIR_DOWN, DIR_DOWN]
+    rb, trace = plan_exec.execute_plan_subgoals(rb, plan, cfg)
+    assert len(trace) == 2, trace
+    gx, gy = trace[-1]
+    assert np.hypot(gx - 2.8, gy - (2.0 + 1.6)) < 0.2

@@ -163,3 +163,68 @@ def test_bfs_ragged_padded_cells_unreachable():
     # direct (both cells open).
     p = bfs.bfs_path(t, (0, 0), (0, 1))
     assert (1, 1) not in p
+
+
+def test_simplify_path_identity_on_grid_paths():
+    # Reference quirk (moveToPosition_server.cpp:287-312): simplifyPath's
+    # skip test is GRAPH adjacency, and buildGraphFromWallArray only ever
+    # produces one-step edges — so a skip of >= 2 cells is never adjacent
+    # and the function is an identity on any valid grid path (straight
+    # lines included).  Likely why the reference never calls it.
+    walls = np.zeros((1, 5, 4), dtype=np.uint8)
+    path = [(0, c) for c in range(5)]
+    assert bfs.simplify_path(walls, path) == path
+
+
+def test_simplify_path_short_paths_unchanged():
+    walls = np.zeros((2, 2, 4), dtype=np.uint8)
+    assert bfs.simplify_path(walls, []) == []
+    assert bfs.simplify_path(walls, [(0, 0)]) == [(0, 0)]
+    assert bfs.simplify_path(walls, [(0, 0), (0, 1)]) == [(0, 0), (0, 1)]
+
+
+def test_simplify_path_keeps_turns():
+    # L-shaped path in an open grid: (0,0)->(0,1)->(1,1).  The skip pair
+    # (0,0)->(1,1) is NOT adjacent (diagonal), so the corner survives.
+    walls = np.zeros((2, 2, 4), dtype=np.uint8)
+    path = [(0, 0), (0, 1), (1, 1)]
+    assert bfs.simplify_path(walls, path) == path
+
+
+def test_simplify_path_reference_semantics_on_maze():
+    # On the real maze the simplified path's consecutive pairs are NOT
+    # required to be adjacent (reference keeps only turn anchors); the
+    # original endpoints survive and the output is a subsequence.
+    p = bfs.bfs_path(WALLS, (0, 0), (5, 5))
+    s = bfs.simplify_path(WALLS, p)
+    assert s[0] == p[0] and s[-1] == p[-1]
+    it = iter(p)
+    assert all(node in it for node in s), "not a subsequence"
+    assert len(s) <= len(p)
+
+
+def test_generate_subgoals_compresses_straights():
+    # RR UUU L from (0.4, 0.4): three segments -> three waypoints at the
+    # segment ends (avf.cpp:187-222; y-down world so UP is -y).
+    plan = [DIR_RIGHT, DIR_RIGHT, DIR_UP, DIR_UP, DIR_UP, DIR_LEFT]
+    goals = executor.generate_subgoals((0.4, 0.4), plan)
+    want = [(2.0, 0.4), (2.0, -2.0), (1.2, -2.0)]
+    assert len(goals) == 3
+    for (gx, gy), (wx, wy) in zip(goals, want):
+        assert abs(gx - wx) < 1e-6 and abs(gy - wy) < 1e-6
+
+
+def test_generate_subgoals_uturn_and_empty():
+    assert executor.generate_subgoals((0.0, 0.0), []) == []
+    # U-turn RIGHT then LEFT: the intermediate waypoint at the far end is
+    # emitted before doubling back (the count==1 opposite-direction case
+    # the reference's comment calls out).
+    goals = executor.generate_subgoals((0.0, 0.0), [DIR_RIGHT, DIR_LEFT])
+    assert len(goals) == 2
+    assert abs(goals[0][0] - 0.8) < 1e-6 and abs(goals[0][1]) < 1e-6
+    assert abs(goals[1][0]) < 1e-6 and abs(goals[1][1]) < 1e-6
+
+
+def test_generate_subgoals_single_run():
+    goals = executor.generate_subgoals((0.4, 0.4), [DIR_DOWN] * 4)
+    assert goals == [(0.4, 0.4 + 4 * 0.8)]
