@@ -16,6 +16,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..config import FilterConfig
+from ..maps import symmetry as _sym
 from ..maps.grid import MazeMap
 from ..models import filter as mcl
 from ..sim import robot
@@ -107,8 +108,16 @@ def run_multimap_sweep(
     return fn(maps_b, keys)
 
 
-def sweep_rmse(final_states: mcl.MCLState, true_poses) -> dict:
-    """Batch convergence metrics for a sweep (pose RMSE on final tick)."""
+def sweep_rmse(final_states: mcl.MCLState, true_poses, sym=None,
+               tol_xy: float = 0.4) -> dict:
+    """Batch convergence metrics for a sweep (pose RMSE on final tick).
+
+    With `sym` (a maps.symmetry.SymmetryGroup), adds alias-aware metrics:
+    the maze's isometry group makes global localization ambiguous up to the
+    group, so `alias_*` measure error against the BEST alias of the truth
+    and `alias_converged_frac` counts episodes confident AND within tol_xy
+    of any alias — the physically meaningful convergence rate.
+    """
     best = final_states.best_pose                      # [E, 3]
     truth = jnp.asarray(true_poses)[:, -1, :]          # [E, 3]
     ok = best[:, 0] >= 0
@@ -117,8 +126,22 @@ def sweep_rmse(final_states: mcl.MCLState, true_poses) -> dict:
         jnp.nan)
     dth = jnp.arctan2(jnp.sin(best[:, 2] - truth[:, 2]),
                       jnp.cos(best[:, 2] - truth[:, 2]))
-    return dict(
+    out = dict(
         converged_frac=jnp.mean(ok.astype(jnp.float32)),
         rmse_xy=jnp.sqrt(jnp.nanmean(err**2)),
         rmse_theta=jnp.sqrt(jnp.nanmean(jnp.where(ok, dth, jnp.nan) ** 2)),
     )
+    if sym is not None:
+        ae = _sym.alias_errors(best, truth, sym)
+        a_err = jnp.where(ok, ae["err_xy"], jnp.nan)
+        out.update(
+            alias_rmse_xy=jnp.sqrt(jnp.nanmean(a_err**2)),
+            alias_rmse_theta=jnp.sqrt(jnp.nanmean(
+                jnp.where(ok, ae["err_theta"], jnp.nan) ** 2)),
+            alias_converged_frac=jnp.mean(
+                (ok & (ae["err_xy"] < tol_xy)).astype(jnp.float32)),
+            true_mode_frac=jnp.mean(
+                (ok & (ae["alias_idx"] == 0)
+                 & (ae["err_xy"] < tol_xy)).astype(jnp.float32)),
+        )
+    return out

@@ -37,10 +37,8 @@ def maze():
 
 @pytest.fixture(scope="module")
 def episode(maze):
-    # Global localization in a symmetric maze with a 1 m LIDAR is genuinely
-    # multi-modal; this seed/start is a verified-converging configuration
-    # (the filter, like the reference, can lock onto symmetric aliases on
-    # uninformative trajectories).
+    # Used by the (seed-robust) tracking test; sweep-level convergence
+    # assertions over unpinned seeds live in test_sweep_convergence.py.
     enc, ranges, poses = robot.generate_wander_episode(
         jax.random.PRNGKey(7), maze, CFG, ANGLES, num_ticks=200,
         start_pose=(2.05, 2.05, 0.0))
@@ -60,51 +58,6 @@ def test_step_shapes_and_finiteness(maze):
     # First tick from cold start: confidence 0 < 0.8 -> lost transition.
     assert int(out.song) == 1
     assert int(out.wanderer_cmd) == mcl.WANDERER_START
-
-
-def test_episode_converges_to_truth(maze, episode):
-    enc, ranges, poses = episode
-    st = mcl.init_state(jax.random.PRNGKey(1), maze, CFG)
-    run = jax.jit(functools.partial(mcl.run_episode, m=maze, cfg=CFG))
-    final, outs = run(st, enc, ranges, ANGLES)
-    true_final = np.asarray(poses[-1])
-    best = np.asarray(final.best_pose)
-    assert float(final.confidence) > 0.5, "filter never became confident"
-    assert best[0] >= 0, "best pose still sentinel"
-    err = np.hypot(best[0] - true_final[0], best[1] - true_final[1])
-    assert err < 0.2, f"position error {err:.3f} m vs truth {true_final}"
-    dtheta = np.arctan2(np.sin(best[2] - true_final[2]),
-                        np.cos(best[2] - true_final[2]))
-    assert abs(dtheta) < 0.35, f"heading error {np.degrees(dtheta):.1f} deg"
-
-
-def test_episode_emits_recovery_events(maze, episode):
-    enc, ranges, _ = episode
-    st = mcl.init_state(jax.random.PRNGKey(1), maze, CFG)
-    run = jax.jit(functools.partial(mcl.run_episode, m=maze, cfg=CFG))
-    _, outs = run(st, enc, ranges, ANGLES)
-    songs = np.asarray(outs.song)
-    assert (songs == 1).any(), "no lost song"
-    assert (songs == 2).any(), "no recovered song"
-    # After recovery the wanderer must be commanded to stop.
-    rec = np.argmax(songs == 2)
-    assert int(np.asarray(outs.wanderer_cmd)[rec]) == mcl.WANDERER_STOP
-
-
-def test_systematic_resampling_also_converges(maze, episode):
-    enc, ranges, poses = episode
-    cfg = FilterConfig(
-        num_particles=500,
-        sensor=SensorModelConfig(ray_mode="dda"),
-        resample=ResampleConfig(method="systematic"))
-    st = mcl.init_state(jax.random.PRNGKey(2), maze, cfg)
-    run = jax.jit(functools.partial(mcl.run_episode, m=maze, cfg=cfg))
-    final, _ = run(st, enc, ranges, ANGLES)
-    true_final = np.asarray(poses[-1])
-    best = np.asarray(final.best_pose)
-    assert float(final.confidence) > 0.5
-    err = np.hypot(best[0] - true_final[0], best[1] - true_final[1])
-    assert err < 0.3
 
 
 def test_tracking_from_known_pose(maze, episode):

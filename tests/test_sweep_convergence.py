@@ -1,0 +1,107 @@
+"""Sweep-level convergence: unpinned seeds, statistical assertions.
+
+Replaces the round-1 pinned-seed convergence tests: instead of asserting
+that one hand-verified seed converges, run a 16-episode vmapped sweep over
+arbitrary seeds and assert on the CONVERGENCE FRACTION (the quantity that
+actually regresses when filter math breaks).  Alias-aware metrics
+(maps/symmetry) make the assertion robust on symmetric mazes; the default
+maze is globally asymmetric, so aliases there are local lock-ins counted
+as failures — the measured rate is ~87%, asserted at >= 60%.
+"""
+import functools
+import os.path as osp
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from montecarlolocalisation_tpu.config import (
+    FilterConfig, ResampleConfig, SensorModelConfig,
+)
+from montecarlolocalisation_tpu.maps import from_map_file, symmetry
+from montecarlolocalisation_tpu.models import filter as mcl
+from montecarlolocalisation_tpu.parallel import episodes
+
+MAP_PATH = osp.join(osp.dirname(__file__), "..", "montecarlolocalisation_tpu",
+                    "maps", "default_map.txt")
+CFG = FilterConfig(
+    num_particles=500,
+    sensor=SensorModelConfig(ray_mode="dda", beam_skip=20),
+)
+ANGLES = np.deg2rad(np.linspace(-118, 118, 24)).astype(np.float32)
+BATCH = 16
+
+
+@pytest.fixture(scope="module")
+def maze():
+    return from_map_file(MAP_PATH)
+
+
+@pytest.fixture(scope="module")
+def sym(maze):
+    return symmetry.maze_symmetries(np.asarray(maze.walls))
+
+
+@pytest.fixture(scope="module")
+def sim_batch(maze):
+    return episodes.simulate_episode_batch(
+        jax.random.PRNGKey(0), maze, CFG, ANGLES, num_ticks=200,
+        batch=BATCH, start_pose=(2.05, 2.05, 0.0))
+
+
+@pytest.fixture(scope="module")
+def sweep(maze, sim_batch):
+    enc, ranges, poses = sim_batch
+    final, outs = episodes.run_episode_batch(
+        jax.random.PRNGKey(1), maze, CFG, enc, ranges, ANGLES)
+    return final, outs, poses
+
+
+def test_sweep_convergence_fraction(sweep, sym):
+    final, _, poses = sweep
+    m = episodes.sweep_rmse(final, poses, sym=sym)
+    frac = float(m["alias_converged_frac"])
+    assert frac >= 0.6, f"only {frac:.0%} of {BATCH} seeds converged"
+    # Converged episodes must be accurate (alias RMSE over confident ones
+    # is dominated by the non-converged tail; gate the converged subset).
+    best = np.asarray(final.best_pose)
+    truth = np.asarray(poses)[:, -1, :]
+    ae = symmetry.alias_errors(jnp.asarray(best), jnp.asarray(truth), sym)
+    err = np.asarray(ae["err_xy"])
+    ok = (best[:, 0] >= 0) & (err < 0.4)
+    assert np.sqrt((err[ok] ** 2).mean()) < 0.25
+
+
+def test_sweep_emits_recovery_events(sweep):
+    """Every converged episode must have emitted the lost song (1) and then
+    the recovered song (2) with a wanderer stop at recovery — the
+    reference's hysteresis contract (monte_carlo.cpp:1030-1081), asserted
+    across the sweep instead of on one seed."""
+    final, outs, poses = sweep
+    songs = np.asarray(outs.song)                  # [E, T]
+    wcmd = np.asarray(outs.wanderer_cmd)
+    best = np.asarray(final.best_pose)
+    conv = best[:, 0] >= 0
+    assert conv.any()
+    for e in np.nonzero(conv)[0]:
+        s = songs[e]
+        assert (s == 1).any(), f"episode {e}: no lost song"
+        assert (s == 2).any(), f"episode {e}: no recovered song"
+        rec = np.argmax(s == 2)
+        assert int(wcmd[e, rec]) == mcl.WANDERER_STOP
+
+
+def test_sweep_systematic_resampling(maze, sim_batch, sym):
+    """The production (systematic) resampler must match multinomial's
+    sweep-level convergence, not just one seed's."""
+    enc, ranges, poses = sim_batch
+    cfg = FilterConfig(
+        num_particles=500,
+        sensor=SensorModelConfig(ray_mode="dda", beam_skip=20),
+        resample=ResampleConfig(method="systematic"))
+    final, _ = episodes.run_episode_batch(
+        jax.random.PRNGKey(2), maze, cfg, enc, ranges, ANGLES)
+    m = episodes.sweep_rmse(final, poses, sym=sym)
+    frac = float(m["alias_converged_frac"])
+    assert frac >= 0.6, f"systematic: only {frac:.0%} converged"

@@ -1,0 +1,103 @@
+"""Maze symmetry group: detection, physical validity, alias metrics."""
+import os.path as osp
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from montecarlolocalisation_tpu.config import FilterConfig, SensorModelConfig
+from montecarlolocalisation_tpu.maps import from_map_file, maze, symmetry
+from montecarlolocalisation_tpu.models import sensor
+
+MAP_PATH = osp.join(osp.dirname(__file__), "..", "montecarlolocalisation_tpu",
+                    "maps", "default_map.txt")
+WALLS = maze.walls_to_tensor(maze.load_map_file(MAP_PATH))
+
+
+@pytest.fixture(scope="module")
+def grid():
+    return from_map_file(MAP_PATH)
+
+
+@pytest.fixture(scope="module")
+def sym():
+    return symmetry.maze_symmetries(WALLS)
+
+
+def test_identity_always_present(sym):
+    assert sym.names[0] == "id"
+    np.testing.assert_allclose(sym.M[0], np.eye(2))
+    np.testing.assert_allclose(sym.t[0], 0.0)
+    assert sym.s[0] == 1.0 and sym.dth[0] == 0.0
+
+
+def test_group_closure_on_walls(sym):
+    # Every detected element must preserve the wall tensor by construction;
+    # re-verify via the pose action on cell centers: centers map to centers.
+    cell = 0.8
+    rows, cols = WALLS.shape[:2]
+    centers = np.stack(np.meshgrid(
+        np.arange(cols) * cell + 0.4, np.arange(rows) * cell + 0.4),
+        axis=-1).reshape(-1, 2)
+    poses = np.concatenate([centers, np.zeros((len(centers), 1))], axis=-1)
+    aliased = np.asarray(sym.apply(jnp.asarray(poses, jnp.float32)))
+    for g in range(sym.size):
+        pts = aliased[:, g, :2]
+        # Each image point is again a cell center.
+        snapped = np.round((pts - 0.4) / cell) * cell + 0.4
+        np.testing.assert_allclose(pts, snapped, atol=1e-4)
+        assert (pts > 0).all() and (pts < max(rows, cols) * cell).all()
+
+
+def test_symmetries_are_physical(grid, sym):
+    """The real check: a simulated scan at pose p equals the scan at g(p)
+    for every detected symmetry (the world truly looks identical)."""
+    cfg = SensorModelConfig(ray_mode="dda")
+    angles = np.deg2rad(np.linspace(-118, 118, 16)).astype(np.float32)
+    poses = jnp.asarray([[1.23, 0.61, 0.37],
+                         [2.81, 2.17, -1.9],
+                         [4.03, 1.31, 2.4]], jnp.float32)
+    aliased = sym.apply(poses)                    # [P, G, 3]
+    for p in range(poses.shape[0]):
+        ref = sensor.simulate_scan(grid, poses[p], angles, cfg)
+        for g in range(1, sym.size):
+            got = sensor.simulate_scan(grid, aliased[p, g], angles, cfg)
+            np.testing.assert_allclose(
+                np.asarray(got.ranges), np.asarray(ref.ranges), atol=0.15,
+                err_msg=f"symmetry {sym.names[g]} is not physical")
+
+
+def test_nonsymmetric_map_keeps_identity_only():
+    w = np.array(WALLS).copy()
+    # Knock a hole in one outer wall: breaks every nontrivial symmetry
+    # candidate that survived for the default maze.
+    sym0 = symmetry.maze_symmetries(WALLS)
+    if sym0.size == 1:
+        pytest.skip("default maze already asymmetric")
+    w[0, 0, 1] = 1 - w[0, 0, 1]
+    s = symmetry.maze_symmetries(w)
+    assert s.names == ("id",)
+
+
+def test_alias_errors_pick_best_alias(sym):
+    if sym.size == 1:
+        pytest.skip("default maze asymmetric; alias test vacuous")
+    truth = jnp.asarray([1.23, 0.61, 0.37], jnp.float32)
+    aliases = np.asarray(sym.apply(truth))
+    # A best_pose sitting exactly on alias g must yield ~zero error, alias g.
+    for g in range(sym.size):
+        ae = symmetry.alias_errors(
+            jnp.asarray(aliases[g]), truth, sym)
+        assert float(ae["err_xy"]) < 1e-4
+        assert float(ae["err_theta"]) < 1e-4
+        assert int(ae["alias_idx"]) == g
+
+
+def test_alias_errors_batched(sym):
+    truth = jnp.asarray(np.random.RandomState(0).uniform(
+        0.5, 4.0, (5, 3)), jnp.float32)
+    best = truth + 0.05
+    ae = symmetry.alias_errors(best, truth, sym)
+    assert ae["err_xy"].shape == (5,)
+    assert (np.asarray(ae["err_xy"]) < 0.12).all()
