@@ -114,6 +114,10 @@ class ResampleConfig:
     # "multinomial" matches the reference CDF + lower_bound draw (:513-555);
     # "systematic" is the low-variance production path.
     method: str = "multinomial"
+    # Systematic-draw expansion backend: "auto" picks the Pallas streamed
+    # kernel (ops/expand_pallas) on TPU at n >= 2048, else the XLA
+    # scatter+cummax+gather path; "pallas"/"xla" force one.
+    expand: str = "auto"
 
 
 @dataclasses.dataclass(frozen=True)

@@ -26,6 +26,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import FilterConfig, InitConfig, ResampleConfig
+from ..ops.expand_pallas import offspring_counts
 from ..maps.grid import MazeMap, cell_center
 from ..utils.angles import normalize_angle
 
@@ -77,7 +78,7 @@ def systematic_indices(cdf, u0):
     Output is IDENTICAL to searchsorted(cdf, u, side='left').
     """
     n = cdf.shape[0]
-    c = jnp.clip(jnp.floor(n * cdf - u0).astype(jnp.int32) + 1, 0, n)
+    c = offspring_counts(cdf, u0)
     starts = jnp.concatenate([jnp.zeros((1,), jnp.int32), c[:-1]])
     has_offspring = c > starts
     ids = jnp.arange(n, dtype=jnp.int32)
@@ -85,6 +86,38 @@ def systematic_indices(cdf, u0):
     out = jnp.zeros((n,), jnp.int32).at[scatter_pos].max(
         ids, mode="drop")
     return jax.lax.cummax(out)
+
+
+def _systematic_draw(particles, cdf, u0, expand_mode: str):
+    """drawn[k] = particles[systematic index k], fast-path dispatched.
+
+    On TPU the Pallas streamed-expansion kernel (ops/expand_pallas) replaces
+    the scatter+cummax+gather chain (~14 ms -> ~4.5 ms at 1M on v5e, output
+    verified bit-identical on chip).  Under vmap (episode batching) the
+    kernel cannot batch, so a custom_vmap rule falls back to the XLA path —
+    same trick as sensor._beam_weights_pallas_vmappable.
+    """
+    n = particles.shape[0]
+    use_pallas = expand_mode == "pallas" or (
+        expand_mode == "auto" and jax.default_backend() == "tpu"
+        and n >= 2048 and particles.ndim == 2)
+    if not use_pallas:
+        return particles[systematic_indices(cdf, u0)]
+
+    from ..ops.expand_pallas import systematic_expand
+
+    @jax.custom_batching.custom_vmap
+    def fn(p, cdf_, u0_):
+        return systematic_expand(p, cdf_, u0_)
+
+    @fn.def_vmap
+    def _rule(axis_size, in_batched, p, cdf_, u0_):
+        in_axes = [0 if b else None for b in in_batched]
+        out = jax.vmap(lambda pp, cc, uu: pp[systematic_indices(cc, uu)],
+                       in_axes=in_axes)(p, cdf_, u0_)
+        return out, True
+
+    return fn(particles, cdf, u0)
 
 
 def _regime(jitter_state, cfg: ResampleConfig):
@@ -131,10 +164,11 @@ def resample(
         inject_r = r
         # CDF draw (lower_bound == side='left'), clipped for fp round-off.
         idx = jnp.clip(jnp.searchsorted(cdf, r, side="left"), 0, n - 1)
+        drawn = particles[idx]
     elif rcfg.method == "systematic":
         u0 = jax.random.uniform(k_draw, ())
         inject_r = jax.random.uniform(k_inj, (n,))
-        idx = systematic_indices(cdf, u0)
+        drawn = _systematic_draw(particles, cdf, u0, rcfg.expand)
     else:
         raise ValueError(f"unknown resample method {rcfg.method!r}")
 
@@ -142,7 +176,6 @@ def resample(
     bern = inject_r < p_inject
     inject = bern & (jnp.cumsum(bern) <= p["max_injection"])
     n_injected = jnp.sum(inject)
-    drawn = particles[idx]
     jx = jax.random.uniform(k_jx, (n,), minval=-1.0, maxval=1.0) * p["jitter_xy"]
     jy = jax.random.uniform(k_jy, (n,), minval=-1.0, maxval=1.0) * p["jitter_xy"]
     jt = jax.random.uniform(k_jt, (n,), minval=-1.0, maxval=1.0) * p["jitter_theta"]

@@ -1,0 +1,173 @@
+"""Pallas TPU kernel: systematic-resampling expansion without scatter/gather.
+
+The resampling hot spot (monte_carlo.cpp:497-527's draw loop, vectorized) is
+the monotone expansion  drawn[k] = particles[idx[k]]  where
+idx = searchsorted(cdf, (k + u0)/N).  The XLA formulation (scatter-max +
+cummax + gather, models/resample.systematic_indices) costs ~14 ms at 1M on
+a v5e because TPU lowers scatter/gather to per-element loops.
+
+This kernel never materializes idx.  Offspring counts
+    c_i = clip(floor(N*cdf_i - u0) + 1, 0, N)
+are elementwise; source particle i owns the contiguous output interval
+[c_{i-1}, c_i).  The kernel walks output tiles (sequential TPU grid) with a
+carried source-chunk cursor in SMEM; for each (output tile, source chunk)
+pair it builds the 0/1 interval matrix
+    M[k, p] = (c_prev[p] <= k) & (k < c[p])
+(per output row exactly one hit) and accumulates
+    out[:, k] += sum_p vals[:, p] * M[k, p]
+on the MXU — a gather expressed as a one-hot matmul, the canonical TPU
+idiom.  Total chunk pairs <= 2*N/CHUNK, so the walk does ~2x minimal work.
+
+Layout trick: counts ride as two extra f32 ROWS (6: c_prev, 7: c) of the
+[8, CHUNK] values chunk, so each chunk is one aligned DMA and the interval
+compare is a natural [1, 1024] lane-broadcast (a [1024, 1] column layout is
+not DMA-able on TPU: lane dims must align to 128).  f32 holds counts
+exactly up to 2^24 (N <= 16.7M).
+
+Exactness: each output row of M selects one particle value times 1.0 plus
+zeros, so results are bit-identical to
+particles[systematic_indices(cdf, u0)].
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+CHUNK = 256  # sources per chunk = outputs per tile; interval-compare and
+# one-hot matmul work both scale with N*CHUNK, so smaller chunks are
+# cheaper until per-chunk DMA latency dominates; 256 measured best on v5e
+# inside the composed MCL step (512: +1.2 ms, 128: +5.9 ms at 1M).
+MAX_N = 1 << 24  # count rows ride as exact f32
+
+
+def offspring_counts(cdf, u0):
+    """Cumulative offspring counts c_i = #{k : (k+u0)/N <= cdf_i}.
+
+    The cummax guards against XLA's parallel-scan cumsum producing a
+    1-ulp NON-monotone cdf (observed ~1/1M on TPU): without it, inverted
+    count pairs make two sources claim one output slot and this kernel
+    would sum both particles into that output.
+    """
+    n = cdf.shape[0]
+    c = jnp.clip(jnp.floor(n * cdf - u0).astype(jnp.int32) + 1, 0, n)
+    return jax.lax.cummax(c)
+
+
+def _expand_kernel(c_last_ref, v_ref, out_ref, cur_ref, vbuf, sem,
+                   *, num_chunks: int):
+    j = pl.program_id(0)
+    base = j * CHUNK
+    limit = base + CHUNK
+
+    @pl.when(j == 0)
+    def _():
+        cur_ref[0] = 0
+
+    t0 = cur_ref[0]
+
+    def chunk_start(t):
+        # Outputs covered by chunk t begin at the cumulative count through
+        # chunk t-1 (0 for the first chunk).
+        return jnp.where(t > 0, c_last_ref[jnp.maximum(t - 1, 0)], 0)
+
+    def needed(t):
+        return (t < num_chunks) & (chunk_start(t) < limit)
+
+    def start_dma(t):
+        pltpu.make_async_copy(
+            v_ref.at[t], vbuf.at[t % 2], sem.at[t % 2]).start()
+
+    # Loop-invariant output-row index matrix.
+    kk = (jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 0)
+          + base).astype(jnp.float32)
+
+    def cond(carry):
+        t, _ = carry
+        return needed(t)
+
+    def body(carry):
+        # Invariant: the DMA for chunk t is in flight on entry.
+        t, acc = carry
+        pltpu.make_async_copy(
+            v_ref.at[t], vbuf.at[t % 2], sem.at[t % 2]).wait()
+
+        @pl.when(needed(t + 1))
+        def _():
+            start_dma(t + 1)
+
+        vb = vbuf[t % 2]                               # [8, CHUNK]
+        cprow = vb[6:7, :]                             # [1, CHUNK] c_prev
+        crow = vb[7:8, :]                              # [1, CHUNK] c
+        m = ((kk >= cprow) & (kk < crow)).astype(jnp.float32)  # [k, p]
+        # HIGHEST = multi-pass bf16 decomposition; with a 0/1 selection
+        # matrix each pass is an exact select, so the f32 reconstruction is
+        # bit-exact (default precision bf16-rounds the copied particles).
+        acc = acc + jax.lax.dot_general(
+            vb, m, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
+        return t + 1, acc
+
+    @pl.when(needed(t0))
+    def _():
+        start_dma(t0)
+
+    t_end, acc = jax.lax.while_loop(
+        cond, body, (t0, jnp.zeros((8, CHUNK), jnp.float32)))
+    out_ref[:] = acc
+    # Next tile resumes at the first chunk not fully consumed by this one.
+    last = jnp.maximum(t_end - 1, 0)
+    cur_ref[0] = jnp.where(c_last_ref[last] > limit, last, t_end)
+
+
+def systematic_expand(particles, cdf, u0, interpret: bool = False):
+    """drawn[k] = particles[searchsorted(cdf, (k+u0)/N, 'left')], fused.
+
+    particles [N, D] f32 (D <= 6), cdf [N] f32 monotone to 1, u0 scalar in
+    [0, 1).  Bit-exact match of the scatter/cummax/gather path.
+    """
+    n, d = particles.shape
+    assert d <= 6 and n <= MAX_N
+    c = offspring_counts(cdf, u0)
+    pad = (-n) % CHUNK
+    np_ = n + pad
+    t_chunks = np_ // CHUNK
+    # Padded sources get the empty interval [n, n).
+    c_pad = jnp.pad(c, (0, pad), constant_values=n)
+    cp_pad = jnp.concatenate([jnp.zeros((1,), jnp.int32), c_pad[:-1]])
+    c_last = c_pad.reshape(t_chunks, CHUNK)[:, -1]
+    # Chunk layout [T, 8, CHUNK]: rows 0..d-1 values, 6 c_prev, 7 c (f32).
+    vals = jnp.concatenate(
+        [
+            jnp.pad(particles, ((0, pad), (0, 6 - d))),
+            cp_pad[:, None].astype(jnp.float32),
+            c_pad[:, None].astype(jnp.float32),
+        ],
+        axis=1,
+    )
+    v3 = vals.reshape(t_chunks, CHUNK, 8).transpose(0, 2, 1)
+
+    kernel = functools.partial(_expand_kernel, num_chunks=t_chunks)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(t_chunks,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],   # v3 (manual DMA)
+        out_specs=pl.BlockSpec((8, CHUNK), lambda j, *_: (0, j),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.SMEM((1,), jnp.int32),              # source-chunk cursor
+            pltpu.VMEM((2, 8, CHUNK), jnp.float32),   # double buffer
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((8, np_), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(c_last, v3)
+    return out[:d, :n].T

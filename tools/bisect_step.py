@@ -90,6 +90,24 @@ def main() -> None:
                 cluster_threshold=state.cluster_threshold,
                 confident_threshold=state.confident_threshold,
                 best_pose=best, key=key)
+    elif v == "res_lib":
+        @jax.jit
+        def step(state, el, er, ranges):
+            sc = sensor.Scan(angles=jnp.asarray(angles), ranges=ranges,
+                             mask=jnp.ones_like(ranges, dtype=bool))
+            key, k_m, k_r, k_c = jax.random.split(state.key, 4)
+            odom, parts = motion.motion_update(
+                k_m, state.particles, state.odom, el, er, cfg.motion)
+            w = sensor.beam_weights(maze, parts, sc, cfg.sensor,
+                                    cfg.valid_pos_offset)
+            parts, w, inj, _ = resample.resample(
+                k_r, parts, w, state.inj, state.was_lost, maze, cfg)
+            return mcl.MCLState(
+                particles=parts, weights=w, odom=odom, inj=inj,
+                confidence=state.confidence, was_lost=state.was_lost,
+                cluster_threshold=state.cluster_threshold,
+                confident_threshold=state.confident_threshold,
+                best_pose=state.best_pose, key=key)
     elif v.startswith("res_"):
         sub = v[4:]  # knockout: full, noidx, nogather, nofresh, nojitter
         from montecarlolocalisation_tpu.utils.angles import normalize_angle
@@ -118,16 +136,31 @@ def main() -> None:
             k_draw, k_inj, k_jx, k_jy, k_jt, k_fresh = jax.random.split(
                 k_r, 6)
             u0 = jax.random.uniform(k_draw, ())
-            if sub == "noidx":
+            inject_r = jax.random.uniform(k_inj, (n,))
+            if sub == "pallas":
+                from montecarlolocalisation_tpu.ops.expand_pallas import (
+                    systematic_expand,
+                )
+                idx = None
+            elif sub == "noidx":
                 idx = jnp.minimum(
                     jnp.arange(n, dtype=jnp.int32),
                     (cdf[-1] * n).astype(jnp.int32))
+            elif sub == "barrier":
+                cdf = jax.lax.optimization_barrier(cdf)
+                idx = resample.systematic_indices(cdf, u0)
+                idx = jax.lax.optimization_barrier(idx)
             else:
                 idx = resample.systematic_indices(cdf, u0)
-            inject_r = jax.random.uniform(k_inj, (n,))
             bern = inject_r < p_inject
             inject = bern & (jnp.cumsum(bern) <= p["max_injection"])
-            drawn = parts if sub == "nogather" else parts[idx]
+            n_injected = jnp.sum(inject)
+            if sub == "pallas":
+                drawn = systematic_expand(parts, cdf, u0)
+            elif sub == "nogather":
+                drawn = parts
+            else:
+                drawn = parts[idx]
             if sub != "nojitter":
                 jx = jax.random.uniform(
                     k_jx, (n,), minval=-1.0, maxval=1.0) * p["jitter_xy"]
@@ -144,8 +177,10 @@ def main() -> None:
                 fresh = resample.sample_uniform_particles(
                     k_fresh, maze, n, cfg.init)
                 parts = jnp.where(inject[:, None], fresh, drawn)
+            parts = parts + 0.0 * n_injected.astype(jnp.float32)
             return mcl.MCLState(
-                particles=parts, weights=jnp.full((n,), 1.0 / n),
+                particles=parts,
+                weights=jnp.full((n,), 1.0 / n, dtype=jnp.float32),
                 odom=odom, inj=resample.InjectionState(w_slow, w_fast),
                 confidence=state.confidence,
                 was_lost=state.was_lost,
