@@ -138,8 +138,9 @@ def beam_weights(m: MazeMap, particles, scan: Scan, cfg: SensorModelConfig,
 
     (monte_carlo.cpp:623-682).  Invalid positions get exactly 0.
 
-    Backend dispatch (cfg.lookup_mode): on TPU with the fixed ray mode the
-    whole computation runs as one fused Pallas kernel (ops/weights_pallas);
+    Backend dispatch (cfg.lookup_mode): on TPU with ray_mode "fixed" or
+    "analytic" (gridline rasters) the whole computation runs as one fused
+    Pallas kernel (ops/weights_pallas) for both beam-combine modes;
     otherwise XLA gather (CPU) or MXU one-hot lookups.
     """
     from ..ops.bitlookup import is_concrete_map
@@ -148,18 +149,36 @@ def beam_weights(m: MazeMap, particles, scan: Scan, cfg: SensorModelConfig,
     if mode == "auto":
         mode = "pallas" if jax.default_backend() == "tpu" else "gather"
     if mode == "pallas":
-        if (cfg.ray_mode == "fixed"
-                and abs(valid_offset - m.resolution) < 1e-9
-                and not cfg.quantize_ray_deg and particles.ndim == 2
-                and jax.default_backend() == "tpu"
-                and is_concrete_map(m)
-                and cfg.beam_combine == "sum"):
+        kernel_ok = (abs(valid_offset - m.resolution) < 1e-9
+                     and particles.ndim == 2
+                     and jax.default_backend() == "tpu"
+                     and is_concrete_map(m)
+                     and cfg.beam_combine in ("sum", "log"))
+        if kernel_ok:
+            if cfg.ray_mode == "analytic":
+                from ..ops.analytic import AnalyticCasterCache
+
+                kernel_ok = AnalyticCasterCache.get(m) is not None
+            else:
+                kernel_ok = cfg.ray_mode == "fixed"
+        if kernel_ok:
             return _beam_weights_pallas_vmappable(m, particles, scan, cfg,
                                                   valid_offset)
         mode = "bits"
     if mode == "bits" and not is_concrete_map(m):
         mode = "onehot"
     return _beam_weights_dense(m, particles, scan, cfg, valid_offset, mode)
+
+
+def _valid_pos_bits(m, px, py):
+    """isValidPos via the dilated bit raster (offset == one pixel)."""
+    from ..maps.grid import is_inside_map
+    from ..ops.bitlookup import MapBitTables
+
+    _, dil_lookup = MapBitTables.get(m)
+    mx = ((px - m.origin_x) / m.resolution).astype(jnp.int32)
+    my = ((py - m.origin_y) / m.resolution).astype(jnp.int32)
+    return is_inside_map(m, px, py) & ~dil_lookup(my, mx)
 
 
 def _beam_weights_dense(m, particles, scan, cfg, valid_offset, mode):
@@ -184,13 +203,7 @@ def _beam_weights_dense(m, particles, scan, cfg, valid_offset, mode):
         prob = jnp.sum(per_beam * scan.mask, axis=-1)
     px, py = particles[..., 0], particles[..., 1]
     if mode == "bits" and abs(valid_offset - m.resolution) < 1e-9:
-        from ..maps.grid import is_inside_map
-        from ..ops.bitlookup import MapBitTables
-
-        _, dil_lookup = MapBitTables.get(m)
-        mx = ((px - m.origin_x) / m.resolution).astype(jnp.int32)
-        my = ((py - m.origin_y) / m.resolution).astype(jnp.int32)
-        valid = is_inside_map(m, px, py) & ~dil_lookup(my, mx)
+        valid = _valid_pos_bits(m, px, py)
     elif mode == "onehot" and abs(valid_offset - m.resolution) < 1e-9:
         from ..ops.lookup import is_valid_pos_onehot
 
@@ -212,8 +225,15 @@ def _beam_weights_pallas_vmappable(m, particles, scan, cfg, valid_offset):
 
     @jax.custom_batching.custom_vmap
     def fn(p, angles, ranges, mask):
-        return beam_weights_pallas(
+        out = beam_weights_pallas(
             m, p, Scan(angles=angles, ranges=ranges, mask=mask), cfg)
+        if cfg.beam_combine == "log":
+            # The kernel emits raw log-sums (per-tile kernels cannot see
+            # the global max); finish exactly as the dense path does.
+            logs = out / cfg.log_temperature
+            prob = jnp.exp(logs - jnp.max(logs))
+            out = jnp.where(_valid_pos_bits(m, p[:, 0], p[:, 1]), prob, 0.0)
+        return out
 
     @fn.def_vmap
     def _rule(axis_size, in_batched, p, angles, ranges, mask):

@@ -34,10 +34,17 @@ _F32_BIAS = 127
 
 
 def _lowest_bit_pos(lo, hi):
-    """Position of the lowest set bit of the 64-bit value (hi:lo); 64 if 0."""
+    """Position of the lowest set bit of the 64-bit value (hi:lo); 64 if 0.
+
+    uint32->float casts are routed through an int32 bitcast (Mosaic has no
+    uint->float lowering): the isolated bit is a power of two, so the only
+    value the signed reinterpretation changes is bit 31 (INT_MIN -> -2^31),
+    which |.| maps back to the exact 2^31 float.
+    """
     def low32(x):
         iso = x & (~x + jnp.uint32(1))
-        f = iso.astype(jnp.float32)
+        f = jnp.abs(jax.lax.bitcast_convert_type(iso, jnp.int32)
+                    .astype(jnp.float32))
         e = (jax.lax.bitcast_convert_type(f, jnp.int32) >> 23) - _F32_BIAS
         return jnp.where(x == 0, 64, e)
 
@@ -49,14 +56,20 @@ def _lowest_bit_pos(lo, hi):
 def _highest_bit_pos(lo, hi):
     """Position of the highest set bit of (hi:lo); -1 if 0."""
     def high32(x):
-        f = x.astype(jnp.float32)  # rounds up for >24-bit values; exponent
+        # int32 view (Mosaic has no uint->float cast): when bit 31 is set
+        # the answer is 31 outright; otherwise the signed value equals the
+        # unsigned one and the float-exponent trick applies unchanged.
+        xi = jax.lax.bitcast_convert_type(x, jnp.int32)
+        top = xi < 0
+        f = xi.astype(jnp.float32)  # rounds up for >24-bit values; exponent
         e = (jax.lax.bitcast_convert_type(f, jnp.int32) >> 23) - _F32_BIAS
-        # Rounding can push the exponent one too high (e.g. 0xffffffff
-        # rounds to 2^32 -> e=32).  Clamp to the valid bit range FIRST so
-        # the shift test can detect the overshoot, then correct.
+        # Rounding can push the exponent one too high (e.g. 0x7fffffff
+        # rounds to 2^31 -> e=31 with bit 31 clear).  Clamp to the valid
+        # bit range FIRST so the shift test can detect the overshoot.
         e = jnp.minimum(e, 31)
         e = jnp.where((x >> jnp.clip(e, 0, 31).astype(jnp.uint32)) == 0,
                       e - 1, e)
+        e = jnp.where(top, 31, e)
         return jnp.where(x == 0, -1, e)
 
     return jnp.where(hi != 0, high32(hi) + 32, high32(lo))
@@ -117,7 +130,10 @@ def make_analytic_caster(
                 whi = jnp.where(idx == i, jnp.uint32(hi), whi)
         return wlo, whi
 
-    inf = jnp.float32(3e38)
+    # np (not jnp) scalar: a jnp scalar built at caster-construction time
+    # would be captured as a device constant, which pallas_call rejects
+    # when the cast runs inside the beam-weight kernel.
+    inf = np.float32(3e38)
     eps = 1e-9
 
     def axis_hits(gu, gv, du, dv, n_lines, los, his, smax, n_cand):

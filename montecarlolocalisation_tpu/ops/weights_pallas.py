@@ -1,18 +1,28 @@
-"""Fused Pallas TPU kernel: ray-march beam likelihood, gather-free.
+"""Fused Pallas TPU kernel: ray-cast beam likelihood, gather-free.
 
 The hot op of the framework (SURVEY.md §7 stage 7): per particle x beam,
-march the ray in fixed 0.1 m steps against the occupancy raster and
-accumulate the reference likelihood (monte_carlo.cpp:623-682) — one kernel,
-one HBM read of the particle tile, one HBM write of the weight tile.
+cast the ray against the occupancy raster and accumulate the reference
+likelihood (monte_carlo.cpp:623-682) — one kernel, one HBM read of the
+particle tile, one HBM write of the weight tile.
 
-TPU has no per-lane gather, so map lookups use the same bit-packed
-select-chain trick as ops/bitlookup (raster rows baked into the program as
-scalar constants), which is pure element-wise VPU work and needs no MXU or
-scratch: every tile stays entirely in registers/VMEM.
+Two ray backends, both in-kernel:
+  * ray_mode="fixed"    — the reference's 0.1 m march (monte_carlo.cpp:350-390):
+    per step, a bit-packed select-chain occupancy probe (ops/bitlookup —
+    TPU has no per-lane gather, so raster rows are baked into the program
+    as scalar constants; pure element-wise VPU work, no scratch).
+  * ray_mode="analytic" — the closed-form slab caster (ops/analytic):
+    exact DDA-equivalent first-hit distances, the same elementwise bit
+    tricks traced straight into the kernel body.
 
-Matches models/sensor.beam_weights (ray_mode="fixed") exactly: trunc
+Beam combination: "sum" (reference semantics — validity + summed probs
+resolved in-kernel) or "log" (product likelihood — the kernel emits raw
+per-particle log-sums; the GLOBAL max-log shift, temperature, and validity
+gate run in XLA afterwards since a per-tile kernel cannot see the max).
+
+Matches models/sensor.beam_weights bit-for-bit in "fixed" mode: trunc
 worldToMap, masked-min first hit, truncated-Gaussian + random-hit mixture,
-dilated-raster validity, world-extent bounds.
+dilated-raster validity, world-extent bounds; "analytic" mode matches the
+dense analytic path up to float rounding at pixel-boundary ties.
 """
 from __future__ import annotations
 
@@ -37,7 +47,7 @@ TILE = TILE_SUB * TILE_LANE  # 1024
 
 def _weights_kernel(x_ref, y_ref, th_ref, ang_ref, obs_ref, msk_ref,
                     out_ref, *, cfg: SensorModelConfig, num_beams: int,
-                    geom: tuple, occ_lookup, dil_lookup):
+                    geom: tuple, occ_lookup, dil_lookup, cast_fn=None):
     (res, origin_x, origin_y, extent_x, extent_y) = geom
     x = x_ref[0]            # [8, 128]
     y = y_ref[0]
@@ -55,15 +65,10 @@ def _weights_kernel(x_ref, y_ref, th_ref, ang_ref, obs_ref, msk_ref,
     sign = -1.0 if cfg.negate_beam_angle else 1.0
     sigma = cfg.sigma
     denom = 1.0 / (sigma * math.sqrt(2.0 * math.pi))
+    log_mode = cfg.beam_combine == "log"
 
-    # Beam loop as fori_loop with dynamic SMEM reads: unrolling B beams
-    # multiplies the (already ~1k-op) select-chain body and blows up Mosaic
-    # compile time (observed 20+ min at B=34).  March steps stay unrolled.
-    def beam_body(b, prob):
-        beam_angle = ang_ref[b]
-        obs = obs_ref[b]
-        bmask = msk_ref[b]
-        ray = th + sign * beam_angle
+    def ray_fixed(ray):
+        """The reference's 0.1 m march (monte_carlo.cpp:350-390)."""
         dx = jnp.cos(ray)
         dy = jnp.sin(ray)
         dist = jnp.full_like(x, cfg.max_range)
@@ -82,18 +87,42 @@ def _weights_kernel(x_ref, y_ref, th_ref, ang_ref, obs_ref, msk_ref,
             inb = ((mx >= 0) & (my >= 0)
                    & (px_w < extent_x) & (py_w < extent_y))
             alive = alive & inb
+        return dist
+
+    # Beam loop as fori_loop with dynamic SMEM reads: unrolling B beams
+    # multiplies the (already ~1k-op) select-chain body and blows up Mosaic
+    # compile time (observed 20+ min at B=34).  March steps stay unrolled.
+    def beam_body(b, prob):
+        beam_angle = ang_ref[b]
+        obs = obs_ref[b]
+        bmask = msk_ref[b]
+        ray = th + sign * beam_angle
+        if cfg.quantize_ray_deg:
+            # ~1-degree direction quantization (monte_carlo.cpp:355-363).
+            ray = jnp.round(ray * (180.0 / math.pi)) * (math.pi / 180.0)
+        if cast_fn is None:
+            dist = ray_fixed(ray)
+        else:
+            dist = cast_fn(ox, oy, ray, cfg.max_range)
         diff = jnp.abs(obs - dist)
         gauss = jnp.where(
             diff <= cfg.gauss_max_diff,
             jnp.exp(-(diff * diff) / (2.0 * sigma * sigma)) * denom, 0.0)
         p_rand = jnp.where(jnp.abs(obs - cfg.max_range) < cfg.rand_window,
                            1.0, 0.0)
-        # (log-combine mode routes through the dense path: the product
-        # needs a GLOBAL max-log shift that a per-tile kernel cannot do.)
-        return prob + bmask * (cfg.w_hit * gauss + cfg.w_rand * p_rand)
+        per_beam = cfg.w_hit * gauss + cfg.w_rand * p_rand
+        if log_mode:
+            # Floored log, mask scaling the LOG term (sensor.py dense path).
+            return prob + bmask * jnp.log(jnp.maximum(per_beam, 1e-6))
+        return prob + bmask * per_beam
 
     prob = jax.lax.fori_loop(0, num_beams, beam_body, jnp.zeros_like(x))
 
+    if log_mode:
+        # Raw log-sums: temperature, global max shift, and validity are
+        # applied by the caller (they need cross-tile information).
+        out_ref[0] = prob
+        return
     pmx, pmy = to_px(x, y)
     invalid = dil_lookup(pmy, pmx)
     inside = ((x >= origin_x) & (x < extent_x)
@@ -103,7 +132,7 @@ def _weights_kernel(x_ref, y_ref, th_ref, ang_ref, obs_ref, msk_ref,
 
 def _beam_weights_call(x, y, th, angles, ranges, mask, geom, num_beams,
                        cfg: SensorModelConfig, occ_lookup, dil_lookup,
-                       interpret: bool):
+                       interpret: bool, cast_fn=None):
     grid = x.shape[0] // TILE
     shp = (grid, TILE_SUB, TILE_LANE)
     x = x.reshape(shp)
@@ -111,7 +140,7 @@ def _beam_weights_call(x, y, th, angles, ranges, mask, geom, num_beams,
     th = th.reshape(shp)
     kernel = functools.partial(
         _weights_kernel, cfg=cfg, num_beams=num_beams, geom=geom,
-        occ_lookup=occ_lookup, dil_lookup=dil_lookup)
+        occ_lookup=occ_lookup, dil_lookup=dil_lookup, cast_fn=cast_fn)
     row_spec = pl.BlockSpec((1, TILE_SUB, TILE_LANE), lambda i: (i, 0, 0),
                             memory_space=pltpu.VMEM)
     out = pl.pallas_call(
@@ -132,13 +161,28 @@ def _beam_weights_call(x, y, th, angles, ranges, mask, geom, num_beams,
 
 def beam_weights_pallas(m: MazeMap, particles, scan, cfg: SensorModelConfig,
                         interpret: bool = False):
-    """Drop-in for sensor.beam_weights (fixed ray mode, offset==resolution).
+    """Drop-in for sensor.beam_weights (offset==resolution).
 
+    ray_mode "fixed" or "analytic" (the latter requires a
+    gridline-structured raster).  In beam_combine="log" mode the return
+    value is the RAW per-particle log-sum — the caller applies temperature,
+    the global max shift, and the validity gate (see sensor.beam_weights).
     Requires a concrete (non-traced) map; pads N to a TILE multiple.
     """
     if not is_concrete_map(m):
         raise ValueError("beam_weights_pallas needs a concrete map "
                          "(bit tables are baked at trace time)")
+    cast_fn = None
+    if cfg.ray_mode == "analytic":
+        from .analytic import AnalyticCasterCache
+
+        cast_fn = AnalyticCasterCache.get(m)
+        if cast_fn is None:
+            raise ValueError("analytic Pallas kernel needs a "
+                             "gridline-structured raster")
+    elif cfg.ray_mode != "fixed":
+        raise ValueError(f"unsupported ray_mode {cfg.ray_mode!r} for the "
+                         "Pallas kernel")
     occ_lookup, dil_lookup = MapBitTables.get(m)
     n = particles.shape[0]
     pad = (-n) % TILE
@@ -151,5 +195,6 @@ def beam_weights_pallas(m: MazeMap, particles, scan, cfg: SensorModelConfig,
         x, y, th, jnp.asarray(scan.angles, jnp.float32),
         jnp.asarray(scan.ranges, jnp.float32),
         jnp.asarray(scan.mask, jnp.float32), geom,
-        int(scan.angles.shape[0]), cfg, occ_lookup, dil_lookup, interpret)
+        int(scan.angles.shape[0]), cfg, occ_lookup, dil_lookup, interpret,
+        cast_fn)
     return w[:n]
