@@ -127,6 +127,9 @@ class ClusterConfig:
     k: int = 3                    # :889
     max_iters: int = 20           # :890
     near_radius: float = 0.4      # countParticlesNearCluster radius (:931)
+    # "auto": fused Pallas kernel on TPU at >=4096 particles, dense scan
+    # otherwise; "dense" / "pallas" force a backend (ops/kmeans_pallas).
+    impl: str = "auto"
 
 
 @dataclasses.dataclass(frozen=True)

@@ -27,18 +27,62 @@ from ..utils.angles import circular_mean
 
 
 def kmeans(key, xy, cfg: ClusterConfig):
-    """xy: [N, 2] -> (centers [K, 2], assignments [N])."""
+    """xy: [N, 2] -> (centers [K, 2], assignments [N]).
+
+    Backend dispatch: on TPU with enough particles the whole Lloyd loop
+    runs as one fused Pallas kernel (ops/kmeans_pallas — centers carried
+    in SMEM, one streamed xy read per iteration); the dense scan below is
+    the parity-faithful reference path (CPU, small N, vmap batching).
+    Both consume the SAME RNG-derived init centers and reseed candidates.
+    """
     n = xy.shape[0]
     k = cfg.k
     k_init, k_iters = jax.random.split(key)
     init_idx = jax.random.randint(k_init, (k,), 0, n)
     centers0 = xy[init_idx]
-    assign0 = jnp.zeros((n,), jnp.int32)
     iter_keys = jax.random.split(k_iters, cfg.max_iters)
+    # Reseed candidates for empty clusters, one set per iteration
+    # (monte_carlo.cpp:861-864) — precomputed so both backends share them.
+    reseed_idx = jax.vmap(
+        lambda kk: jax.random.randint(kk, (k,), 0, n))(iter_keys)
+    reseed = xy[reseed_idx]  # [I, K, 2]
+
+    use_kernel = (cfg.impl == "pallas"
+                  or (cfg.impl == "auto"
+                      and jax.default_backend() == "tpu"
+                      and xy.ndim == 2 and n >= 4096))
+    if use_kernel:
+        return _kmeans_pallas_vmappable(xy, centers0, reseed, cfg)
+    return _kmeans_dense(xy, centers0, reseed, cfg)
+
+
+def _kmeans_pallas_vmappable(xy, centers0, reseed, cfg: ClusterConfig):
+    """Kernel path wrapped in custom_vmap: batched calls (vmap over
+    episodes) fall back to the dense scan — pallas_call cannot batch."""
+    from ..ops.kmeans_pallas import kmeans_pallas
+
+    @jax.custom_batching.custom_vmap
+    def fn(xy, centers0, reseed):
+        return kmeans_pallas(xy, centers0, reseed, cfg.max_iters)
+
+    @fn.def_vmap
+    def _rule(axis_size, in_batched, xy, centers0, reseed):
+        in_axes = [0 if b else None for b in in_batched]
+        out = jax.vmap(lambda a, b, c: _kmeans_dense(a, b, c, cfg),
+                       in_axes=in_axes)(xy, centers0, reseed)
+        return out, (True, True)
+
+    return fn(xy, centers0, reseed)
+
+
+def _kmeans_dense(xy, centers0, reseed, cfg: ClusterConfig):
+    n = xy.shape[0]
+    k = cfg.k
+    assign0 = jnp.zeros((n,), jnp.int32)
     x = xy[:, 0]
     y = xy[:, 1]
 
-    def body(carry, it_key):
+    def body(carry, reseed_t):
         centers, assign, done = carry
         # Assignment: running argmin over the K unrolled distances.
         new_assign = jnp.zeros((n,), jnp.int32)
@@ -62,16 +106,15 @@ def kmeans(key, xy, cfg: ClusterConfig):
                          / jnp.maximum(ci, 1.0))
         means = jnp.stack(means)                          # [K, 2]
         # Empty clusters reseed from random particles (:861-864).
-        reseed_idx = jax.random.randint(it_key, (k,), 0, n)
         means = jnp.where((jnp.stack(counts) > 0)[:, None], means,
-                          xy[reseed_idx])
+                          reseed_t)
         centers = jnp.where(do_update, means, centers)
         assign = jnp.where(do_update, new_assign, assign)
         done = done | ~changed
         return (centers, assign, done), None
 
     (centers, assign, _), _ = jax.lax.scan(
-        body, (centers0, assign0, jnp.bool_(False)), iter_keys)
+        body, (centers0, assign0, jnp.bool_(False)), reseed)
     return centers, assign
 
 
