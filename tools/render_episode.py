@@ -1,0 +1,140 @@
+"""Render an MCL episode to image frames: PPM strip and (optional) GIF.
+
+The diagnostic the sweeps were missing (ROADMAP item 7): when an episode
+locks onto a maze alias, the convergence numbers alone cannot show it —
+a frame strip of the particle cloud over time makes it obvious at a
+glance (reference analog: watching the RViz PoseArray topics,
+monte_carlo.cpp:563-608).
+
+Usage:
+  python tools/render_episode.py --simulate --ticks 150 --out ep.gif
+  python tools/render_episode.py --log montecarlolocalisation_tpu/data/replay_6x6.npz
+  python tools/render_episode.py --simulate --kidnap 80 --strip strip.ppm
+
+Outputs a horizontal PPM contact strip always (no imaging dependency) and
+an animated GIF when PIL is importable.
+"""
+from __future__ import annotations
+
+import argparse
+import os.path as osp
+import sys
+
+import numpy as np
+
+sys.path.insert(0, osp.join(osp.dirname(osp.abspath(__file__)), ".."))
+
+from montecarlolocalisation_tpu.config import FilterConfig, SensorModelConfig
+from montecarlolocalisation_tpu.io.logs import EpisodeLog
+from montecarlolocalisation_tpu.maps import from_map_file
+from montecarlolocalisation_tpu.utils import viz
+
+DEFAULT_MAP = osp.join(osp.dirname(osp.abspath(__file__)), "..",
+                       "montecarlolocalisation_tpu", "maps",
+                       "default_map.txt")
+
+
+def run_and_capture(m, cfg, log: EpisodeLog, every: int, scale: int):
+    """Host loop over ticks, snapshotting a frame every `every` ticks."""
+    import jax
+    import jax.numpy as jnp
+
+    from montecarlolocalisation_tpu.models import filter as mcl
+    from montecarlolocalisation_tpu.models import sensor
+
+    angles = jnp.asarray(log.scan_angles, jnp.float32)
+    step = jax.jit(
+        lambda st, el, er, rg, mk: mcl.mcl_step(
+            st, el, er,
+            sensor.Scan(angles=angles, ranges=rg, mask=mk), m, cfg))
+    state = mcl.init_state(jax.random.PRNGKey(cfg.num_particles), m, cfg)
+    occ = np.asarray(m.occ)
+    mask_all = (np.ones_like(log.scan_ranges, dtype=bool)
+                if log.scan_mask is None else np.asarray(log.scan_mask))
+    frames, labels = [], []
+    for t in range(log.num_ticks):
+        state, _ = step(state, jnp.float32(log.encoders[t, 0]),
+                        jnp.float32(log.encoders[t, 1]),
+                        jnp.asarray(log.scan_ranges[t], jnp.float32),
+                        jnp.asarray(mask_all[t]))
+        if t % every == 0 or t == log.num_ticks - 1:
+            truth = (log.true_poses[t]
+                     if log.true_poses is not None else None)
+            frames.append(viz.render_filter(
+                occ, particles=state.particles, weights=state.weights,
+                best_pose=state.best_pose, true_pose=truth,
+                resolution=float(m.resolution), scale=scale))
+            labels.append(t)
+    return frames, labels
+
+
+def save_strip(frames, path: str, max_frames: int = 12) -> None:
+    idx = np.linspace(0, len(frames) - 1, min(max_frames, len(frames)))
+    strip = np.concatenate([frames[int(i)] for i in idx], axis=1)
+    viz.save_ppm(strip, path)
+
+
+def save_gif(frames, path: str, ms_per_frame: int = 120) -> bool:
+    try:
+        from PIL import Image
+    except ImportError:
+        return False
+    imgs = [Image.fromarray(f) for f in frames]
+    imgs[0].save(path, save_all=True, append_images=imgs[1:],
+                 duration=ms_per_frame, loop=0)
+    return True
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    src = ap.add_mutually_exclusive_group(required=True)
+    src.add_argument("--log", help="EpisodeLog .npz to replay")
+    src.add_argument("--simulate", action="store_true",
+                     help="generate a wander episode on the default map")
+    ap.add_argument("--map", default=DEFAULT_MAP)
+    ap.add_argument("--ticks", type=int, default=150)
+    ap.add_argument("--particles", type=int, default=1500)
+    ap.add_argument("--beams", type=int, default=24)
+    ap.add_argument("--every", type=int, default=5,
+                    help="capture a frame every N ticks")
+    ap.add_argument("--scale", type=int, default=8, help="pixels per map px")
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--kidnap", type=int, default=0,
+                    help="simulate a kidnap event at this tick (0 = none)")
+    ap.add_argument("--out", default="episode.gif")
+    ap.add_argument("--strip", default="episode_strip.ppm")
+    args = ap.parse_args()
+
+    m = from_map_file(args.map)
+    cfg = FilterConfig(num_particles=args.particles,
+                       sensor=SensorModelConfig())
+
+    if args.log:
+        log = EpisodeLog.load(args.log)
+    else:
+        import jax
+
+        from montecarlolocalisation_tpu.sim import robot
+
+        angles = np.deg2rad(
+            np.linspace(-118.0, 118.0, args.beams)).astype(np.float32)
+        kw = (dict(kidnap_tick=args.kidnap, kidnap_pose=(3.65, 3.65, 1.57))
+              if args.kidnap else {})
+        enc, ranges, poses = robot.generate_wander_episode(
+            jax.random.PRNGKey(args.seed), m, cfg, angles, args.ticks, **kw)
+        log = EpisodeLog(encoders=np.asarray(enc),
+                         scan_ranges=np.asarray(ranges),
+                         scan_angles=angles, true_poses=np.asarray(poses))
+
+    frames, labels = run_and_capture(m, cfg, log, args.every, args.scale)
+    save_strip(frames, args.strip)
+    print(f"wrote {args.strip} ({len(frames)} frames, ticks {labels[0]}..."
+          f"{labels[-1]})")
+    if save_gif(frames, args.out):
+        print(f"wrote {args.out}")
+    else:
+        print("PIL unavailable: GIF skipped (strip written)")
+
+
+if __name__ == "__main__":
+    main()
