@@ -249,19 +249,72 @@ def _beam_weights_pallas_vmappable(m, particles, scan, cfg, valid_offset):
               jnp.broadcast_to(scan.ranges, scan.angles.shape), scan.mask)
 
 
+def ray_disc_distance(ox, oy, angle, cx, cy, radius, max_range):
+    """Distance along the ray to a disc obstacle (max_range if missed).
+
+    Closed-form ray/circle intersection — models UNMAPPED dynamic
+    obstacles (a person crossing the maze): the scan sees them, the map
+    raster the filter matches against does not.
+    """
+    dx = jnp.cos(angle)
+    dy = jnp.sin(angle)
+    fx = ox - cx
+    fy = oy - cy
+    b = fx * dx + fy * dy                       # |d| = 1
+    c = fx * fx + fy * fy - radius * radius
+    disc = b * b - c
+    t = -b - jnp.sqrt(jnp.maximum(disc, 0.0))
+    hit = (disc >= 0.0) & (t >= 0.0) & (t < max_range)
+    return jnp.where(hit, t, max_range)
+
+
 def simulate_scan(m: MazeMap, pose, scan_angles, cfg: SensorModelConfig,
                   key: Optional[jax.Array] = None,
-                  noise_sigma: Optional[float] = None) -> Scan:
+                  noise_sigma: Optional[float] = None,
+                  dropout_p: float = 0.0, outlier_p: float = 0.0,
+                  obstacle=None) -> Scan:
     """Generate an observed scan from a ground-truth pose.
 
     Uses the same geometry the filter predicts with (offset + negation), so a
     particle at the true pose scores the maximum-likelihood weight.  Optional
     Gaussian range noise; ranges clamp to [0, max_range].
+
+    Robustness knobs (all need `key`):
+      * dropout_p — per-beam probability of returning the NaN-replacement
+        radius (cfg.invalid_beam_range), i.e. the reference's dead-beam
+        path (monte_carlo.cpp:254-278) exercised synthetically;
+      * outlier_p — per-beam probability of a uniform [0, max_range)
+        spurious return (exercises the w_rand mixture term);
+      * obstacle — (cx, cy, radius): unmapped disc the rays hit first.
     """
     pose = jnp.asarray(pose, jnp.float32)
-    ranges = expected_ranges(m, pose, jnp.asarray(scan_angles, jnp.float32), cfg)
+    angles_arr = jnp.asarray(scan_angles, jnp.float32)
+    ranges = expected_ranges(m, pose, angles_arr, cfg)
+    if obstacle is not None:
+        cx, cy, radius = obstacle
+        x, y, theta = pose[..., 0], pose[..., 1], pose[..., 2]
+        ox = x + cfg.laser_offset * jnp.cos(theta)
+        oy = y + cfg.laser_offset * jnp.sin(theta)
+        sign = -1.0 if cfg.negate_beam_angle else 1.0
+        ray_angle = theta[..., None] + sign * angles_arr
+        d_obs = ray_disc_distance(ox[..., None], oy[..., None], ray_angle,
+                                  cx, cy, radius, cfg.max_range)
+        ranges = jnp.minimum(ranges, d_obs)
     if key is not None:
+        k_noise, k_drop, k_out, k_outv = jax.random.split(key, 4)
         sigma = cfg.sigma if noise_sigma is None else noise_sigma
-        ranges = ranges + sigma * jax.random.normal(key, ranges.shape)
+        ranges = ranges + sigma * jax.random.normal(k_noise, ranges.shape)
+        ranges = jnp.clip(ranges, 0.0, cfg.max_range)
+        if outlier_p > 0.0:
+            spurious = jax.random.uniform(k_outv, ranges.shape,
+                                          maxval=cfg.max_range)
+            ranges = jnp.where(
+                jax.random.uniform(k_out, ranges.shape) < outlier_p,
+                spurious, ranges)
+        if dropout_p > 0.0:
+            ranges = jnp.where(
+                jax.random.uniform(k_drop, ranges.shape) < dropout_p,
+                cfg.invalid_beam_range, ranges)
+        return make_scan(scan_angles, ranges)
     ranges = jnp.clip(ranges, 0.0, cfg.max_range)
     return make_scan(scan_angles, ranges)

@@ -132,10 +132,14 @@ def run_sweep(world: World, batch: int = 64, num_ticks: int = 150,
     """vmap'd multi-episode localization sweep; returns metrics dict."""
     from .parallel import episodes
 
+    from .maps import symmetry
+
     k1, k2 = jax.random.split(jax.random.PRNGKey(seed))
     enc, scans, truth = episodes.simulate_episode_batch(
         k1, world.maze, world.cfg, world.angles, num_ticks, batch,
         start_pose=(2.05, 2.05, 0.0))
     final, outs = episodes.run_episode_batch(
         k2, world.maze, world.cfg, enc, scans, world.angles, mesh=mesh)
-    return episodes.sweep_rmse(final, truth)
+    sym = symmetry.maze_symmetries(world.maze.walls,
+                                   float(world.maze.cell_meters))
+    return episodes.sweep_rmse(final, truth, sym=sym)

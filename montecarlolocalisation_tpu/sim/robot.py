@@ -89,6 +89,9 @@ def generate_wander_episode(
     scan_noise: float = 0.02,
     kidnap_tick=None,
     kidnap_pose=(0.45, 0.45, 0.0),
+    dropout_p: float = 0.0,
+    outlier_p: float = 0.0,
+    moving_obstacle=None,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Scripted wall-avoiding wander -> (encoders [T,2], scans [T,B], poses [T,3]).
 
@@ -97,6 +100,11 @@ def generate_wander_episode(
     ticks (mimicking the reference wanderer's stop-and-turn behavior,
     wanderer_try_final.cpp:167-191).  Returns the encoder log, noisy scan
     ranges, and the ground-truth pose trace.
+
+    Robustness stressors: `dropout_p`/`outlier_p` per-beam sensor faults
+    (sensor.simulate_scan); `moving_obstacle` = (cx, cy, orbit_radius,
+    disc_radius, rad_per_tick) — an UNMAPPED disc circling (cx, cy) that
+    the scans see but the map does not (a person walking the maze).
     """
     angles = jnp.asarray(scan_angles, jnp.float32)
     mcfg = cfg.motion
@@ -125,9 +133,16 @@ def generate_wander_episode(
         d_right = jnp.where(is_turning, -turn_arc, speed)
         robot = step_dynamics(robot, d_left, d_right, mcfg)
         turning = jnp.maximum(turning - 1, 0)
+        obstacle = None
+        if moving_obstacle is not None:
+            ocx, ocy, orbit_r, disc_r, omega = moving_obstacle
+            phase = omega * tick.astype(jnp.float32)
+            obstacle = (ocx + orbit_r * jnp.cos(phase),
+                        ocy + orbit_r * jnp.sin(phase), disc_r)
         scan = sensor.simulate_scan(
             m, robot.pose, angles, cfg.sensor, key=tick_key,
-            noise_sigma=scan_noise)
+            noise_sigma=scan_noise, dropout_p=dropout_p,
+            outlier_p=outlier_p, obstacle=obstacle)
         enc = jnp.stack([robot.encoder_left, robot.encoder_right])
         return (robot, turning), (enc, scan.ranges, robot.pose)
 

@@ -54,3 +54,35 @@ def test_multimap_sweep_runs():
     assert final.particles.shape == (4, 128, 3)
     assert poses.shape == (4, 15, 3)
     assert np.isfinite(np.asarray(final.particles)).all()
+
+
+def test_generated_rooms_valid_and_connected():
+    for seed in range(4):
+        walls = generator.generate_rooms(6, 6, seed=seed)
+        t = maze_mod.walls_to_tensor(walls)
+        # Wall consistency + boundary, same invariants as the maze.
+        for r in range(6):
+            for c in range(5):
+                assert t[r, c, 0] == t[r, c + 1, 2], (seed, r, c)
+        for r in range(5):
+            for c in range(6):
+                assert t[r, c, 3] == t[r + 1, c, 1], (seed, r, c)
+        assert t[0, :, 1].all() and t[5, :, 3].all()
+        assert t[:, 0, 2].all() and t[:, 5, 0].all()
+        # Doors keep everything connected.
+        for r in range(6):
+            for c in range(6):
+                assert bfs.bfs_path(t, (0, 0), (r, c)), (seed, r, c)
+        # Open regime: fewer internal walls than a perfect maze.
+        maze_t = maze_mod.walls_to_tensor(generator.generate_maze(6, 6, seed))
+        assert t.sum() < maze_t.sum()
+
+
+def test_map_batch_styles():
+    maps = generator.generate_map_batch(2, rows=4, cols=4, style="rooms")
+    assert maps.occ.shape[0] == 2
+    mixed = generator.generate_map_batch(2, rows=4, cols=4, style="mixed")
+    assert not np.array_equal(np.asarray(mixed.occ[0]),
+                              np.asarray(mixed.occ[1]))
+    with pytest.raises(ValueError):
+        generator.generate_map_batch(1, style="corridor")

@@ -161,3 +161,55 @@ def test_log_beam_combine_mode():
                               log_temperature=4.0)
     wt = np.asarray(sensor.beam_weights(BOX, candidates, scan, cfg_t))
     assert wt[1] / wt[0] > w[1] / w[0]
+
+
+def test_simulate_scan_dropout_and_outliers(default_map):
+    cfg = SensorModelConfig(lookup_mode="gather")
+    angles = np.deg2rad(np.linspace(-118, 118, 256)).astype(np.float32)
+    pose = jnp.array([1.25, 1.25, 0.0])
+    key = jax.random.PRNGKey(0)
+    # dropout_p=1: every beam reports the NaN-replacement radius.
+    s = sensor.simulate_scan(default_map, pose, angles, cfg, key=key,
+                             noise_sigma=0.0, dropout_p=1.0)
+    np.testing.assert_allclose(np.asarray(s.ranges),
+                               cfg.invalid_beam_range)
+    # outlier_p=0.5: roughly half the beams move off the clean value.
+    clean = np.asarray(
+        sensor.simulate_scan(default_map, pose, angles, cfg).ranges)
+    s = sensor.simulate_scan(default_map, pose, angles, cfg, key=key,
+                             noise_sigma=0.0, outlier_p=0.5)
+    frac = np.mean(~np.isclose(np.asarray(s.ranges), clean))
+    assert 0.3 < frac < 0.7
+    # No key: knobs are inert, scan is the clean expectation.
+    s0 = sensor.simulate_scan(default_map, pose, angles, cfg,
+                              dropout_p=1.0, outlier_p=1.0)
+    np.testing.assert_allclose(np.asarray(s0.ranges), clean)
+
+
+def test_simulate_scan_unmapped_obstacle(default_map):
+    cfg = SensorModelConfig(lookup_mode="gather")
+    angles = np.zeros(1, np.float32)  # single forward beam
+    pose = jnp.array([1.25, 1.25, 0.0])
+    clean = float(sensor.simulate_scan(default_map, pose, angles,
+                                       cfg).ranges[0])
+    assert clean > 0.1
+    # Disc halfway to the first wall (beam negation irrelevant at angle 0;
+    # ray origin is laser_offset ahead of the pose).
+    ox = 1.25 + cfg.laser_offset
+    radius = 0.05
+    s = sensor.simulate_scan(
+        default_map, pose, angles, cfg,
+        obstacle=(ox + clean / 2 + radius, 1.25, radius))
+    d = float(s.ranges[0])
+    assert abs(d - clean / 2) < 1e-5 and d < clean
+    # Disc behind the robot: no effect.
+    s = sensor.simulate_scan(default_map, pose, angles, cfg,
+                             obstacle=(ox - 0.5, 1.25, radius))
+    assert abs(float(s.ranges[0]) - clean) < 1e-6
+
+
+def test_ray_disc_distance_miss_and_tangent():
+    d = sensor.ray_disc_distance(0.0, 0.0, 0.0, 1.0, 0.5, 0.2, 2.0)
+    assert float(d) == 2.0  # passes 0.5 above a 0.2-radius disc
+    d = sensor.ray_disc_distance(0.0, 0.0, 0.0, 1.0, 0.0, 0.25, 2.0)
+    np.testing.assert_allclose(float(d), 0.75, rtol=1e-6)

@@ -33,7 +33,19 @@ def main() -> None:
             else f"FAILED: {out.stderr[-200:]}"
         rows.append((name, " ".join(args), line, round(time.time() - t0, 1)))
         print(f"{name}: {line}", flush=True)
-    with open(osp.join(ROOT, "BENCH_DETAILS.md"), "w") as f:
+    path = osp.join(ROOT, "BENCH_DETAILS.md")
+    # Preserve everything after the matrix table (sweep results, donation
+    # notes, ...) across refreshes: sections start at the first "## ".
+    extra = ""
+    try:
+        with open(path) as f:
+            old = f.read()
+        cut = old.find("\n## ")
+        if cut >= 0:
+            extra = old[cut:]
+    except FileNotFoundError:
+        pass
+    with open(path, "w") as f:
         f.write("# Benchmark matrix (one TPU v5e chip)\n\n")
         f.write("Full MCL step (motion + likelihood + adaptive resampling "
                 "+ k-means confidence).\n\n")
@@ -41,6 +53,7 @@ def main() -> None:
         f.write("|---|---|---|---|\n")
         for name, args, line, wall in rows:
             f.write(f"| {name} | `{args}` | `{line}` | {wall} |\n")
+        f.write(extra)
     print("wrote BENCH_DETAILS.md")
 
 
