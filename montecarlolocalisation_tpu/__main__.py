@@ -14,7 +14,8 @@ import numpy as np
 def main() -> None:
     ap = argparse.ArgumentParser(prog="montecarlolocalisation_tpu")
     ap.add_argument("preset", choices=["localisation", "planning",
-                                       "challenge", "sweep", "moving"])
+                                       "challenge", "sweep", "moving",
+                                       "calibrate"])
     ap.add_argument("--particles", type=int, default=1500)
     ap.add_argument("--beams", type=int, default=24)
     ap.add_argument("--ticks", type=int, default=None)
@@ -73,6 +74,11 @@ def main() -> None:
                                     seed=args.seed)
         print(json.dumps({k: round(float(v), 4)
                           for k, v in metrics.items()}))
+    elif args.preset == "calibrate":
+        out = presets.run_calibrate(world, seed=args.seed,
+                                    num_ticks=args.ticks or 200)
+        print(json.dumps(dict(preset="calibrate", **{
+            k: round(float(v), 5) for k, v in out.items()})))
 
 
 if __name__ == "__main__":

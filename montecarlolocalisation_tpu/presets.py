@@ -12,6 +12,8 @@ configured, jit-compiled pipeline over the same components:
   * "moving"        — controllers only (launch/moving.launch: PID/wanderer)
   * "challenge"     — gold/pickup TSP mission executed closed-loop
   * "sweep"         — vmap'd multi-episode datagen (new capability)
+  * "calibrate"     — differentiable parameter calibration from a log
+                      (new capability; models/calibrate)
 """
 from __future__ import annotations
 
@@ -143,3 +145,35 @@ def run_sweep(world: World, batch: int = 64, num_ticks: int = 150,
     sym = symmetry.maze_symmetries(world.maze.walls,
                                    float(world.maze.cell_meters))
     return episodes.sweep_rmse(final, truth, sym=sym)
+
+
+def run_calibrate(world: World, seed: int = 0, num_ticks: int = 200):
+    """Differentiable-calibration demo: simulate a wander log with the true
+    constants, fit (wheel_size, wheel_space) from 15%-perturbed guesses and
+    sigma from a 2x-off guess (models/calibrate), report recovery."""
+    from .models import calibrate
+    from .sim import robot
+
+    mcfg = world.cfg.motion
+    start = (2.05, 2.05, 0.0)
+    scan_noise = 0.05  # the log's TRUE range noise, what the fit recovers
+    enc, ranges, poses = robot.generate_wander_episode(
+        jax.random.PRNGKey(seed), world.maze, world.cfg, world.angles,
+        num_ticks, start_pose=start, scan_noise=scan_noise)
+    fit = calibrate.fit_motion_params(
+        enc, poses, mcfg,
+        init=dict(wheel_size=mcfg.wheel_size * 1.15,
+                  wheel_space=mcfg.wheel_space * 0.85),
+        steps=500, lr=5e-3, start_poses=start)
+    sig = calibrate.fit_sensor_sigma(
+        world.maze, poses, ranges, world.angles, world.cfg.sensor,
+        init_sigma=3.0 * scan_noise, steps=400, lr=5e-2)
+    return dict(
+        wheel_size_true=mcfg.wheel_size,
+        wheel_size_fit=fit["wheel_size"],
+        wheel_space_true=mcfg.wheel_space,
+        wheel_space_fit=fit["wheel_space"],
+        sigma_true=scan_noise,
+        sigma_fit=sig["sigma"],
+        motion_loss=fit["loss"],
+    )

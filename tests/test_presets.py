@@ -32,5 +32,8 @@ def test_challenge_preset(world):
 
 def test_sweep_preset(world):
     metrics = presets.run_sweep(world, batch=4, num_ticks=30)
-    assert set(metrics) == {"converged_frac", "rmse_xy", "rmse_theta"}
+    # Base metrics plus the alias-aware set (default map's symmetry group).
+    assert {"converged_frac", "rmse_xy", "rmse_theta",
+            "alias_rmse_xy", "alias_converged_frac"} <= set(metrics)
     assert 0.0 <= float(metrics["converged_frac"]) <= 1.0
+    assert 0.0 <= float(metrics["alias_converged_frac"]) <= 1.0
