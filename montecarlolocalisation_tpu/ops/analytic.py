@@ -202,14 +202,17 @@ def make_analytic_caster(
                 best, jnp.where(inside & valid_k & origin_bit, 0.0, inf))
         return best
 
-    def cast(ox, oy, angle, max_range):
+    def cast_dir(ox, oy, dx, dy, max_range):
+        """First-hit distance along a UNIT direction (dx, dy).
+
+        Split out from `cast` so the beam-weight kernel can hoist the
+        per-particle trig out of its beam loop (angle-addition identity).
+        """
         # max_range must be a static Python float (it is cfg.max_range):
         # the candidate-slab count derives from it.
         max_range = float(max_range)
         gx = (ox - origin_x) / resolution
         gy = (oy - origin_y) / resolution
-        dx = jnp.cos(angle)
-        dy = jnp.sin(angle)
         smax_f = max_range / resolution
         smax = jnp.float32(smax_f)
         # Origin slab + every gridline reachable within smax (spacing =
@@ -226,6 +229,10 @@ def make_analytic_caster(
         s = jnp.where(inb, s, smax)
         return (s * resolution).astype(jnp.float32)
 
+    def cast(ox, oy, angle, max_range):
+        return cast_dir(ox, oy, jnp.cos(angle), jnp.sin(angle), max_range)
+
+    cast.cast_dir = cast_dir
     return cast
 
 

@@ -19,10 +19,12 @@ resolved in-kernel) or "log" (product likelihood — the kernel emits raw
 per-particle log-sums; the GLOBAL max-log shift, temperature, and validity
 gate run in XLA afterwards since a per-tile kernel cannot see the max).
 
-Matches models/sensor.beam_weights bit-for-bit in "fixed" mode: trunc
-worldToMap, masked-min first hit, truncated-Gaussian + random-hit mixture,
-dilated-raster validity, world-extent bounds; "analytic" mode matches the
-dense analytic path up to float rounding at pixel-boundary ties.
+Matches models/sensor.beam_weights to float ulps: trunc worldToMap,
+masked-min first hit, truncated-Gaussian + random-hit mixture,
+dilated-raster validity, world-extent bounds.  Two deliberate ulp-level
+reassociations vs the dense path: beams accumulate sequentially, and ray
+directions come from the hoisted angle-addition identity; "analytic" mode
+can additionally differ at exact pixel-boundary ties.
 """
 from __future__ import annotations
 
@@ -45,9 +47,10 @@ TILE_LANE = 128
 TILE = TILE_SUB * TILE_LANE  # 1024
 
 
-def _weights_kernel(x_ref, y_ref, th_ref, ang_ref, obs_ref, msk_ref,
-                    out_ref, *, cfg: SensorModelConfig, num_beams: int,
-                    geom: tuple, occ_lookup, dil_lookup, cast_fn=None):
+def _weights_kernel(x_ref, y_ref, th_ref, ang_ref, cos_ref, sin_ref,
+                    obs_ref, msk_ref, out_ref, *, cfg: SensorModelConfig,
+                    num_beams: int, geom: tuple, occ_lookup, dil_lookup,
+                    cast_fn=None):
     (res, origin_x, origin_y, extent_x, extent_y) = geom
     x = x_ref[0]            # [8, 128]
     y = y_ref[0]
@@ -60,17 +63,20 @@ def _weights_kernel(x_ref, y_ref, th_ref, ang_ref, obs_ref, msk_ref,
         my = ((wy - origin_y) * inv_res).astype(jnp.int32)
         return mx, my
 
-    ox = x + cfg.laser_offset * jnp.cos(th)
-    oy = y + cfg.laser_offset * jnp.sin(th)
+    # Per-particle trig hoisted OUT of the beam loop: ray directions come
+    # from the angle-addition identity (4 multiplies/beam instead of two
+    # [8,128] transcendentals/beam).  Matches cos(th + a) to float ulps.
+    cth = jnp.cos(th)
+    sth = jnp.sin(th)
+    ox = x + cfg.laser_offset * cth
+    oy = y + cfg.laser_offset * sth
     sign = -1.0 if cfg.negate_beam_angle else 1.0
     sigma = cfg.sigma
     denom = 1.0 / (sigma * math.sqrt(2.0 * math.pi))
     log_mode = cfg.beam_combine == "log"
 
-    def ray_fixed(ray):
+    def ray_fixed(dx, dy):
         """The reference's 0.1 m march (monte_carlo.cpp:350-390)."""
-        dx = jnp.cos(ray)
-        dy = jnp.sin(ray)
         dist = jnp.full_like(x, cfg.max_range)
         # `alive` reproduces the reference's break at the first out-of-map
         # sample (worldToMap failure, monte_carlo.cpp:374).  Lower bounds
@@ -96,14 +102,25 @@ def _weights_kernel(x_ref, y_ref, th_ref, ang_ref, obs_ref, msk_ref,
         beam_angle = ang_ref[b]
         obs = obs_ref[b]
         bmask = msk_ref[b]
-        ray = th + sign * beam_angle
         if cfg.quantize_ray_deg:
-            # ~1-degree direction quantization (monte_carlo.cpp:355-363).
+            # ~1-degree direction quantization (monte_carlo.cpp:355-363)
+            # quantizes the SUM, so the identity cannot apply here.
+            ray = th + sign * beam_angle
             ray = jnp.round(ray * (180.0 / math.pi)) * (math.pi / 180.0)
-        if cast_fn is None:
-            dist = ray_fixed(ray)
+            dx = jnp.cos(ray)
+            dy = jnp.sin(ray)
         else:
-            dist = cast_fn(ox, oy, ray, cfg.max_range)
+            # cos/sin of the (signed) beam angle come precomputed in SMEM:
+            # in-kernel SCALAR transcendentals in the beam loop cost ~9%
+            # of the whole step (measured), the table reads are free.
+            cb = cos_ref[b]
+            sb = sin_ref[b]
+            dx = cth * cb - sth * sb
+            dy = sth * cb + cth * sb
+        if cast_fn is None:
+            dist = ray_fixed(dx, dy)
+        else:
+            dist = cast_fn.cast_dir(ox, oy, dx, dy, cfg.max_range)
         diff = jnp.abs(obs - dist)
         gauss = jnp.where(
             diff <= cfg.gauss_max_diff,
@@ -138,24 +155,30 @@ def _beam_weights_call(x, y, th, angles, ranges, mask, geom, num_beams,
     x = x.reshape(shp)
     y = y.reshape(shp)
     th = th.reshape(shp)
+    sign = -1.0 if cfg.negate_beam_angle else 1.0
+    cos_b = jnp.cos(sign * angles)
+    sin_b = jnp.sin(sign * angles)
     kernel = functools.partial(
         _weights_kernel, cfg=cfg, num_beams=num_beams, geom=geom,
         occ_lookup=occ_lookup, dil_lookup=dil_lookup, cast_fn=cast_fn)
     row_spec = pl.BlockSpec((1, TILE_SUB, TILE_LANE), lambda i: (i, 0, 0),
                             memory_space=pltpu.VMEM)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct(shp, jnp.float32),
         grid=(grid,),
         in_specs=[
             row_spec, row_spec, row_spec,
-            pl.BlockSpec(memory_space=pltpu.SMEM),   # angles [B]
-            pl.BlockSpec(memory_space=pltpu.SMEM),   # ranges [B]
-            pl.BlockSpec(memory_space=pltpu.SMEM),   # mask [B]
+            smem,   # angles [B]
+            smem,   # cos(sign*angles) [B]
+            smem,   # sin(sign*angles) [B]
+            smem,   # ranges [B]
+            smem,   # mask [B]
         ],
         out_specs=row_spec,
         interpret=interpret,
-    )(x, y, th, angles, ranges, mask)
+    )(x, y, th, angles, cos_b, sin_b, ranges, mask)
     return out.reshape(grid * TILE)
 
 
