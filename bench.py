@@ -29,7 +29,8 @@ BASELINE_UPDATES_PER_SEC = 1500 * 34 * 10.0
 
 def bench_full_step(num_particles: int, num_beams: int, iters: int,
                     ray_mode: str = "fixed",
-                    resample_method: str = "systematic") -> dict:
+                    resample_method: str = "systematic",
+                    beam_combine: str = "sum") -> dict:
     import jax
     import jax.numpy as jnp
 
@@ -46,7 +47,8 @@ def bench_full_step(num_particles: int, num_beams: int, iters: int,
     maze = from_map_file(map_path)
     cfg = FilterConfig(
         num_particles=num_particles,
-        sensor=SensorModelConfig(ray_mode=ray_mode),
+        sensor=SensorModelConfig(ray_mode=ray_mode,
+                                 beam_combine=beam_combine),
         resample=ResampleConfig(method=resample_method))
     angles = np.deg2rad(
         np.linspace(-118.0, 118.0, num_beams)).astype(np.float32)
@@ -93,12 +95,14 @@ def main() -> None:
                     choices=["fixed", "dda", "analytic"])
     ap.add_argument("--resample", default="systematic",
                     choices=["systematic", "multinomial"])
+    ap.add_argument("--beam-combine", default="sum", choices=["sum", "log"])
     ap.add_argument("--verbose", action="store_true")
     args = ap.parse_args()
 
     r = bench_full_step(args.particles, args.beams, args.iters,
                         ray_mode=args.ray_mode,
-                        resample_method=args.resample)
+                        resample_method=args.resample,
+                        beam_combine=args.beam_combine)
     if args.verbose:
         import sys
         print(json.dumps(r, indent=2), file=sys.stderr)

@@ -94,30 +94,58 @@ def _systematic_draw(particles, cdf, u0, expand_mode: str):
     On TPU the Pallas streamed-expansion kernel (ops/expand_pallas) replaces
     the scatter+cummax+gather chain (~14 ms -> ~4.5 ms at 1M on v5e, output
     verified bit-identical on chip).  Under vmap (episode batching) the
-    kernel cannot batch, so a custom_vmap rule falls back to the XLA path —
-    same trick as sensor._beam_weights_pallas_vmappable.
+    kernel cannot batch; the custom_vmap rule instead uses a dense one-hot
+    MXU matmul for sweep-sized N (the scatter+gather chain SERIALIZES on
+    TPU: it was half the 1024x500 sweep step time), and falls back to the
+    per-episode XLA path otherwise.
     """
-    n = particles.shape[0]
-    use_pallas = expand_mode == "pallas" or (
-        expand_mode == "auto" and jax.default_backend() == "tpu"
-        and n >= 2048 and particles.ndim == 2)
-    if not use_pallas:
+    if expand_mode == "xla" or particles.ndim != 2:
         return particles[systematic_indices(cdf, u0)]
-
-    from ..ops.expand_pallas import systematic_expand
+    on_tpu = jax.default_backend() == "tpu"
 
     @jax.custom_batching.custom_vmap
     def fn(p, cdf_, u0_):
-        return systematic_expand(p, cdf_, u0_)
+        if expand_mode == "pallas" or (on_tpu and p.shape[0] >= 2048):
+            from ..ops.expand_pallas import systematic_expand
+
+            return systematic_expand(p, cdf_, u0_)
+        return p[systematic_indices(cdf_, u0_)]
 
     @fn.def_vmap
     def _rule(axis_size, in_batched, p, cdf_, u0_):
+        p_b, c_b, u_b = in_batched
+        if (on_tpu and p_b and c_b and p.ndim == 3 and p.shape[1] <= 2048
+                and axis_size * p.shape[1] ** 2 * 4 <= 2**31):
+            uu = u0_ if u_b else jnp.broadcast_to(u0_, (axis_size,))
+            return _expand_onehot_batched(p, cdf_, uu), True
         in_axes = [0 if b else None for b in in_batched]
         out = jax.vmap(lambda pp, cc, uu: pp[systematic_indices(cc, uu)],
                        in_axes=in_axes)(p, cdf_, u0_)
         return out, True
 
     return fn(particles, cdf, u0)
+
+
+def _expand_onehot_batched(p, cdf, u0):
+    """Batched systematic expansion as an MXU one-hot matmul.
+
+    p [E, N, D], cdf [E, N], u0 [E] -> drawn [E, N, D].  The per-episode
+    XLA fallback (scatter-max + cummax + gather) serializes on TPU — at
+    1024 episodes x 500 particles it was HALF the sweep step time.  Source
+    particle i owns output interval [c_{i-1}, c_i); the selection matrix
+    M[e, k, i] = (c_prev <= k < c) has exactly one 1 per output row, so the
+    f32 HIGHEST-precision matmul is an exact select — bit-identical to
+    particles[systematic_indices(cdf, u0)] per episode (the same interval
+    idiom as ops/expand_pallas, affordable dense at sweep-sized N).
+    """
+    c = jax.vmap(offspring_counts)(cdf, u0)                    # [E, N] int32
+    starts = jnp.pad(c[:, :-1], ((0, 0), (1, 0)))
+    kk = jnp.arange(p.shape[1], dtype=jnp.int32)[None, :, None]
+    m = ((kk >= starts[:, None, :]) & (kk < c[:, None, :])).astype(p.dtype)
+    return jax.lax.dot_general(
+        m, p, (((2,), (1,)), ((0,), (0,))),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32)
 
 
 def _regime(jitter_state, cfg: ResampleConfig):

@@ -237,6 +237,24 @@ def _beam_weights_pallas_vmappable(m, particles, scan, cfg, valid_offset):
 
     @fn.def_vmap
     def _rule(axis_size, in_batched, p, angles, ranges, mask):
+        from ..ops.weights_pallas import TILE
+
+        p_b, a_b, r_b, m_b = in_batched
+        # Episode-batched kernel fast path (BASELINE config 4 sweeps): one
+        # shared beam table, per-episode observations.  Anything else (a
+        # batched beam table, higher-rank batching) takes the dense vmap.
+        # Padding gate: each episode pads to the 1024-particle tile, and the
+        # kernel is compute-bound, so padding is pure waste — measured on
+        # v5e: +13% vs dense at 8192/ep (no padding), -8% at 500/ep (2x
+        # padding).  Only dispatch when waste is small.
+        n_p = p.shape[1] if p_b and p.ndim == 3 else 0
+        pad_ok = n_p > 0 and (-(-n_p // TILE) * TILE) <= 1.25 * n_p
+        if p_b and not a_b and p.ndim == 3 and pad_ok:
+            rr = ranges if r_b else jnp.broadcast_to(
+                ranges, (axis_size,) + ranges.shape)
+            mm = mask if m_b else jnp.broadcast_to(
+                mask, (axis_size,) + mask.shape)
+            return _beam_weights_batched(m, p, angles, rr, mm, cfg), True
         in_axes = [0 if b else None for b in in_batched]
         out = jax.vmap(
             lambda pp, aa, rr, mm: _beam_weights_dense(
@@ -247,6 +265,45 @@ def _beam_weights_pallas_vmappable(m, particles, scan, cfg, valid_offset):
 
     return fn(particles, scan.angles,
               jnp.broadcast_to(scan.ranges, scan.angles.shape), scan.mask)
+
+
+def _beam_weights_batched(m, p, angles, ranges, mask, cfg,
+                          interpret: bool = False):
+    """Episode-batched Pallas launch [E, N, 3] -> [E, N], itself vmappable
+    (a further batch axis folds into the episode axis by reshape)."""
+    from ..ops.weights_pallas import beam_weights_pallas_batched
+
+    @jax.custom_batching.custom_vmap
+    def bfn(pp, aa, rr, mm):
+        out = beam_weights_pallas_batched(m, pp, aa, rr, mm, cfg,
+                                          interpret=interpret)
+        if cfg.beam_combine == "log":
+            logs = out / cfg.log_temperature
+            prob = jnp.exp(logs - jnp.max(logs, axis=1, keepdims=True))
+            out = jnp.where(
+                _valid_pos_bits(m, pp[..., 0], pp[..., 1]), prob, 0.0)
+        return out
+
+    @bfn.def_vmap
+    def _brule(axis_size, in_batched, pp, aa, rr, mm):
+        p_b, a_b, r_b, m_b = in_batched
+        if not p_b or a_b or pp.ndim < 4:
+            # A batched beam table cannot share the kernel's SMEM table.
+            # Unreachable from beam_weights dispatch (the level-1 vmap rule
+            # already routes batched-angles calls to the dense path).
+            raise NotImplementedError(
+                "unsupported batching pattern for the episode-batched "
+                "beam-weight kernel")
+        lead = pp.shape[:-2]
+        nb = rr.shape[-1]
+        rr = rr if r_b else jnp.broadcast_to(rr, (axis_size,) + rr.shape)
+        mm = mm if m_b else jnp.broadcast_to(mm, (axis_size,) + mm.shape)
+        out = bfn(pp.reshape(-1, *pp.shape[-2:]), aa,
+                  jnp.broadcast_to(rr, lead + (nb,)).reshape(-1, nb),
+                  jnp.broadcast_to(mm, lead + (nb,)).reshape(-1, nb))
+        return out.reshape(*lead, -1), True
+
+    return bfn(p, angles, ranges, mask)
 
 
 def ray_disc_distance(ox, oy, angle, cx, cy, radius, max_range):

@@ -100,8 +100,8 @@ def _weights_kernel(x_ref, y_ref, th_ref, ang_ref, cos_ref, sin_ref,
     # compile time (observed 20+ min at B=34).  March steps stay unrolled.
     def beam_body(b, prob):
         beam_angle = ang_ref[b]
-        obs = obs_ref[b]
-        bmask = msk_ref[b]
+        obs = obs_ref[0, 0, b]
+        bmask = msk_ref[0, 0, b]
         if cfg.quantize_ray_deg:
             # ~1-degree direction quantization (monte_carlo.cpp:355-363)
             # quantizes the SUM, so the identity cannot apply here.
@@ -150,8 +150,16 @@ def _weights_kernel(x_ref, y_ref, th_ref, ang_ref, cos_ref, sin_ref,
 def _beam_weights_call(x, y, th, angles, ranges, mask, geom, num_beams,
                        cfg: SensorModelConfig, occ_lookup, dil_lookup,
                        interpret: bool, cast_fn=None):
-    grid = x.shape[0] // TILE
-    shp = (grid, TILE_SUB, TILE_LANE)
+    """Launch the kernel over an [E, N_padded] episode x particle batch.
+
+    x/y/th [E, N_padded], ranges/mask [E, B] (per-episode scans), angles [B]
+    (one shared static beam table).  Grid = (episodes, particle tiles); the
+    per-episode scan rides as a (1, B) SMEM block re-streamed per episode.
+    E = 1 is the single-filter case.
+    """
+    n_ep = x.shape[0]
+    grid = x.shape[1] // TILE
+    shp = (n_ep, grid, TILE_SUB, TILE_LANE)
     x = x.reshape(shp)
     y = y.reshape(shp)
     th = th.reshape(shp)
@@ -161,25 +169,32 @@ def _beam_weights_call(x, y, th, angles, ranges, mask, geom, num_beams,
     kernel = functools.partial(
         _weights_kernel, cfg=cfg, num_beams=num_beams, geom=geom,
         occ_lookup=occ_lookup, dil_lookup=dil_lookup, cast_fn=cast_fn)
-    row_spec = pl.BlockSpec((1, TILE_SUB, TILE_LANE), lambda i: (i, 0, 0),
+    row_spec = pl.BlockSpec((1, 1, TILE_SUB, TILE_LANE),
+                            lambda e, i: (e, i, 0, 0),
                             memory_space=pltpu.VMEM)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    # Mosaic requires the last two block dims to be (8,128)-divisible OR
+    # equal to the array dims; a [E, 1, B] layout with (1, 1, B) blocks
+    # satisfies that for any B while streaming one episode's scan per
+    # grid row.
+    ep_smem = pl.BlockSpec((1, 1, num_beams), lambda e, i: (e, 0, 0),
+                           memory_space=pltpu.SMEM)
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct(shp, jnp.float32),
-        grid=(grid,),
+        grid=(n_ep, grid),
         in_specs=[
             row_spec, row_spec, row_spec,
-            smem,   # angles [B]
-            smem,   # cos(sign*angles) [B]
-            smem,   # sin(sign*angles) [B]
-            smem,   # ranges [B]
-            smem,   # mask [B]
+            smem,     # angles [B] (shared)
+            smem,     # cos(sign*angles) [B]
+            smem,     # sin(sign*angles) [B]
+            ep_smem,  # ranges [E, B]
+            ep_smem,  # mask [E, B]
         ],
         out_specs=row_spec,
         interpret=interpret,
-    )(x, y, th, angles, cos_b, sin_b, ranges, mask)
-    return out.reshape(grid * TILE)
+    )(x, y, th, angles, cos_b, sin_b, ranges[:, None, :], mask[:, None, :])
+    return out.reshape(n_ep, grid * TILE)
 
 
 def beam_weights_pallas(m: MazeMap, particles, scan, cfg: SensorModelConfig,
@@ -209,15 +224,55 @@ def beam_weights_pallas(m: MazeMap, particles, scan, cfg: SensorModelConfig,
     occ_lookup, dil_lookup = MapBitTables.get(m)
     n = particles.shape[0]
     pad = (-n) % TILE
-    x = jnp.pad(particles[:, 0], (0, pad))
-    y = jnp.pad(particles[:, 1], (0, pad))
-    th = jnp.pad(particles[:, 2], (0, pad))
+    x = jnp.pad(particles[:, 0], (0, pad))[None]
+    y = jnp.pad(particles[:, 1], (0, pad))[None]
+    th = jnp.pad(particles[:, 2], (0, pad))[None]
     geom = (float(m.resolution), float(m.origin_x), float(m.origin_y),
             float(m.extent_x), float(m.extent_y))
     w = _beam_weights_call(
         x, y, th, jnp.asarray(scan.angles, jnp.float32),
-        jnp.asarray(scan.ranges, jnp.float32),
-        jnp.asarray(scan.mask, jnp.float32), geom,
+        jnp.asarray(scan.ranges, jnp.float32)[None],
+        jnp.asarray(scan.mask, jnp.float32)[None], geom,
         int(scan.angles.shape[0]), cfg, occ_lookup, dil_lookup, interpret,
         cast_fn)
-    return w[:n]
+    return w[0, :n]
+
+
+def beam_weights_pallas_batched(m: MazeMap, particles, angles, ranges,
+                                mask, cfg: SensorModelConfig,
+                                interpret: bool = False):
+    """Episode-batched kernel launch: particles [E, N, 3] -> weights [E, N].
+
+    One SHARED static beam table `angles` [B]; per-episode observations
+    `ranges`/`mask` [E, B] stream through SMEM per grid row.  This is the
+    vmap-over-episodes fast path (BASELINE config 4 sweeps): the plain
+    kernel cannot batch, and the dense fallback materializes [E, N, B]
+    intermediates.  Same semantics per episode as beam_weights_pallas
+    (log mode returns RAW per-episode log-sums).
+    """
+    if not is_concrete_map(m):
+        raise ValueError("beam_weights_pallas_batched needs a concrete map")
+    cast_fn = None
+    if cfg.ray_mode == "analytic":
+        from .analytic import AnalyticCasterCache
+
+        cast_fn = AnalyticCasterCache.get(m)
+        if cast_fn is None:
+            raise ValueError("analytic Pallas kernel needs a "
+                             "gridline-structured raster")
+    elif cfg.ray_mode != "fixed":
+        raise ValueError(f"unsupported ray_mode {cfg.ray_mode!r} for the "
+                         "Pallas kernel")
+    occ_lookup, dil_lookup = MapBitTables.get(m)
+    n_ep, n = particles.shape[0], particles.shape[1]
+    pad = (-n) % TILE
+    padder = lambda a: jnp.pad(a, ((0, 0), (0, pad)))
+    geom = (float(m.resolution), float(m.origin_x), float(m.origin_y),
+            float(m.extent_x), float(m.extent_y))
+    w = _beam_weights_call(
+        padder(particles[:, :, 0]), padder(particles[:, :, 1]),
+        padder(particles[:, :, 2]), jnp.asarray(angles, jnp.float32),
+        jnp.asarray(ranges, jnp.float32), jnp.asarray(mask, jnp.float32),
+        geom, int(angles.shape[0]), cfg, occ_lookup, dil_lookup, interpret,
+        cast_fn)
+    return w[:, :n]

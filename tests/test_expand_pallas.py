@@ -84,3 +84,26 @@ def test_resample_uses_kernel_result_semantics():
                      jnp.bool_(True), maze, cfg)
     assert out[0].shape == (512, 3)
     assert bool(jnp.isfinite(out[0]).all())
+
+
+def test_onehot_batched_expand_matches_indices():
+    # The vmap-rule fast path for sweeps: dense one-hot matmul expansion
+    # must be bit-identical to the per-episode index path.
+    from montecarlolocalisation_tpu.models.resample import (
+        _expand_onehot_batched,
+    )
+
+    n_ep, n = 5, 500
+    keys = jax.random.split(jax.random.PRNGKey(11), n_ep)
+    parts, cdfs = [], []
+    for e, k in enumerate(keys):
+        p, cdf = _case(n, skew=3 * e, seed=100 + e)
+        parts.append(p)
+        cdfs.append(cdf)
+    parts = jnp.stack(parts)
+    cdfs = jnp.stack(cdfs)
+    u0 = jnp.linspace(0.05, 0.95, n_ep).astype(jnp.float32)
+    got = _expand_onehot_batched(parts, cdfs, u0)
+    for e in range(n_ep):
+        want = parts[e][systematic_indices(cdfs[e], u0[e])]
+        np.testing.assert_array_equal(np.asarray(got[e]), np.asarray(want))

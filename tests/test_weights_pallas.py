@@ -99,3 +99,80 @@ def test_kernel_pads_to_tile():
     got = np.asarray(beam_weights_pallas(m, parts, scan, cfg,
                                          interpret=True))
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def _batch_fixture(n_ep=3, n=1500, beams=12):
+    m = from_map_file(MAP_PATH)
+    cfg0 = SensorModelConfig()
+    angles = np.deg2rad(np.linspace(-118, 118, beams)).astype(np.float32)
+    keys = jax.random.split(jax.random.PRNGKey(7), n_ep + 1)
+    parts = jnp.stack([
+        resample.sample_uniform_particles(k, m, n) for k in keys[:-1]])
+    poses = jnp.array([[1.25, 1.25, 0.0], [2.1, 0.5, 1.2], [0.5, 3.3, -2.0]])
+    ranges = jnp.stack([
+        sensor.simulate_scan(m, poses[e], angles, cfg0).ranges
+        for e in range(n_ep)])
+    mask = jnp.ones((n_ep, beams), bool).at[1, 3].set(False)
+    return m, parts, jnp.asarray(angles), ranges, mask
+
+
+@pytest.mark.parametrize("ray_mode", ["fixed", "analytic"])
+@pytest.mark.parametrize("combine", ["sum", "log"])
+def test_batched_kernel_matches_per_episode(ray_mode, combine):
+    from montecarlolocalisation_tpu.ops.weights_pallas import (
+        beam_weights_pallas_batched,
+    )
+
+    m, parts, angles, ranges, mask = _batch_fixture()
+    cfg = SensorModelConfig(ray_mode=ray_mode, beam_combine=combine)
+    got = np.asarray(beam_weights_pallas_batched(
+        m, parts, angles, ranges, mask, cfg, interpret=True))
+    for e in range(parts.shape[0]):
+        scan = sensor.Scan(angles=angles, ranges=ranges[e], mask=mask[e])
+        want = np.asarray(beam_weights_pallas(m, parts[e], scan, cfg,
+                                              interpret=True))
+        np.testing.assert_array_equal(got[e], want)
+
+
+def test_batched_dispatch_under_vmap_matches_dense():
+    # The custom_vmap rule on TPU routes a vmapped beam_weights call to the
+    # batched kernel; on CPU it takes the dense fallback.  Pin that the
+    # BATCHED KERNEL SEMANTICS equal the dense vmap result (what the rule
+    # promises), episode by episode, including the log epilogue.
+    m, parts, angles, ranges, mask = _batch_fixture()
+    for combine in ["sum", "log"]:
+        cfg = SensorModelConfig(ray_mode="fixed", beam_combine=combine)
+        want = np.asarray(jax.vmap(
+            lambda p, r, mk: _beam_weights_dense(
+                m, p, sensor.Scan(angles=angles, ranges=r, mask=mk), cfg,
+                m.resolution, "bits"))(parts, ranges, mask))
+        raws = []
+        for e in range(parts.shape[0]):
+            scan = sensor.Scan(angles=angles, ranges=ranges[e], mask=mask[e])
+            raw = beam_weights_pallas(m, parts[e], scan, cfg, interpret=True)
+            if combine == "log":
+                raw = _finish_log(m, cfg, parts[e], raw)
+            raws.append(np.asarray(raw))
+        got = np.stack(raws)
+        rtol = 1e-5 if combine == "sum" else 1e-4
+        np.testing.assert_allclose(got, want, rtol=rtol, atol=1e-6)
+
+
+def test_batched_kernel_nested_vmap_folds():
+    # A second vmap level folds into the episode axis by reshape.
+    from montecarlolocalisation_tpu.models.sensor import (
+        _beam_weights_batched,
+    )
+
+    m, parts, angles, ranges, mask = _batch_fixture(n_ep=3, n=257)
+    cfg = SensorModelConfig(ray_mode="fixed")
+    p2 = jnp.stack([parts, parts + 0.01])          # [2, 3, N, 3]
+    r2 = jnp.stack([ranges, ranges])
+    m2 = jnp.stack([mask, mask])
+    got = jax.vmap(lambda pp, rr, mm: _beam_weights_batched(
+        m, pp, angles, rr, mm, cfg, interpret=True))(p2, r2, m2)
+    flat = _beam_weights_batched(
+        m, p2.reshape(6, 257, 3), angles, r2.reshape(6, -1),
+        m2.reshape(6, -1), cfg, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got).reshape(6, 257),
+                                  np.asarray(flat))
