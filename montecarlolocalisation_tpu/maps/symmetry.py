@@ -74,8 +74,14 @@ def _apply_wall(op, walls):
 
 
 def _compose(a, b):
-    """b after a (first a, then b) acting on walls and poses."""
-    perm = tuple(b["perm"][a["perm"][d]] for d in range(4))
+    """b after a (first a, then b) acting on walls and poses.
+
+    Channel permutation: applying a then b gives
+        w2[..., d] = B(w1)[..., pb[d]] = B(A(w))[..., pa[pb[d]]]
+    (cell ops permute rows/cols only, so they commute with channel
+    indexing), hence perm_comp[d] = a.perm[b.perm[d]].
+    """
+    perm = tuple(a["perm"][b["perm"][d]] for d in range(4))
     return dict(
         cell=lambda w, A=a, B=b: B["cell"](A["cell"](w)),
         perm=perm,

@@ -61,9 +61,14 @@ def _kmeans_pallas_vmappable(xy, centers0, reseed, cfg: ClusterConfig):
     episodes) fall back to the dense scan — pallas_call cannot batch."""
     from ..ops.kmeans_pallas import kmeans_pallas
 
+    # Forcing impl="pallas" off-TPU runs the kernel in interpret mode
+    # (slow, but the debug knob keeps working on the CPU test mesh).
+    interpret = jax.default_backend() != "tpu"
+
     @jax.custom_batching.custom_vmap
     def fn(xy, centers0, reseed):
-        return kmeans_pallas(xy, centers0, reseed, cfg.max_iters)
+        return kmeans_pallas(xy, centers0, reseed, cfg.max_iters,
+                             interpret=interpret)
 
     @fn.def_vmap
     def _rule(axis_size, in_batched, xy, centers0, reseed):

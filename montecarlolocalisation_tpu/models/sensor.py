@@ -213,6 +213,21 @@ def _beam_weights_dense(m, particles, scan, cfg, valid_offset, mode):
     return jnp.where(valid, prob, 0.0)
 
 
+def finish_log_weights(m, cfg, particles, raw_logs, axis=None):
+    """Log-combine epilogue: temperature, max-log shift, validity gate.
+
+    The Pallas kernels emit RAW per-particle log-sums (a per-tile kernel
+    cannot see the max); this finishes them exactly as the dense path does
+    (_beam_weights_dense).  axis=None takes the global max (single
+    filter); an int axis takes per-episode maxes for batched launches.
+    """
+    logs = raw_logs / cfg.log_temperature
+    prob = jnp.exp(logs - jnp.max(logs, axis=axis,
+                                  keepdims=axis is not None))
+    return jnp.where(
+        _valid_pos_bits(m, particles[..., 0], particles[..., 1]), prob, 0.0)
+
+
 def _beam_weights_pallas_vmappable(m, particles, scan, cfg, valid_offset):
     """Pallas kernel wrapped in custom_vmap: batching (vmap over episodes)
     falls back to the vmappable bits path — pallas_call cannot batch its
@@ -228,11 +243,7 @@ def _beam_weights_pallas_vmappable(m, particles, scan, cfg, valid_offset):
         out = beam_weights_pallas(
             m, p, Scan(angles=angles, ranges=ranges, mask=mask), cfg)
         if cfg.beam_combine == "log":
-            # The kernel emits raw log-sums (per-tile kernels cannot see
-            # the global max); finish exactly as the dense path does.
-            logs = out / cfg.log_temperature
-            prob = jnp.exp(logs - jnp.max(logs))
-            out = jnp.where(_valid_pos_bits(m, p[:, 0], p[:, 1]), prob, 0.0)
+            out = finish_log_weights(m, cfg, p, out)
         return out
 
     @fn.def_vmap
@@ -278,10 +289,7 @@ def _beam_weights_batched(m, p, angles, ranges, mask, cfg,
         out = beam_weights_pallas_batched(m, pp, aa, rr, mm, cfg,
                                           interpret=interpret)
         if cfg.beam_combine == "log":
-            logs = out / cfg.log_temperature
-            prob = jnp.exp(logs - jnp.max(logs, axis=1, keepdims=True))
-            out = jnp.where(
-                _valid_pos_bits(m, pp[..., 0], pp[..., 1]), prob, 0.0)
+            out = finish_log_weights(m, cfg, pp, out, axis=1)
         return out
 
     @bfn.def_vmap

@@ -197,15 +197,11 @@ def _beam_weights_call(x, y, th, angles, ranges, mask, geom, num_beams,
     return out.reshape(n_ep, grid * TILE)
 
 
-def beam_weights_pallas(m: MazeMap, particles, scan, cfg: SensorModelConfig,
-                        interpret: bool = False):
-    """Drop-in for sensor.beam_weights (offset==resolution).
+def _resolve_kernel_inputs(m: MazeMap, cfg: SensorModelConfig):
+    """Shared eligibility checks + (cast_fn, occ_lookup, dil_lookup, geom).
 
-    ray_mode "fixed" or "analytic" (the latter requires a
-    gridline-structured raster).  In beam_combine="log" mode the return
-    value is the RAW per-particle log-sum — the caller applies temperature,
-    the global max shift, and the validity gate (see sensor.beam_weights).
-    Requires a concrete (non-traced) map; pads N to a TILE multiple.
+    One definition so the single-filter and episode-batched launches can
+    never diverge in which configs they accept.
     """
     if not is_concrete_map(m):
         raise ValueError("beam_weights_pallas needs a concrete map "
@@ -222,13 +218,27 @@ def beam_weights_pallas(m: MazeMap, particles, scan, cfg: SensorModelConfig,
         raise ValueError(f"unsupported ray_mode {cfg.ray_mode!r} for the "
                          "Pallas kernel")
     occ_lookup, dil_lookup = MapBitTables.get(m)
+    geom = (float(m.resolution), float(m.origin_x), float(m.origin_y),
+            float(m.extent_x), float(m.extent_y))
+    return cast_fn, occ_lookup, dil_lookup, geom
+
+
+def beam_weights_pallas(m: MazeMap, particles, scan, cfg: SensorModelConfig,
+                        interpret: bool = False):
+    """Drop-in for sensor.beam_weights (offset==resolution).
+
+    ray_mode "fixed" or "analytic" (the latter requires a
+    gridline-structured raster).  In beam_combine="log" mode the return
+    value is the RAW per-particle log-sum — the caller applies temperature,
+    the global max shift, and the validity gate (see sensor.beam_weights).
+    Requires a concrete (non-traced) map; pads N to a TILE multiple.
+    """
+    cast_fn, occ_lookup, dil_lookup, geom = _resolve_kernel_inputs(m, cfg)
     n = particles.shape[0]
     pad = (-n) % TILE
     x = jnp.pad(particles[:, 0], (0, pad))[None]
     y = jnp.pad(particles[:, 1], (0, pad))[None]
     th = jnp.pad(particles[:, 2], (0, pad))[None]
-    geom = (float(m.resolution), float(m.origin_x), float(m.origin_y),
-            float(m.extent_x), float(m.extent_y))
     w = _beam_weights_call(
         x, y, th, jnp.asarray(scan.angles, jnp.float32),
         jnp.asarray(scan.ranges, jnp.float32)[None],
@@ -250,25 +260,10 @@ def beam_weights_pallas_batched(m: MazeMap, particles, angles, ranges,
     intermediates.  Same semantics per episode as beam_weights_pallas
     (log mode returns RAW per-episode log-sums).
     """
-    if not is_concrete_map(m):
-        raise ValueError("beam_weights_pallas_batched needs a concrete map")
-    cast_fn = None
-    if cfg.ray_mode == "analytic":
-        from .analytic import AnalyticCasterCache
-
-        cast_fn = AnalyticCasterCache.get(m)
-        if cast_fn is None:
-            raise ValueError("analytic Pallas kernel needs a "
-                             "gridline-structured raster")
-    elif cfg.ray_mode != "fixed":
-        raise ValueError(f"unsupported ray_mode {cfg.ray_mode!r} for the "
-                         "Pallas kernel")
-    occ_lookup, dil_lookup = MapBitTables.get(m)
-    n_ep, n = particles.shape[0], particles.shape[1]
+    cast_fn, occ_lookup, dil_lookup, geom = _resolve_kernel_inputs(m, cfg)
+    n = particles.shape[1]
     pad = (-n) % TILE
     padder = lambda a: jnp.pad(a, ((0, 0), (0, pad)))
-    geom = (float(m.resolution), float(m.origin_x), float(m.origin_y),
-            float(m.extent_x), float(m.extent_y))
     w = _beam_weights_call(
         padder(particles[:, :, 0]), padder(particles[:, :, 1]),
         padder(particles[:, :, 2]), jnp.asarray(angles, jnp.float32),

@@ -45,24 +45,34 @@ def initialize(coordinator_address: Optional[str] = None,
     multi-process runtime was actually started.
 
     Arguments default to the MCL_COORDINATOR / MCL_NUM_PROCESSES /
-    MCL_PROCESS_ID environment variables (mirroring jax.distributed's own
-    env-driven auto-detection on managed clusters, which still applies
-    when none are set and jax.distributed can self-configure).  A
-    single-process configuration is a no-op so the same launch script
-    works on one host — call this unconditionally, before any other JAX
-    API touches the backend.
+    MCL_PROCESS_ID environment variables; whatever remains unset is passed
+    as None so jax.distributed's own auto-detection applies (managed
+    clusters populate it from the scheduler).  MCL_PROCESS_ID is REQUIRED
+    with MCL_NUM_PROCESSES on clusters without auto-detection — it has no
+    safe default (every host claiming process 0 deadlocks the
+    coordinator).  An explicit single-process configuration is a no-op so
+    the same launch script works on one host — call this unconditionally,
+    before any other JAX API touches the backend.
     """
-    num = num_processes if num_processes is not None else int(
-        os.environ.get("MCL_NUM_PROCESSES", "1"))
-    if num <= 1:
+    env = os.environ.get
+    num = num_processes if num_processes is not None else (
+        int(env("MCL_NUM_PROCESSES")) if env("MCL_NUM_PROCESSES") else None)
+    if num is not None and num <= 1:
         return False
+    coord = coordinator_address or env("MCL_COORDINATOR")
+    if num is None and coord is None:
+        # Nothing configured and nothing to auto-detect from our side:
+        # stay a plain single-process run.
+        return False
+    pid = process_id if process_id is not None else (
+        int(env("MCL_PROCESS_ID")) if env("MCL_PROCESS_ID") else None)
+    if num is not None and pid is None:
+        raise ValueError(
+            "multi-process run needs a per-host process id: set "
+            "MCL_PROCESS_ID (0..num_processes-1) on each host or pass "
+            "process_id=")
     jax.distributed.initialize(
-        coordinator_address=(coordinator_address
-                             or os.environ.get("MCL_COORDINATOR")),
-        num_processes=num,
-        process_id=(process_id if process_id is not None else int(
-            os.environ.get("MCL_PROCESS_ID", "0"))),
-    )
+        coordinator_address=coord, num_processes=num, process_id=pid)
     return True
 
 

@@ -84,11 +84,15 @@ def test_empty_cluster_reseeds():
     assert (np.asarray(c_kern) < 10.0).all()
 
 
-def test_forced_impl_dispatch():
-    # cfg.impl="pallas" forces the kernel even on CPU/interpret-less path:
-    # verify the public kmeans() entry routes and returns sane output.
-    cfg = ClusterConfig(impl="dense")
+@pytest.mark.parametrize("impl", ["dense", "pallas"])
+def test_forced_impl_dispatch(impl):
+    # Both forced impls must route through the public kmeans() entry; the
+    # forced kernel path runs in interpret mode off-TPU.  Same RNG-derived
+    # inits, so the two impls land in the same mixture modes.
+    cfg = ClusterConfig(impl=impl)
     key = jax.random.PRNGKey(9)
     xy = _mixture(key)
     centers, assign = cluster.kmeans(key, xy, cfg)
     assert centers.shape == (3, 2) and assign.shape == (xy.shape[0],)
+    assert np.isfinite(np.asarray(centers)).all()
+    assert (np.asarray(centers) < 10.0).all()

@@ -101,3 +101,87 @@ def test_alias_errors_batched(sym):
     ae = symmetry.alias_errors(best, truth, sym)
     assert ae["err_xy"].shape == (5,)
     assert (np.asarray(ae["err_xy"]) < 0.12).all()
+
+
+def _seq_apply(ops, w):
+    for op in ops:
+        w = symmetry._apply_wall(op, w)
+    return w
+
+
+def test_compose_matches_sequential_application():
+    # Regression: _compose's channel permutation was applied in the wrong
+    # order, so composite candidates (rot90/rot270/anti_transpose) never
+    # matched genuinely symmetric mazes.
+    rng = np.random.RandomState(3)
+    w = (rng.uniform(size=(6, 6, 4)) < 0.4).astype(np.int8)
+    h, v, tr = symmetry._FLIP_H, symmetry._FLIP_V, symmetry._TRANSPOSE
+    pairs = [(tr, h), (tr, v), (h, v), (v, tr),
+             (symmetry._compose(h, v), tr)]
+    for a, b in pairs:
+        got = symmetry._apply_wall(symmetry._compose(a, b), w)
+        want = _seq_apply([a, b], w)
+        np.testing.assert_array_equal(got, want)
+
+
+def _rot90_symmetrized_walls(n=6, seed=5):
+    """OR a random consistent wall tensor with its rot90 orbit."""
+    from montecarlolocalisation_tpu.maps import generator
+
+    wl = generator.generate_maze(n, n, seed=seed)
+    w = np.asarray(maze.walls_to_tensor(wl)).astype(np.int8)
+    tr, h = symmetry._TRANSPOSE, symmetry._FLIP_H
+    rot90 = symmetry._compose(tr, h)
+    acc, cur = w, w
+    for _ in range(3):
+        cur = symmetry._apply_wall(rot90, cur)
+        acc = acc | cur
+    return acc
+
+
+def _tensor_to_wall_lists(w):
+    return [[[d for d in range(4) if w[r, c, d]]
+             for c in range(w.shape[1])] for r in range(w.shape[0])]
+
+
+def test_rot90_symmetric_maze_detects_full_rotation_group():
+    w = _rot90_symmetrized_walls()
+    s = symmetry.maze_symmetries(w)
+    for name in ["id", "rot90", "rot180", "rot270"]:
+        assert name in s.names, (s.names, name)
+    # Pose action must map cell centers to cell centers for every element.
+    cell = 0.8
+    centers = np.stack(np.meshgrid(
+        np.arange(6) * cell + 0.4, np.arange(6) * cell + 0.4),
+        axis=-1).reshape(-1, 2)
+    poses = np.concatenate([centers, np.zeros((len(centers), 1))], axis=-1)
+    aliased = np.asarray(s.apply(jnp.asarray(poses, jnp.float32)))
+    for g in range(s.size):
+        pts = aliased[:, g, :2]
+        snapped = np.round((pts - 0.4) / cell) * cell + 0.4
+        np.testing.assert_allclose(pts, snapped, atol=1e-4)
+
+
+def test_rot90_symmetry_is_physical():
+    # Scans at a pose and its rot90 alias must agree on the symmetrized
+    # maze.  Agreement is only to ~1-2 raster pixels: wall lines draw on
+    # the LOW pixel edge of their gridline (raster.py top/left rule), so an
+    # isometry about the cell lattice maps wall centers 0.1 m off their
+    # mirrored counterparts -- quantile assertion, not allclose.
+    from montecarlolocalisation_tpu.maps.grid import from_walls
+
+    w = _rot90_symmetrized_walls()
+    s = symmetry.maze_symmetries(w)
+    gi = s.names.index("rot90")
+    grid = from_walls(_tensor_to_wall_lists(w))
+    cfg = SensorModelConfig(ray_mode="dda")
+    angles = np.deg2rad(np.linspace(-118, 118, 16)).astype(np.float32)
+    poses = jnp.asarray([[1.23, 0.61, 0.37], [2.81, 2.17, -1.9]],
+                        jnp.float32)
+    aliased = s.apply(poses)
+    for p in range(poses.shape[0]):
+        ref = sensor.simulate_scan(grid, poses[p], angles, cfg)
+        got = sensor.simulate_scan(grid, aliased[p, gi], angles, cfg)
+        diff = np.abs(np.asarray(got.ranges) - np.asarray(ref.ranges))
+        assert np.quantile(diff, 0.85) < 0.15, diff
+        assert diff.max() < 0.4, diff

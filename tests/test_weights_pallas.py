@@ -39,10 +39,7 @@ def _fixture(n=2048, beams=12, seed=0):
 
 
 def _finish_log(m, cfg, parts, raw_logs):
-    logs = raw_logs / cfg.log_temperature
-    prob = jnp.exp(logs - jnp.max(logs))
-    valid = sensor._valid_pos_bits(m, parts[:, 0], parts[:, 1])
-    return jnp.where(valid, prob, 0.0)
+    return sensor.finish_log_weights(m, cfg, parts, raw_logs)
 
 
 @pytest.mark.parametrize("ray_mode", ["fixed", "analytic"])

@@ -4,16 +4,21 @@ executable accumulation make multi-jit single-process timings unreliable).
 Usage: python tools/bisect_step.py <variant> [--particles N] [--beams B]
        [--ray-mode fixed|analytic] [--iters I]
 
-Variants: motion, weights, resample, cluster (cumulative prefixes),
-          full (mcl_step), res_none, res_idx, res_gather (resample internals).
+Variants: motion, weights, resample, cluster (cumulative stage prefixes),
+          full (mcl_step), res_lib (motion+weights+library resample), and
+          resample-internals knockouts res_pallas / res_noidx /
+          res_barrier / res_nogather / res_nofresh / res_nojitter.
 """
 from __future__ import annotations
 
 import argparse
+import os.path as osp
 import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, osp.join(osp.dirname(osp.abspath(__file__)), ".."))
 
 
 def main() -> None:
@@ -37,8 +42,9 @@ def main() -> None:
         cluster, filter as mcl, motion, resample, sensor,
     )
 
-    maze = from_map_file(
-        "montecarlolocalisation_tpu/maps/default_map.txt")
+    maze = from_map_file(osp.join(
+        osp.dirname(osp.abspath(__file__)), "..",
+        "montecarlolocalisation_tpu", "maps", "default_map.txt"))
     n = args.particles
     angles = np.deg2rad(
         np.linspace(-118.0, 118.0, args.beams)).astype(np.float32)
