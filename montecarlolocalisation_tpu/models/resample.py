@@ -114,10 +114,19 @@ def _systematic_draw(particles, cdf, u0, expand_mode: str):
     @fn.def_vmap
     def _rule(axis_size, in_batched, p, cdf_, u0_):
         p_b, c_b, u_b = in_batched
-        if (on_tpu and p_b and c_b and p.ndim == 3 and p.shape[1] <= 2048
-                and axis_size * p.shape[1] ** 2 * 4 <= 2**31):
+        if on_tpu and p_b and c_b and p.ndim == 3:
             uu = u0_ if u_b else jnp.broadcast_to(u0_, (axis_size,))
-            return _expand_onehot_batched(p, cdf_, uu), True
+            if (p.shape[1] <= 2048
+                    and axis_size * p.shape[1] ** 2 * 4 <= 2**31):
+                return _expand_onehot_batched(p, cdf_, uu), True
+            # Large per-episode N: the one-hot matrix would not fit, but
+            # the Pallas kernel runs fine under lax.map (a sequential
+            # scan launches it per episode — no vmap of pallas_call).
+            from ..ops.expand_pallas import systematic_expand
+
+            out = jax.lax.map(
+                lambda args: systematic_expand(*args), (p, cdf_, uu))
+            return out, True
         in_axes = [0 if b else None for b in in_batched]
         out = jax.vmap(lambda pp, cc, uu: pp[systematic_indices(cc, uu)],
                        in_axes=in_axes)(p, cdf_, u0_)

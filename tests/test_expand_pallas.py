@@ -107,3 +107,22 @@ def test_onehot_batched_expand_matches_indices():
     for e in range(n_ep):
         want = parts[e][systematic_indices(cdfs[e], u0[e])]
         np.testing.assert_array_equal(np.asarray(got[e]), np.asarray(want))
+
+
+def test_laxmap_batched_expand_matches_indices():
+    # The big-N vmap-rule branch: lax.map launching the expansion kernel
+    # per episode (sequential scan -- no vmap of pallas_call).
+    n_ep, n = 3, 2048
+    parts, cdfs, u0s = [], [], []
+    for e in range(n_ep):
+        p, cdf = _case(n, skew=2 + e, seed=40 + e)
+        parts.append(p)
+        cdfs.append(cdf)
+    parts, cdfs = jnp.stack(parts), jnp.stack(cdfs)
+    u0 = jnp.asarray([0.1, 0.5, 0.9], jnp.float32)
+    got = jax.lax.map(
+        lambda args: systematic_expand(*args, interpret=True),
+        (parts, cdfs, u0))
+    for e in range(n_ep):
+        want = parts[e][systematic_indices(cdfs[e], u0[e])]
+        np.testing.assert_array_equal(np.asarray(got[e]), np.asarray(want))
