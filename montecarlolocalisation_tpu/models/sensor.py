@@ -248,18 +248,18 @@ def _beam_weights_pallas_vmappable(m, particles, scan, cfg, valid_offset):
 
     @fn.def_vmap
     def _rule(axis_size, in_batched, p, angles, ranges, mask):
-        from ..ops.weights_pallas import TILE
+        from ..ops.weights_pallas import pack_geometry
 
         p_b, a_b, r_b, m_b = in_batched
         # Episode-batched kernel fast path (BASELINE config 4 sweeps): one
         # shared beam table, per-episode observations.  Anything else (a
         # batched beam table, higher-rank batching) takes the dense vmap.
-        # Padding gate: each episode pads to the 1024-particle tile, and the
-        # kernel is compute-bound, so padding is pure waste — measured on
-        # v5e: +13% vs dense at 8192/ep (no padding), -8% at 500/ep (2x
-        # padding).  Only dispatch when waste is small.
+        # Padding gate: the kernel is compute-bound, so tile padding is
+        # pure waste.  Small episodes pack several-per-tile (500-particle
+        # sweeps waste 2.4%); only ungateable waste (e.g. 600 particles ->
+        # 1024-lane rows x 1) falls back to the dense path.
         n_p = p.shape[1] if p_b and p.ndim == 3 else 0
-        pad_ok = n_p > 0 and (-(-n_p // TILE) * TILE) <= 1.25 * n_p
+        pad_ok = n_p > 0 and pack_geometry(n_p)[2] <= 1.25
         if p_b and not a_b and p.ndim == 3 and pad_ok:
             rr = ranges if r_b else jnp.broadcast_to(
                 ranges, (axis_size,) + ranges.shape)

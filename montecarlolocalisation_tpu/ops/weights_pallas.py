@@ -50,12 +50,16 @@ TILE = TILE_SUB * TILE_LANE  # 1024
 def _weights_kernel(x_ref, y_ref, th_ref, ang_ref, cos_ref, sin_ref,
                     obs_ref, msk_ref, out_ref, *, cfg: SensorModelConfig,
                     num_beams: int, geom: tuple, occ_lookup, dil_lookup,
-                    cast_fn=None):
+                    cast_fn=None, pack=(1, 8)):
     (res, origin_x, origin_y, extent_x, extent_y) = geom
+    n_pack, rows_per_ep = pack
     x = x_ref[0]            # [8, 128]
     y = y_ref[0]
     th = th_ref[0]
     inv_res = 1.0 / res
+    if n_pack > 1:
+        # Sublane index, to select each packed episode's scan values.
+        sub = jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 2)
 
     def to_px(wx, wy):
         # C++ static_cast<int> truncation (worldToMap, monte_carlo.cpp:305).
@@ -100,8 +104,20 @@ def _weights_kernel(x_ref, y_ref, th_ref, ang_ref, cos_ref, sin_ref,
     # compile time (observed 20+ min at B=34).  March steps stay unrolled.
     def beam_body(b, prob):
         beam_angle = ang_ref[b]
-        obs = obs_ref[0, 0, b]
-        bmask = msk_ref[0, 0, b]
+        if n_pack == 1:
+            obs = obs_ref[0, 0, b]
+            bmask = msk_ref[0, 0, b]
+        else:
+            # n_pack episodes share the tile, rows_per_ep sublanes each:
+            # build per-sublane observation/mask vectors by select chain
+            # over the packed episodes' SMEM scans (~2 ops per episode —
+            # negligible next to the ray march).
+            obs = jnp.full_like(x, obs_ref[0, n_pack - 1, b])
+            bmask = jnp.full_like(x, msk_ref[0, n_pack - 1, b])
+            for p in range(n_pack - 2, -1, -1):
+                take = sub < (p + 1) * rows_per_ep
+                obs = jnp.where(take, obs_ref[0, p, b], obs)
+                bmask = jnp.where(take, msk_ref[0, p, b], bmask)
         if cfg.quantize_ray_deg:
             # ~1-degree direction quantization (monte_carlo.cpp:355-363)
             # quantizes the SUM, so the identity cannot apply here.
@@ -149,52 +165,50 @@ def _weights_kernel(x_ref, y_ref, th_ref, ang_ref, cos_ref, sin_ref,
 
 def _beam_weights_call(x, y, th, angles, ranges, mask, geom, num_beams,
                        cfg: SensorModelConfig, occ_lookup, dil_lookup,
-                       interpret: bool, cast_fn=None):
-    """Launch the kernel over an [E, N_padded] episode x particle batch.
+                       interpret: bool, cast_fn=None, pack=(1, TILE_SUB)):
+    """Launch the kernel over pre-tiled episode groups.
 
-    x/y/th [E, N_padded], ranges/mask [E, B] (per-episode scans), angles [B]
-    (one shared static beam table).  Grid = (episodes, particle tiles); the
-    per-episode scan rides as a (1, B) SMEM block re-streamed per episode.
-    E = 1 is the single-filter case.
+    x/y/th [G, T, 8, 128] particle tiles, ranges/mask [G, P, B] per-episode
+    scans (P packed episodes per tile row-group, rows_per_ep sublanes
+    each — P = 1 is the plain one-episode-per-row-group case), angles [B]
+    one shared static beam table.  Grid = (episode groups, tiles); the
+    scans ride as (1, P, B) SMEM blocks re-streamed per group.
     """
-    n_ep = x.shape[0]
-    grid = x.shape[1] // TILE
-    shp = (n_ep, grid, TILE_SUB, TILE_LANE)
-    x = x.reshape(shp)
-    y = y.reshape(shp)
-    th = th.reshape(shp)
+    n_g, grid = x.shape[:2]
+    n_pack = pack[0]
     sign = -1.0 if cfg.negate_beam_angle else 1.0
     cos_b = jnp.cos(sign * angles)
     sin_b = jnp.sin(sign * angles)
     kernel = functools.partial(
         _weights_kernel, cfg=cfg, num_beams=num_beams, geom=geom,
-        occ_lookup=occ_lookup, dil_lookup=dil_lookup, cast_fn=cast_fn)
+        occ_lookup=occ_lookup, dil_lookup=dil_lookup, cast_fn=cast_fn,
+        pack=pack)
     row_spec = pl.BlockSpec((1, 1, TILE_SUB, TILE_LANE),
                             lambda e, i: (e, i, 0, 0),
                             memory_space=pltpu.VMEM)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     # Mosaic requires the last two block dims to be (8,128)-divisible OR
-    # equal to the array dims; a [E, 1, B] layout with (1, 1, B) blocks
-    # satisfies that for any B while streaming one episode's scan per
+    # equal to the array dims; a [G, P, B] layout with (1, P, B) blocks
+    # satisfies that for any B while streaming one group's scans per
     # grid row.
-    ep_smem = pl.BlockSpec((1, 1, num_beams), lambda e, i: (e, 0, 0),
+    ep_smem = pl.BlockSpec((1, n_pack, num_beams), lambda e, i: (e, 0, 0),
                            memory_space=pltpu.SMEM)
     out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct(shp, jnp.float32),
-        grid=(n_ep, grid),
+        out_shape=jax.ShapeDtypeStruct(x.shape, jnp.float32),
+        grid=(n_g, grid),
         in_specs=[
             row_spec, row_spec, row_spec,
             smem,     # angles [B] (shared)
             smem,     # cos(sign*angles) [B]
             smem,     # sin(sign*angles) [B]
-            ep_smem,  # ranges [E, B]
-            ep_smem,  # mask [E, B]
+            ep_smem,  # ranges [G, P, B]
+            ep_smem,  # mask [G, P, B]
         ],
         out_specs=row_spec,
         interpret=interpret,
-    )(x, y, th, angles, cos_b, sin_b, ranges[:, None, :], mask[:, None, :])
-    return out.reshape(n_ep, grid * TILE)
+    )(x, y, th, angles, cos_b, sin_b, ranges, mask)
+    return out
 
 
 def _resolve_kernel_inputs(m: MazeMap, cfg: SensorModelConfig):
@@ -236,16 +250,32 @@ def beam_weights_pallas(m: MazeMap, particles, scan, cfg: SensorModelConfig,
     cast_fn, occ_lookup, dil_lookup, geom = _resolve_kernel_inputs(m, cfg)
     n = particles.shape[0]
     pad = (-n) % TILE
-    x = jnp.pad(particles[:, 0], (0, pad))[None]
-    y = jnp.pad(particles[:, 1], (0, pad))[None]
-    th = jnp.pad(particles[:, 2], (0, pad))[None]
+    grid = (n + pad) // TILE
+    tile = lambda a: jnp.pad(a, (0, pad)).reshape(
+        1, grid, TILE_SUB, TILE_LANE)
     w = _beam_weights_call(
-        x, y, th, jnp.asarray(scan.angles, jnp.float32),
-        jnp.asarray(scan.ranges, jnp.float32)[None],
-        jnp.asarray(scan.mask, jnp.float32)[None], geom,
+        tile(particles[:, 0]), tile(particles[:, 1]), tile(particles[:, 2]),
+        jnp.asarray(scan.angles, jnp.float32),
+        jnp.asarray(scan.ranges, jnp.float32)[None, None],
+        jnp.asarray(scan.mask, jnp.float32)[None, None], geom,
         int(scan.angles.shape[0]), cfg, occ_lookup, dil_lookup, interpret,
         cast_fn)
-    return w[0, :n]
+    return w.reshape(-1)[:n]
+
+
+def pack_geometry(n: int):
+    """(rows_per_ep, n_pack, waste) for packing episodes of n particles.
+
+    Episodes pad to rows_per_ep 128-lane rows; n_pack of them share one
+    (8, 128) tile.  waste is compute overhead vs useful particles (the
+    kernel is compute-bound, so waste is the dispatch criterion).
+    """
+    rows = -(-n // TILE_LANE)
+    if rows >= TILE_SUB:
+        pad = (-n) % TILE
+        return TILE_SUB, 1, (n + pad) / n
+    n_pack = TILE_SUB // rows
+    return rows, n_pack, TILE_SUB * TILE_LANE / (n_pack * n)
 
 
 def beam_weights_pallas_batched(m: MazeMap, particles, angles, ranges,
@@ -257,17 +287,52 @@ def beam_weights_pallas_batched(m: MazeMap, particles, angles, ranges,
     `ranges`/`mask` [E, B] stream through SMEM per grid row.  This is the
     vmap-over-episodes fast path (BASELINE config 4 sweeps): the plain
     kernel cannot batch, and the dense fallback materializes [E, N, B]
-    intermediates.  Same semantics per episode as beam_weights_pallas
-    (log mode returns RAW per-episode log-sums).
+    intermediates.  Small episodes (n <= 896 particles) PACK: each pads to
+    rows_per_ep 128-lane rows and 8//rows_per_ep of them share one (8, 128)
+    tile, so e.g. 500-particle sweeps waste 2.4%, not 2x; the kernel
+    selects each sublane group's scan from SMEM per beam.  Same semantics
+    per episode as beam_weights_pallas (log mode returns RAW per-episode
+    log-sums).
     """
     cast_fn, occ_lookup, dil_lookup, geom = _resolve_kernel_inputs(m, cfg)
-    n = particles.shape[1]
-    pad = (-n) % TILE
-    padder = lambda a: jnp.pad(a, ((0, 0), (0, pad)))
+    n_ep, n = particles.shape[0], particles.shape[1]
+    rows, n_pack, _ = pack_geometry(n)
+    angles = jnp.asarray(angles, jnp.float32)
+    ranges = jnp.asarray(ranges, jnp.float32)
+    mask = jnp.asarray(mask, jnp.float32)
+    nb = int(angles.shape[0])
+    if n_pack == 1:
+        pad = (-n) % TILE
+        grid = (n + pad) // TILE
+        tile = lambda a: jnp.pad(a, ((0, 0), (0, pad))).reshape(
+            n_ep, grid, TILE_SUB, TILE_LANE)
+        w = _beam_weights_call(
+            tile(particles[:, :, 0]), tile(particles[:, :, 1]),
+            tile(particles[:, :, 2]), angles,
+            ranges[:, None, :], mask[:, None, :],
+            geom, nb, cfg, occ_lookup, dil_lookup, interpret, cast_fn)
+        return w.reshape(n_ep, grid * TILE)[:, :n]
+
+    # Packed layout: pad episodes to a multiple of n_pack, each episode to
+    # rows * 128 particles; group n_pack episodes into the tile's sublanes
+    # (row-leftover 8 - n_pack*rows sublanes are dead weight lanes).
+    e_pad = (-n_ep) % n_pack
+    groups = (n_ep + e_pad) // n_pack
+    sub_pad = TILE_SUB - n_pack * rows
+
+    def tile(a):  # [E, n] -> [G, 1, 8, 128]
+        a = jnp.pad(a, ((0, e_pad), (0, rows * TILE_LANE - n)))
+        a = a.reshape(groups, n_pack * rows, TILE_LANE)
+        a = jnp.pad(a, ((0, 0), (0, sub_pad), (0, 0)))
+        return a[:, None]
+
+    pad_ep = lambda a: jnp.pad(a, ((0, e_pad), (0, 0))).reshape(
+        groups, n_pack, nb)
     w = _beam_weights_call(
-        padder(particles[:, :, 0]), padder(particles[:, :, 1]),
-        padder(particles[:, :, 2]), jnp.asarray(angles, jnp.float32),
-        jnp.asarray(ranges, jnp.float32), jnp.asarray(mask, jnp.float32),
-        geom, int(angles.shape[0]), cfg, occ_lookup, dil_lookup, interpret,
-        cast_fn)
-    return w[:, :n]
+        tile(particles[:, :, 0]), tile(particles[:, :, 1]),
+        tile(particles[:, :, 2]), angles, pad_ep(ranges), pad_ep(mask),
+        geom, nb, cfg, occ_lookup, dil_lookup, interpret, cast_fn,
+        pack=(n_pack, rows))
+    w = w.reshape(groups, TILE_SUB, TILE_LANE)[:, : n_pack * rows]
+    w = w.reshape(groups * n_pack, rows * TILE_LANE)
+    return w[:n_ep, :n]

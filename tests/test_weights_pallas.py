@@ -173,3 +173,41 @@ def test_batched_kernel_nested_vmap_folds():
         m2.reshape(6, -1), cfg, interpret=True)
     np.testing.assert_array_equal(np.asarray(got).reshape(6, 257),
                                   np.asarray(flat))
+
+
+@pytest.mark.parametrize("n,n_ep", [
+    (500, 3),    # rows=4, pack=2, one dangling episode in the last group
+    (100, 9),    # rows=1, pack=8
+    (300, 4),    # rows=3, pack=2, 2 dead sublanes per tile
+])
+def test_packed_batched_kernel_matches_per_episode(n, n_ep):
+    from montecarlolocalisation_tpu.ops.weights_pallas import (
+        beam_weights_pallas_batched, pack_geometry,
+    )
+
+    rows, n_pack, waste = pack_geometry(n)
+    assert n_pack > 1 and waste < 1.75  # parity must hold even where the
+    # dispatch gate (waste <= 1.25) would pick the dense path
+    m = from_map_file(MAP_PATH)
+    cfg0 = SensorModelConfig()
+    beams = 12
+    angles = np.deg2rad(np.linspace(-118, 118, beams)).astype(np.float32)
+    keys = jax.random.split(jax.random.PRNGKey(21), n_ep)
+    parts = jnp.stack([
+        resample.sample_uniform_particles(k, m, n) for k in keys])
+    ranges = jnp.stack([
+        sensor.simulate_scan(
+            m, jnp.array([0.9 + 0.4 * e, 1.1, 0.3 * e]), angles,
+            cfg0).ranges
+        for e in range(n_ep)])
+    mask = jnp.ones((n_ep, beams), bool).at[0, 5].set(False)
+    cfg = SensorModelConfig(ray_mode="fixed")
+    got = np.asarray(beam_weights_pallas_batched(
+        m, parts, jnp.asarray(angles), ranges, mask, cfg, interpret=True))
+    assert got.shape == (n_ep, n)
+    for e in range(n_ep):
+        scan = sensor.Scan(angles=jnp.asarray(angles), ranges=ranges[e],
+                           mask=mask[e])
+        want = np.asarray(beam_weights_pallas(m, parts[e], scan, cfg,
+                                              interpret=True))
+        np.testing.assert_array_equal(got[e], want)
