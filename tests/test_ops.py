@@ -105,3 +105,33 @@ def test_valid_pos_dilated_matches_stencil():
     exact = np.asarray(grid.is_valid_pos_stencil(m, xs, ys))
     # Identical away from float pixel-boundary ties.
     assert (fast == exact).mean() > 0.999
+
+
+def test_stage_knockout_times_smoke():
+    # Tiny config on CPU: all marginals finite, stand-ins preserve shapes.
+    import os.path as osp
+
+    import jax
+    import jax.numpy as jnp
+
+    from montecarlolocalisation_tpu.config import FilterConfig
+    from montecarlolocalisation_tpu.maps import from_map_file
+    from montecarlolocalisation_tpu.models import filter as mcl, sensor
+    from montecarlolocalisation_tpu.utils.profiling import (
+        stage_knockout_times,
+    )
+
+    m = from_map_file(osp.join(
+        osp.dirname(__file__), "..", "montecarlolocalisation_tpu", "maps",
+        "default_map.txt"))
+    cfg = FilterConfig(num_particles=256)
+    import numpy as np
+    angles = jnp.asarray(np.deg2rad(np.linspace(-118, 118, 8)),
+                         jnp.float32)
+    state = mcl.init_state(jax.random.PRNGKey(0), m, cfg)
+    scan = sensor.simulate_scan(m, jnp.array([1.25, 1.25, 0.0]), angles,
+                                cfg.sensor)
+    out = stage_knockout_times(m, cfg, scan, state, iters=2)
+    assert set(out) == {"full", "marginal_motion", "marginal_weights",
+                        "marginal_resample", "marginal_cluster"}
+    assert all(np.isfinite(v) for v in out.values())
