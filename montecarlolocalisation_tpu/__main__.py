@@ -15,7 +15,7 @@ def main() -> None:
     ap = argparse.ArgumentParser(prog="montecarlolocalisation_tpu")
     ap.add_argument("preset", choices=["localisation", "planning",
                                        "challenge", "sweep", "moving",
-                                       "calibrate"])
+                                       "calibrate", "serve"])
     ap.add_argument("--particles", type=int, default=1500)
     ap.add_argument("--beams", type=int, default=24)
     ap.add_argument("--ticks", type=int, default=None)
@@ -79,6 +79,20 @@ def main() -> None:
                                     num_ticks=args.ticks or 200)
         print(json.dumps(dict(preset="calibrate", **{
             k: round(float(v), 5) for k, v in out.items()})))
+    elif args.preset == "serve":
+        # Online mode: JSONL sensor frames on stdin -> pose stream on
+        # stdout (io/server.py; the reference's live-node deployment).
+        import sys
+
+        from .io.server import MCLServer
+
+        server = MCLServer(world.maze, world.cfg, world.angles,
+                           seed=args.seed)
+        ticks = server.serve(sys.stdin)
+        print(json.dumps(dict(preset="serve", ticks=ticks,
+                              final_confidence=round(
+                                  float(server.state.confidence), 4))),
+              file=sys.stderr)
 
 
 if __name__ == "__main__":

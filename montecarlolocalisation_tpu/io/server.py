@@ -1,0 +1,194 @@
+"""Online serving: the reference's live filter loop as a JSONL stream.
+
+The reference DEPLOYS as a long-lived ROS node (monte_carlo.cpp:1153-1214):
+encoder/scan callbacks feed a 10 Hz timer that updates the filter and
+publishes /pose, /exact_pose, songs and wanderer service calls until a
+/shutdown_driver message arrives.  This module is the TPU-native
+deployment surface: one process pins `MCLState` on the device, runs the
+compiled `mcl_step` per input line, and emits the `MCLOutput` fields per
+tick — turning the episode/replay engine into an ONLINE localizer that a
+user feeds real sensor frames over stdin, a pipe, or a socket.
+
+Protocol — one JSON object per line, one JSON object back per line:
+
+  Sensor tick, pre-filtered (ranges aligned to the server's beam table):
+    {"encoder_left": rad, "encoder_right": rad, "ranges": [...],
+     "mask": [...]?}
+  Sensor tick, raw LaserScan (filterLaserReadings semantics host-side):
+    {"encoder_left": rad, "encoder_right": rad,
+     "raw_scan": {"ranges": [...], "angle_min": a, "angle_increment": d,
+                  "range_min": lo, "range_max": hi}}
+  -> {"tick": i, "exact_pose": [x, y, th], "cell_pose": [row, col, o],
+      "confidence": c, "song": s, "wanderer_cmd": w, "n_injected": k}
+     (exact_pose/cell_pose publish the PREVIOUS tick's estimate, matching
+      the reference's publish-then-update tick order,
+      monte_carlo.cpp:1082-1083.)
+
+  Commands:
+    {"cmd": "reset", "seed": n?}            -> {"ok": true}
+    {"cmd": "checkpoint", "path": "..."}    -> {"ok": true}  (pytree save)
+    {"cmd": "restore", "path": "..."}       -> {"ok": true}
+    {"cmd": "stats"}                        -> {"tick": i, "confidence": c}
+    {"cmd": "shutdown"}                     -> {"ok": true} + loop exits
+      (the /shutdown_driver analog, monte_carlo.cpp:248-251)
+"""
+from __future__ import annotations
+
+import json
+import sys
+from typing import IO, Iterable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import FilterConfig
+from ..maps.grid import MazeMap
+from ..models import filter as mcl
+from ..models import sensor
+from . import logs
+
+
+class MCLServer:
+    """A live filter: device-resident state + one compiled step.
+
+    The beam table is FIXED at construction (the jit signature needs a
+    static beam count, exactly as the reference fixes its LIDAR): raw
+    scans are filtered and padded host-side to `len(angles)` lanes.
+    """
+
+    def __init__(self, m: MazeMap, cfg: FilterConfig, angles,
+                 seed: int = 0):
+        self.m = m
+        self.cfg = cfg
+        self.angles = np.asarray(angles, np.float32)
+        self._angles_dev = jnp.asarray(self.angles)
+        self.tick_count = 0
+
+        def step(state, enc_l, enc_r, ranges, mask):
+            sc = sensor.Scan(angles=self._angles_dev, ranges=ranges,
+                             mask=mask)
+            return mcl.mcl_step(state, enc_l, enc_r, sc, m, cfg)
+
+        self._step = jax.jit(step)
+        self.reset(seed)
+
+    # -- lifecycle ---------------------------------------------------------
+
+    def reset(self, seed: int = 0) -> None:
+        self.state = mcl.init_state(jax.random.PRNGKey(seed), self.m,
+                                    self.cfg)
+        self.tick_count = 0
+
+    def checkpoint(self, path: str) -> None:
+        logs.save_pytree(path, self.state)
+
+    def restore(self, path: str) -> None:
+        self.state = logs.load_pytree(path, self.state)
+
+    # -- ticks -------------------------------------------------------------
+
+    def tick(self, encoder_left: float, encoder_right: float, ranges,
+             mask=None) -> dict:
+        """One filter update from a PRE-FILTERED scan on the beam table."""
+        ranges = jnp.asarray(ranges, jnp.float32)
+        if ranges.shape != self._angles_dev.shape:
+            raise ValueError(
+                f"ranges has {ranges.shape[0]} lanes, beam table has "
+                f"{self._angles_dev.shape[0]} — pass a raw_scan or match "
+                "the table")
+        if mask is None:
+            mask = jnp.ones(ranges.shape, bool)
+        else:
+            mask = jnp.asarray(mask, bool)
+        self.state, out = self._step(
+            self.state, jnp.float32(encoder_left),
+            jnp.float32(encoder_right), ranges, mask)
+        self.tick_count += 1
+        return self._out_dict(out)
+
+    def tick_raw(self, encoder_left: float, encoder_right: float,
+                 raw: dict) -> dict:
+        """One filter update from a raw LaserScan message dict."""
+        angles, radii, mask = sensor.filter_scan(
+            np.asarray(raw["ranges"], np.float64),
+            float(raw["angle_min"]), float(raw["angle_increment"]),
+            float(raw.get("range_min", 0.0)),
+            float(raw.get("range_max", self.cfg.sensor.max_range)),
+            self.cfg.sensor, pad_to=len(self.angles))
+        # The dropped-shifts-comb quirk means the surviving beam angles can
+        # drift from the server table; the filter evaluates AT the served
+        # table, so re-use the table and feed the filtered radii + mask.
+        del angles
+        return self.tick(encoder_left, encoder_right, radii, mask)
+
+    def _out_dict(self, out: mcl.MCLOutput) -> dict:
+        return dict(
+            tick=self.tick_count,
+            exact_pose=[round(float(v), 6)
+                        for v in np.asarray(out.exact_pose)],
+            cell_pose=[int(v) for v in np.asarray(out.cell_pose)],
+            confidence=round(float(out.confidence), 6),
+            song=int(out.song),
+            wanderer_cmd=int(out.wanderer_cmd),
+            n_injected=int(out.n_injected),
+        )
+
+    # -- stream loop -------------------------------------------------------
+
+    def serve(self, lines: Iterable[str],
+              out_stream: Optional[IO[str]] = None) -> int:
+        """Drain a JSONL stream; returns the number of sensor ticks run."""
+        out_stream = out_stream or sys.stdout
+        for line in lines:
+            line = line.strip()
+            if not line:
+                continue
+            try:
+                msg = json.loads(line)
+            except json.JSONDecodeError as e:
+                print(json.dumps(dict(error=f"bad json: {e}")),
+                      file=out_stream, flush=True)
+                continue
+            try:
+                if "cmd" in msg:
+                    stop = self._handle_cmd(msg, out_stream)
+                    if stop:
+                        break
+                elif "raw_scan" in msg:
+                    print(json.dumps(self.tick_raw(
+                        msg["encoder_left"], msg["encoder_right"],
+                        msg["raw_scan"])), file=out_stream, flush=True)
+                else:
+                    print(json.dumps(self.tick(
+                        msg["encoder_left"], msg["encoder_right"],
+                        msg["ranges"], msg.get("mask"))),
+                        file=out_stream, flush=True)
+            except (KeyError, ValueError, TypeError) as e:
+                print(json.dumps(dict(error=str(e))), file=out_stream,
+                      flush=True)
+        return self.tick_count
+
+    def _handle_cmd(self, msg: dict, out_stream: IO[str]) -> bool:
+        cmd = msg["cmd"]
+        if cmd == "reset":
+            self.reset(int(msg.get("seed", 0)))
+        elif cmd == "checkpoint":
+            self.checkpoint(msg["path"])
+        elif cmd == "restore":
+            self.restore(msg["path"])
+        elif cmd == "stats":
+            print(json.dumps(dict(
+                tick=self.tick_count,
+                confidence=round(float(self.state.confidence), 6))),
+                file=out_stream, flush=True)
+            return False
+        elif cmd == "shutdown":
+            print(json.dumps(dict(ok=True)), file=out_stream, flush=True)
+            return True
+        else:
+            print(json.dumps(dict(error=f"unknown cmd {cmd!r}")),
+                  file=out_stream, flush=True)
+            return False
+        print(json.dumps(dict(ok=True)), file=out_stream, flush=True)
+        return False

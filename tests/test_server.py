@@ -1,0 +1,116 @@
+"""Online JSONL server (io/server.py): the live-node deployment surface.
+
+The server must be a faithful ONLINE re-expression of the batch episode
+runner: feeding the same episode tick-by-tick must reproduce
+run_episode's outputs exactly (same keys, same step function).
+"""
+import io as pyio
+import json
+import os.path as osp
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from montecarlolocalisation_tpu.config import FilterConfig
+from montecarlolocalisation_tpu.io.server import MCLServer
+from montecarlolocalisation_tpu.maps import from_map_file
+from montecarlolocalisation_tpu.models import filter as mcl, sensor
+from montecarlolocalisation_tpu.sim import robot
+
+MAP_PATH = osp.join(osp.dirname(__file__), "..", "montecarlolocalisation_tpu",
+                    "maps", "default_map.txt")
+
+
+def _world(n=256, beams=12, ticks=20, seed=0):
+    m = from_map_file(MAP_PATH)
+    cfg = FilterConfig(num_particles=n)
+    angles = np.deg2rad(np.linspace(-118, 118, beams)).astype(np.float32)
+    enc, scans, truth = robot.generate_wander_episode(
+        jax.random.PRNGKey(seed), m, cfg, angles, ticks)
+    return m, cfg, angles, np.asarray(enc), np.asarray(scans)
+
+
+def test_server_matches_run_episode_exactly():
+    m, cfg, angles, enc, scans = _world()
+    state = mcl.init_state(jax.random.PRNGKey(7), m, cfg)
+    _, outs = mcl.run_episode(state, enc, scans, angles, m, cfg)
+
+    srv = MCLServer(m, cfg, angles, seed=7)
+    for t in range(enc.shape[0]):
+        out = srv.tick(enc[t, 0], enc[t, 1], scans[t])
+        np.testing.assert_allclose(
+            out["exact_pose"],
+            np.round(np.asarray(outs.exact_pose[t], np.float64), 6))
+        assert out["cell_pose"] == [int(v) for v in
+                                    np.asarray(outs.cell_pose[t])]
+        assert out["song"] == int(outs.song[t])
+        assert out["wanderer_cmd"] == int(outs.wanderer_cmd[t])
+    # Device state advanced identically.
+    assert srv.tick_count == enc.shape[0]
+
+
+def test_server_raw_scan_path():
+    # The canonical LIDAR table: a full 726-beam raw frame filters down to
+    # exactly the served beam count (crop +-120 deg, skip 20, NaN->1.05).
+    m = from_map_file(MAP_PATH)
+    cfg = FilterConfig(num_particles=128)
+    table = sensor.default_beam_angles(cfg.sensor)
+    srv = MCLServer(m, cfg, table, seed=1)
+    ranges = [0.7] * 726
+    ranges[100] = float("nan")          # dead beam -> 1.05 replacement
+    ranges[200] = 5.0                   # out-of-range finite -> dropped
+    raw = dict(ranges=ranges, angle_min=-np.deg2rad(135.0),
+               angle_increment=np.deg2rad(0.352), range_min=0.02,
+               range_max=1.0)
+    out = srv.tick_raw(0.1, 0.1, raw)
+    assert out["tick"] == 1 and np.isfinite(out["confidence"])
+
+
+def test_server_checkpoint_restore_roundtrip(tmp_path):
+    m, cfg, angles, enc, scans = _world()
+    srv = MCLServer(m, cfg, angles, seed=3)
+    for t in range(5):
+        srv.tick(enc[t, 0], enc[t, 1], scans[t])
+    ckpt = str(tmp_path / "state.npz")
+    srv.checkpoint(ckpt)
+    cont = [srv.tick(enc[t, 0], enc[t, 1], scans[t]) for t in range(5, 10)]
+    srv.restore(ckpt)
+    replay = [srv.tick(enc[t, 0], enc[t, 1], scans[t])
+              for t in range(5, 10)]
+    for a, b in zip(cont, replay):
+        assert a["exact_pose"] == b["exact_pose"]
+        assert a["confidence"] == b["confidence"]
+
+
+def test_serve_protocol_loop(tmp_path):
+    m, cfg, angles, enc, scans = _world(ticks=6)
+    srv = MCLServer(m, cfg, angles, seed=0)
+    ckpt = str(tmp_path / "ck.npz")
+    lines = [
+        json.dumps(dict(encoder_left=float(enc[0, 0]),
+                        encoder_right=float(enc[0, 1]),
+                        ranges=[float(v) for v in scans[0]])),
+        json.dumps(dict(cmd="stats")),
+        json.dumps(dict(cmd="checkpoint", path=ckpt)),
+        "not json at all",
+        json.dumps(dict(cmd="unknown_thing")),
+        json.dumps(dict(encoder_left=0.2, encoder_right=0.2,
+                        ranges=[0.5])),       # wrong lane count -> error
+        json.dumps(dict(cmd="restore", path=ckpt)),
+        json.dumps(dict(cmd="shutdown")),
+        json.dumps(dict(cmd="stats")),        # after shutdown: not reached
+    ]
+    out = pyio.StringIO()
+    ticks = srv.serve(lines, out)
+    replies = [json.loads(s) for s in out.getvalue().splitlines()]
+    assert ticks == 1
+    assert replies[0]["tick"] == 1                      # sensor tick
+    assert replies[1]["tick"] == 1                      # stats
+    assert replies[2] == dict(ok=True)                  # checkpoint
+    assert "error" in replies[3]                        # bad json
+    assert "error" in replies[4]                        # unknown cmd
+    assert "error" in replies[5]                        # lane mismatch
+    assert replies[6] == dict(ok=True)                  # restore
+    assert replies[7] == dict(ok=True)                  # shutdown
+    assert len(replies) == 8                            # loop exited
