@@ -97,8 +97,18 @@ def make_multihost_mesh(particle_shards: int = 1,
     if n_proc > 1:
         from jax.experimental import mesh_utils
 
-        devs = mesh_utils.create_hybrid_device_mesh(
-            (ep_local, particle_shards), (n_proc, 1))
+        try:
+            devs = mesh_utils.create_hybrid_device_mesh(
+                (ep_local, particle_shards), (n_proc, 1))
+        except ValueError:
+            # Backends without slice attribution (multi-process CPU — the
+            # local integration-test topology — or single-slice pods):
+            # process-major manual layout gives the same "episode axis
+            # spans hosts, particle axis stays local" property.
+            devs = np.asarray(sorted(
+                jax.devices(), key=lambda d: (d.process_index, d.id)))
+            devs = devs[: n_proc * ep_local * particle_shards].reshape(
+                n_proc * ep_local, particle_shards)
     else:
         devs = np.asarray(jax.devices()[: ep_local * particle_shards]
                           ).reshape(ep_local, particle_shards)

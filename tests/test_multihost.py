@@ -71,3 +71,45 @@ def test_multihost_episode_batch_runs(default_map):
     assert conf.shape == (8,)
     assert np.all(conf >= 0.0) and np.all(conf <= 1.0)
     assert np.isfinite(multihost.all_processes_value(final.particles)).all()
+
+
+def test_two_process_distributed_integration():
+    """REAL jax.distributed 2-process run (local CPU, DCN-style topology):
+    both processes must produce the same gathered results, bit-identical
+    to a single-process run of the same 8 episodes (host-count
+    independence by construction of the global-index episode keys)."""
+    import json
+    import os.path as osp
+    import socket
+    import subprocess
+    import sys
+
+    child = osp.join(osp.dirname(__file__), "mh_integration_child.py")
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+
+    def run(pid, nproc, port):
+        return subprocess.Popen(
+            [sys.executable, child, str(pid), str(nproc), str(port)],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True)
+
+    p0, p1 = run(0, 2, port), run(1, 2, port)
+    out0, err0 = p0.communicate(timeout=240)
+    out1, err1 = p1.communicate(timeout=240)
+    assert p0.returncode == 0, err0[-800:]
+    assert p1.returncode == 0, err1[-800:]
+    r0 = json.loads(out0.strip().splitlines()[-1])
+    r1 = json.loads(out1.strip().splitlines()[-1])
+    assert r0["nproc"] == 2 and r0["ndev"] == 8
+    assert r0["mesh"] == {"episode": 8, "particle": 1}
+    # allgather delivered the same global results to both processes.
+    assert r0["confidence"] == r1["confidence"]
+    assert r0["best"] == r1["best"]
+
+    pref = run(0, 1, 0)
+    outr, errr = pref.communicate(timeout=240)
+    assert pref.returncode == 0, errr[-800:]
+    rr = json.loads(outr.strip().splitlines()[-1])
+    assert rr["confidence"] == r0["confidence"]
+    assert rr["best"] == r0["best"]
