@@ -65,12 +65,19 @@ class MCLServer:
         self._angles_dev = jnp.asarray(self.angles)
         self.tick_count = 0
 
-        def step(state, enc_l, enc_r, ranges, mask):
-            sc = sensor.Scan(angles=self._angles_dev, ranges=ranges,
-                             mask=mask)
-            return mcl.mcl_step(state, enc_l, enc_r, sc, m, cfg)
+        nb = len(self.angles)
+
+        def step(state, frame):
+            # One packed [2 + 2B] f32 upload per tick: encoders, ranges,
+            # mask.  Separate uploads each pay a host->device round trip
+            # (meaningful over remote-attached devices).
+            sc = sensor.Scan(angles=self._angles_dev,
+                             ranges=frame[2:2 + nb],
+                             mask=frame[2 + nb:] > 0.5)
+            return mcl.mcl_step(state, frame[0], frame[1], sc, m, cfg)
 
         self._step = jax.jit(step)
+        self._frame = np.zeros(2 + 2 * nb, np.float32)
         self.reset(seed)
 
     # -- lifecycle ---------------------------------------------------------
@@ -91,19 +98,18 @@ class MCLServer:
     def tick(self, encoder_left: float, encoder_right: float, ranges,
              mask=None) -> dict:
         """One filter update from a PRE-FILTERED scan on the beam table."""
-        ranges = jnp.asarray(ranges, jnp.float32)
-        if ranges.shape != self._angles_dev.shape:
+        ranges = np.asarray(ranges, np.float32)
+        if ranges.shape != self.angles.shape:
             raise ValueError(
                 f"ranges has {ranges.shape[0]} lanes, beam table has "
-                f"{self._angles_dev.shape[0]} — pass a raw_scan or match "
+                f"{self.angles.shape[0]} — pass a raw_scan or match "
                 "the table")
-        if mask is None:
-            mask = jnp.ones(ranges.shape, bool)
-        else:
-            mask = jnp.asarray(mask, bool)
-        self.state, out = self._step(
-            self.state, jnp.float32(encoder_left),
-            jnp.float32(encoder_right), ranges, mask)
+        nb = len(self.angles)
+        f = self._frame
+        f[0], f[1] = encoder_left, encoder_right
+        f[2:2 + nb] = ranges
+        f[2 + nb:] = 1.0 if mask is None else np.asarray(mask, np.float32)
+        self.state, out = self._step(self.state, f)
         self.tick_count += 1
         return self._out_dict(out)
 
@@ -123,15 +129,18 @@ class MCLServer:
         return self.tick(encoder_left, encoder_right, radii, mask)
 
     def _out_dict(self, out: mcl.MCLOutput) -> dict:
+        # ONE device fetch for the whole output pytree: per-field fetches
+        # each pay a full host<->device round trip (~30 ms over the axon
+        # tunnel; six of them dominated tick latency).
+        o = jax.device_get(out)
         return dict(
             tick=self.tick_count,
-            exact_pose=[round(float(v), 6)
-                        for v in np.asarray(out.exact_pose)],
-            cell_pose=[int(v) for v in np.asarray(out.cell_pose)],
-            confidence=round(float(out.confidence), 6),
-            song=int(out.song),
-            wanderer_cmd=int(out.wanderer_cmd),
-            n_injected=int(out.n_injected),
+            exact_pose=[round(float(v), 6) for v in o.exact_pose],
+            cell_pose=[int(v) for v in o.cell_pose],
+            confidence=round(float(o.confidence), 6),
+            song=int(o.song),
+            wanderer_cmd=int(o.wanderer_cmd),
+            n_injected=int(o.n_injected),
         )
 
     # -- stream loop -------------------------------------------------------
