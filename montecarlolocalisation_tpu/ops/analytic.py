@@ -33,46 +33,41 @@ from .bitlookup import _is_gridline_structured, _pack_rows
 _F32_BIAS = 127
 
 
-def _lowest_bit_pos(lo, hi):
-    """Position of the lowest set bit of the 64-bit value (hi:lo); 64 if 0.
+def _first_bit_pos(lo, hi, forward):
+    """Directional first-set-bit of (hi:lo): lowest where `forward`
+    (elementwise bool), highest otherwise.  UNDEFINED (finite garbage,
+    no NaN/inf) when the value is zero — callers gate on any-bit-set.
 
-    uint32->float casts are routed through an int32 bitcast (Mosaic has no
-    uint->float lowering): the isolated bit is a power of two, so the only
-    value the signed reinterpretation changes is bit 31 (INT_MIN -> -2^31),
-    which |.| maps back to the exact 2^31 float.
+    One fused scan instead of computing _lowest_bit_pos AND
+    _highest_bit_pos then selecting: the isolated-bit / raw-value choice
+    moves to the INPUT of a single exponent extraction (the hot path of
+    the analytic caster runs this twice per slab candidate).
     """
-    def low32(x):
+    def scan32(x):
         iso = x & (~x + jnp.uint32(1))
-        f = jnp.abs(jax.lax.bitcast_convert_type(iso, jnp.int32)
-                    .astype(jnp.float32))
+        z = jnp.where(forward, iso, x)
+        zi = jax.lax.bitcast_convert_type(z, jnp.int32)
+        top = zi < 0
+        f = jnp.abs(zi.astype(jnp.float32))
         e = (jax.lax.bitcast_convert_type(f, jnp.int32) >> 23) - _F32_BIAS
-        return jnp.where(x == 0, 64, e)
-
-    pl = low32(lo)
-    ph = low32(hi) + 32
-    return jnp.where(lo != 0, pl, ph)
-
-
-def _highest_bit_pos(lo, hi):
-    """Position of the highest set bit of (hi:lo); -1 if 0."""
-    def high32(x):
-        # int32 view (Mosaic has no uint->float cast): when bit 31 is set
-        # the answer is 31 outright; otherwise the signed value equals the
-        # unsigned one and the float-exponent trick applies unchanged.
-        xi = jax.lax.bitcast_convert_type(x, jnp.int32)
-        top = xi < 0
-        f = xi.astype(jnp.float32)  # rounds up for >24-bit values; exponent
-        e = (jax.lax.bitcast_convert_type(f, jnp.int32) >> 23) - _F32_BIAS
-        # Rounding can push the exponent one too high (e.g. 0x7fffffff
-        # rounds to 2^31 -> e=31 with bit 31 clear).  Clamp to the valid
-        # bit range FIRST so the shift test can detect the overshoot.
+        # Backward mode only: int->float rounding can overshoot the
+        # exponent by one (e.g. 0x7fffffff -> 2^31); clamp, then test.
+        # Forward mode is exact (power of two) and x >> e always keeps
+        # the isolated bit, so the correction is a no-op there.
         e = jnp.minimum(e, 31)
-        e = jnp.where((x >> jnp.clip(e, 0, 31).astype(jnp.uint32)) == 0,
-                      e - 1, e)
-        e = jnp.where(top, 31, e)
-        return jnp.where(x == 0, -1, e)
+        e = jnp.where((x >> jnp.clip(e, 0, 31).astype(jnp.uint32))
+                      == jnp.uint32(0), e - 1, e)
+        # top & backward: the raw value is INT_MIN-side; answer is 31
+        # outright (the float path saw |zi|, not the unsigned value).
+        # top & forward: iso == 0x80000000 -> the float path is exact.
+        return jnp.where(top & ~forward, 31, e)
 
-    return jnp.where(hi != 0, high32(hi) + 32, high32(lo))
+    e_lo = scan32(lo)
+    e_hi = scan32(hi)
+    # Boolean algebra, not where-on-i1: Mosaic cannot lower a select
+    # between i1 vectors ("Unsupported target bitwidth for truncation").
+    use_hi = (forward & (lo == 0)) | (~forward & (hi != 0))
+    return jnp.where(use_hi, e_hi + 32, e_lo)
 
 
 def _range_mask(lo_bit, hi_bit):
@@ -147,6 +142,14 @@ def make_analytic_caster(
         inv_du = 1.0 / jnp.where(small, eps, du)
         sgn = jnp.where(du >= 0, 1, -1).astype(jnp.int32)
         k0 = jnp.floor(gu / cell_px).astype(jnp.int32)
+        # Loop invariants hoisted out of the candidate loop: the row-scan
+        # direction and reciprocal, and the origin-pixel row mask (the
+        # origin can sit inside the c == 0 slab only).
+        fwd = dv >= 0
+        small_v = jnp.abs(dv) < eps
+        inv_dv = 1.0 / jnp.where(small_v, eps, dv)
+        r0 = jnp.floor(gv).astype(jnp.int32)
+        m0lo, m0hi = _range_mask(r0, r0)
         best = jnp.full(gu.shape, inf, jnp.float32)
         for c in range(n_cand):
             k = k0 + sgn * c
@@ -179,27 +182,27 @@ def make_analytic_caster(
             blo = wlo & mlo
             bhi = whi & mhi
             any_hit = (blo | bhi) != 0
-            # First touched row along the ray direction.
-            rr = jnp.where(dv >= 0,
-                           _lowest_bit_pos(blo, bhi),
-                           _highest_bit_pos(blo, bhi)).astype(jnp.int32)
+            # First touched row along the ray direction (garbage when no
+            # bit is set — `any_hit` gates it out of `ok`).
+            rr = _first_bit_pos(blo, bhi, fwd).astype(jnp.int32)
             # Entry time into that row band.
-            small_v = jnp.abs(dv) < eps
-            inv_dv = 1.0 / jnp.where(small_v, eps, dv)
-            row_edge = jnp.where(dv >= 0, rr, rr + 1).astype(jnp.float32)
+            row_edge = jnp.where(fwd, rr, rr + 1).astype(jnp.float32)
             t_row = (row_edge - gv) * inv_dv
             t_row = jnp.where(small_v, 0.0, t_row)
             s_hit = jnp.maximum(t_in, t_row)
             ok = window & valid_k & any_hit & (s_hit < smax)
             best = jnp.minimum(best, jnp.where(ok, s_hit, inf))
-            # Origin inside this slab's occupied pixel -> hit at 0 even when
-            # the forward window is empty (e.g. moving out across the entry
-            # face; DDA/fixed return 0 for an occupied origin cell).
-            r0 = jnp.floor(gv).astype(jnp.int32)
-            m0lo, m0hi = _range_mask(r0, r0)
-            origin_bit = ((wlo & m0lo) | (whi & m0hi)) != 0
-            best = jnp.minimum(
-                best, jnp.where(inside & valid_k & origin_bit, 0.0, inf))
+            if c == 0:
+                # Origin inside this slab's occupied pixel -> hit at 0 even
+                # when the forward window is empty (e.g. moving out across
+                # the entry face; DDA/fixed return 0 for an occupied origin
+                # cell).  Only the c == 0 slab can contain the origin:
+                # c >= 1 lines sit strictly ahead (k0 + sgn*c with
+                # |direction| <= 1 and slab spacing cell_px > 1).
+                origin_bit = ((wlo & m0lo) | (whi & m0hi)) != 0
+                best = jnp.minimum(
+                    best,
+                    jnp.where(inside & valid_k & origin_bit, 0.0, inf))
         return best
 
     def cast_dir(ox, oy, dx, dy, max_range):

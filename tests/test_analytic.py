@@ -105,3 +105,26 @@ def test_fixed_mode_out_of_map_origin_matches_reference():
         d = raycast(m, jnp.float32(-0.5), jnp.float32(2.45),
                     jnp.float32(0.0), cfg)
         assert float(d) == 1.0, (cfg.lookup_mode, float(d))
+
+
+def test_first_bit_pos_exhaustive_patterns():
+    # Directional bit scan vs numpy, over adversarial 64-bit patterns:
+    # single bits at every position, runs, the INT_MIN boundary, and the
+    # rounding-overshoot values (0x7fffffff family).
+    from montecarlolocalisation_tpu.ops.analytic import _first_bit_pos
+
+    vals = [1 << i for i in range(64)]
+    vals += [(1 << i) | (1 << j) for i in range(0, 64, 7)
+             for j in range(0, 64, 11) if i != j]
+    vals += [0x7FFFFFFF, 0xFFFFFFFF, 0x80000001, 0xFFFFFFFE,
+             (0x7FFFFFFF << 32) | 0x1, (0xFFFFFFFF << 32) | 0xFFFFFFFF,
+             0x80000000, 0x100000000]
+    lo = jnp.asarray([v & 0xFFFFFFFF for v in vals], jnp.uint32)
+    hi = jnp.asarray([(v >> 32) & 0xFFFFFFFF for v in vals], jnp.uint32)
+    for forward in (True, False):
+        fwd = jnp.full((len(vals),), forward)
+        got = np.asarray(_first_bit_pos(lo, hi, fwd))
+        for i, v in enumerate(vals):
+            want = (v & -v).bit_length() - 1 if forward \
+                else v.bit_length() - 1
+            assert got[i] == want, (hex(v), forward, got[i], want)
