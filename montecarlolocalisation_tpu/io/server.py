@@ -101,8 +101,8 @@ class MCLServer:
         ranges = np.asarray(ranges, np.float32)
         if ranges.shape != self.angles.shape:
             raise ValueError(
-                f"ranges has {ranges.shape[0]} lanes, beam table has "
-                f"{self.angles.shape[0]} — pass a raw_scan or match "
+                f"ranges has shape {ranges.shape}, beam table has "
+                f"{self.angles.shape} — pass a raw_scan or match "
                 "the table")
         nb = len(self.angles)
         f = self._frame
@@ -173,9 +173,13 @@ class MCLServer:
                         msg["encoder_left"], msg["encoder_right"],
                         msg["ranges"], msg.get("mask"))),
                         file=out_stream, flush=True)
-            except (KeyError, ValueError, TypeError) as e:
-                print(json.dumps(dict(error=str(e))), file=out_stream,
-                      flush=True)
+            except Exception as e:  # noqa: BLE001 — a long-lived server
+                # must survive any bad line (missing keys, shape errors,
+                # unreadable checkpoint paths, corrupt .npz, ...): reply
+                # with the error instead of dropping the filter session.
+                print(json.dumps(dict(
+                    error=f"{type(e).__name__}: {e}")), file=out_stream,
+                    flush=True)
         return self.tick_count
 
     def _handle_cmd(self, msg: dict, out_stream: IO[str]) -> bool:

@@ -256,10 +256,26 @@ def _beam_weights_pallas_vmappable(m, particles, scan, cfg, valid_offset):
         # batched beam table, higher-rank batching) takes the dense vmap.
         # Padding gate: the kernel is compute-bound, so tile padding is
         # pure waste.  Small episodes pack several-per-tile (500-particle
-        # sweeps waste 2.4%); only ungateable waste (e.g. 600 particles ->
-        # 1024-lane rows x 1) falls back to the dense path.
+        # sweeps waste 2.4%); ungateable waste (e.g. 600 particles ->
+        # 1024-lane rows x 1, or a 1-episode batch padded to a 2-pack
+        # group) falls back to the dense path.  Waste counts the FULL
+        # launched lanes (episode-axis padding to the pack factor
+        # included), not just per-episode padding.
+        from ..ops.weights_pallas import TILE
+
         n_p = p.shape[1] if p_b and p.ndim == 3 else 0
-        pad_ok = n_p > 0 and pack_geometry(n_p)[2] <= 1.25
+        if n_p > 0:
+            _, n_pack, per_ep_waste = pack_geometry(n_p)
+            if n_pack > 1:
+                # Full (8,128) tiles launch per episode group: dead
+                # sublanes and episode-axis padding both count.
+                groups = -(-axis_size // n_pack)
+                waste = groups * TILE / (axis_size * n_p)
+            else:
+                waste = per_ep_waste
+            pad_ok = waste <= 1.25
+        else:
+            pad_ok = False
         if p_b and not a_b and p.ndim == 3 and pad_ok:
             rr = ranges if r_b else jnp.broadcast_to(
                 ranges, (axis_size,) + ranges.shape)

@@ -287,12 +287,13 @@ def beam_weights_pallas_batched(m: MazeMap, particles, angles, ranges,
     `ranges`/`mask` [E, B] stream through SMEM per grid row.  This is the
     vmap-over-episodes fast path (BASELINE config 4 sweeps): the plain
     kernel cannot batch, and the dense fallback materializes [E, N, B]
-    intermediates.  Small episodes (n <= 896 particles) PACK: each pads to
-    rows_per_ep 128-lane rows and 8//rows_per_ep of them share one (8, 128)
-    tile, so e.g. 500-particle sweeps waste 2.4%, not 2x; the kernel
-    selects each sublane group's scan from SMEM per beam.  Same semantics
-    per episode as beam_weights_pallas (log mode returns RAW per-episode
-    log-sums).
+    intermediates.  Small episodes (n <= 512 particles, i.e. rows_per_ep
+    = ceil(n/128) <= 4) PACK: each pads to rows_per_ep 128-lane rows and
+    8//rows_per_ep of them share one (8, 128) tile, so e.g. 500-particle
+    sweeps waste 2.4%, not 2x; the kernel selects each sublane group's
+    scan from SMEM per beam.  (513..1023-particle episodes cannot pack —
+    8//rows == 1 — and pad to the full tile.)  Same semantics per episode
+    as beam_weights_pallas (log mode returns RAW per-episode log-sums).
     """
     cast_fn, occ_lookup, dil_lookup, geom = _resolve_kernel_inputs(m, cfg)
     n_ep, n = particles.shape[0], particles.shape[1]

@@ -103,12 +103,18 @@ def make_multihost_mesh(particle_shards: int = 1,
         except ValueError:
             # Backends without slice attribution (multi-process CPU — the
             # local integration-test topology — or single-slice pods):
-            # process-major manual layout gives the same "episode axis
-            # spans hosts, particle axis stays local" property.
-            devs = np.asarray(sorted(
-                jax.devices(), key=lambda d: (d.process_index, d.id)))
-            devs = devs[: n_proc * ep_local * particle_shards].reshape(
-                n_proc * ep_local, particle_shards)
+            # per-process blocks stacked process-major, so a particle row
+            # can never span hosts (the ICI-only invariant) even when
+            # particle_shards does not divide the local device count.
+            per_proc = []
+            for p in range(n_proc):
+                mine = sorted((d for d in jax.devices()
+                               if d.process_index == p),
+                              key=lambda d: d.id)
+                per_proc.append(np.asarray(
+                    mine[: ep_local * particle_shards]).reshape(
+                        ep_local, particle_shards))
+            devs = np.concatenate(per_proc, axis=0)
     else:
         devs = np.asarray(jax.devices()[: ep_local * particle_shards]
                           ).reshape(ep_local, particle_shards)

@@ -41,6 +41,48 @@ def trace(logdir: str):
         jax.profiler.stop_trace()
 
 
+def _knockout_step(m, cfg, scan, st, enc, skip):
+    """One mcl_step with the `skip` stages replaced by trivial dependent
+    stand-ins.  With skip=() this MUST reproduce models.filter.mcl_step
+    bit-exactly (same key splits, stage order, state wiring) — pinned by
+    tests/test_ops.py::test_stage_knockout_full_matches_mcl_step so a
+    future mcl_step refactor cannot silently desynchronize the profiler.
+    """
+    import jax.numpy as jnp
+
+    from ..models import cluster, filter as mcl, motion, resample, sensor
+
+    n = st.particles.shape[0]
+    key, k_m, k_r, k_c = jax.random.split(st.key, 4)
+    was_lost, cluster_thr, conf_thr, _, _ = mcl._hysteresis(st, m, cfg)
+    if "motion" in skip:
+        odom, parts = st.odom, st.particles
+    else:
+        odom, parts = motion.motion_update(
+            k_m, st.particles, st.odom, enc, enc, cfg.motion)
+    if "weights" in skip:
+        w = parts[:, 0] * 1e-6
+    else:
+        w = sensor.beam_weights(m, parts, scan, cfg.sensor,
+                                cfg.valid_pos_offset)
+    if "resample" in skip:
+        parts2 = parts + w[:, None] * 0.0
+        w2 = jnp.full((n,), 1.0 / n, jnp.float32)
+        inj = st.inj
+    else:
+        parts2, w2, inj, _ = resample.resample(
+            k_r, parts, w, st.inj, was_lost, m, cfg)
+    if "cluster" in skip:
+        conf, best = jnp.float32(0.5) + parts2[0, 0] * 0, st.best_pose
+    else:
+        conf, best = cluster.cluster_confidence(
+            k_c, parts2, w2, conf_thr, cfg.cluster)
+    return dataclasses.replace(
+        st, particles=parts2, weights=w2, odom=odom, inj=inj,
+        confidence=conf, was_lost=was_lost, cluster_threshold=cluster_thr,
+        confident_threshold=conf_thr, best_pose=best, key=key)
+
+
 def stage_knockout_times(m, cfg, scan, state,
                          iters: int = 20) -> Dict[str, float]:
     """Stage MARGINALS by composed-step knockout (the reliable breakdown).
@@ -55,43 +97,10 @@ def stage_knockout_times(m, cfg, scan, state,
     """
     import jax.numpy as jnp
 
-    from ..models import cluster, filter as mcl, motion, resample, sensor
-
     enc = jnp.float32(0.1)
-    n = state.particles.shape[0]
-
-    def step(st, skip):
-        key, k_m, k_r, k_c = jax.random.split(st.key, 4)
-        was_lost, cluster_thr, conf_thr, _, _ = mcl._hysteresis(st, m, cfg)
-        if "motion" in skip:
-            odom, parts = st.odom, st.particles
-        else:
-            odom, parts = motion.motion_update(
-                k_m, st.particles, st.odom, enc, enc, cfg.motion)
-        if "weights" in skip:
-            w = parts[:, 0] * 1e-6
-        else:
-            w = sensor.beam_weights(m, parts, scan, cfg.sensor,
-                                    cfg.valid_pos_offset)
-        if "resample" in skip:
-            parts2 = parts + w[:, None] * 0.0
-            w2 = jnp.full((n,), 1.0 / n, jnp.float32)
-            inj = st.inj
-        else:
-            parts2, w2, inj, _ = resample.resample(
-                k_r, parts, w, st.inj, was_lost, m, cfg)
-        if "cluster" in skip:
-            conf, best = jnp.float32(0.5) + parts2[0, 0] * 0, st.best_pose
-        else:
-            conf, best = cluster.cluster_confidence(
-                k_c, parts2, w2, conf_thr, cfg.cluster)
-        return dataclasses.replace(
-            st, particles=parts2, weights=w2, odom=odom, inj=inj,
-            confidence=conf, was_lost=was_lost, cluster_threshold=cluster_thr,
-            confident_threshold=conf_thr, best_pose=best, key=key)
 
     def run(skip):
-        f = jax.jit(lambda st: step(st, skip))
+        f = jax.jit(lambda st: _knockout_step(m, cfg, scan, st, enc, skip))
         st = f(state)
         jax.block_until_ready(st.particles)
         t0 = time.perf_counter()

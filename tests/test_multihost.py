@@ -95,8 +95,14 @@ def test_two_process_distributed_integration():
             stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True)
 
     p0, p1 = run(0, 2, port), run(1, 2, port)
-    out0, err0 = p0.communicate(timeout=240)
-    out1, err1 = p1.communicate(timeout=240)
+    try:
+        out0, err0 = p0.communicate(timeout=240)
+        out1, err1 = p1.communicate(timeout=240)
+    finally:
+        for p in (p0, p1):
+            if p.poll() is None:
+                p.kill()
+                p.wait()
     assert p0.returncode == 0, err0[-800:]
     assert p1.returncode == 0, err1[-800:]
     r0 = json.loads(out0.strip().splitlines()[-1])

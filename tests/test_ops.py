@@ -135,3 +135,44 @@ def test_stage_knockout_times_smoke():
     assert set(out) == {"full", "marginal_motion", "marginal_weights",
                         "marginal_resample", "marginal_cluster"}
     assert all(np.isfinite(v) for v in out.values())
+
+
+def test_stage_knockout_full_matches_mcl_step():
+    # Lockstep guard: the profiler's no-knockout step must reproduce the
+    # REAL mcl_step bit-exactly (same key splits, stage order, state
+    # wiring) -- otherwise marginals silently mis-attribute time after
+    # any mcl_step refactor.
+    import os.path as osp
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from montecarlolocalisation_tpu.config import FilterConfig
+    from montecarlolocalisation_tpu.maps import from_map_file
+    from montecarlolocalisation_tpu.models import filter as mcl, sensor
+    from montecarlolocalisation_tpu.utils import profiling
+
+    m = from_map_file(osp.join(
+        osp.dirname(__file__), "..", "montecarlolocalisation_tpu", "maps",
+        "default_map.txt"))
+    cfg = FilterConfig(num_particles=256)
+    angles = jnp.asarray(np.deg2rad(np.linspace(-118, 118, 8)), jnp.float32)
+    state = mcl.init_state(jax.random.PRNGKey(5), m, cfg)
+    scan = sensor.simulate_scan(m, jnp.array([1.25, 1.25, 0.0]), angles,
+                                cfg.sensor)
+    # Reach into the profiler's internal step via a 1-iteration run that
+    # returns states: emulate by re-deriving the step the same way.
+    enc = jnp.float32(0.1)
+    want, _ = mcl.mcl_step(state, enc, enc, scan, m, cfg)
+    # Build the knockout step with no knockouts by calling the API with
+    # iters=1 (timing ignored) and separately re-running its internals:
+    # the public contract we can check cheaply is that full-step timing
+    # runs the REAL math; assert via the state produced by a no-skip step
+    # constructed identically.
+    got_state = profiling._knockout_step(m, cfg, scan, state, enc, ())
+    np.testing.assert_array_equal(np.asarray(got_state.particles),
+                                  np.asarray(want.particles))
+    np.testing.assert_array_equal(np.asarray(got_state.best_pose),
+                                  np.asarray(want.best_pose))
+    assert float(got_state.confidence) == float(want.confidence)

@@ -19,6 +19,8 @@ CONFIGS = [
     ("scaling: 4M x 34", ["--particles", "4000000", "--beams", "34", "--iters", "10"]),
     ("full fidelity: 10k x 360 analytic", ["--particles", "10000", "--beams", "360", "--iters", "30", "--ray-mode", "analytic"]),
     ("reference-count replay: 1500 x 34", ["--particles", "1500", "--beams", "34", "--iters", "50"]),
+    ("log-combine, 1M x 34", ["--particles", "1000000", "--beams", "34", "--iters", "30", "--beam-combine", "log"]),
+    ("multinomial (parity path), 1M x 34", ["--particles", "1000000", "--beams", "34", "--iters", "10", "--resample", "multinomial"]),
 ]
 
 
