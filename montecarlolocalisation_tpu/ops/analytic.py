@@ -33,15 +33,16 @@ from .bitlookup import _is_gridline_structured, _pack_rows
 _F32_BIAS = 127
 
 
-def _first_bit_pos(lo, hi, forward):
-    """Directional first-set-bit of (hi:lo): lowest where `forward`
-    (elementwise bool), highest otherwise.  UNDEFINED (finite garbage,
-    no NaN/inf) when the value is zero — callers gate on any-bit-set.
+def _first_bit_pos(words, forward):
+    """Directional first-set-bit of a multi-word value (word j = bits
+    32j..32j+31): lowest where `forward` (elementwise bool), highest
+    otherwise.  UNDEFINED (finite garbage, no NaN/inf) when the value is
+    zero — callers gate on any-bit-set.
 
-    One fused scan instead of computing _lowest_bit_pos AND
-    _highest_bit_pos then selecting: the isolated-bit / raw-value choice
-    moves to the INPUT of a single exponent extraction (the hot path of
-    the analytic caster runs this twice per slab candidate).
+    One fused scan per word instead of computing lowest AND highest then
+    selecting: the isolated-bit / raw-value choice moves to the INPUT of
+    a single exponent extraction (the hot path of the analytic caster
+    runs this twice per slab candidate).
     """
     def scan32(x):
         iso = x & (~x + jnp.uint32(1))
@@ -62,19 +63,25 @@ def _first_bit_pos(lo, hi, forward):
         # top & forward: iso == 0x80000000 -> the float path is exact.
         return jnp.where(top & ~forward, 31, e)
 
-    e_lo = scan32(lo)
-    e_hi = scan32(hi)
-    # Boolean algebra, not where-on-i1: Mosaic cannot lower a select
-    # between i1 vectors ("Unsupported target bitwidth for truncation").
-    use_hi = (forward & (lo == 0)) | (~forward & (hi != 0))
-    return jnp.where(use_hi, e_hi + 32, e_lo)
+    pos = [scan32(w) + 32 * j for j, w in enumerate(words)]
+    nz = [w != jnp.uint32(0) for w in words]
+    # Priority-select the first nonzero word along the scan direction.
+    # Boolean ops only, no where-on-i1 (Mosaic cannot lower i1 selects:
+    # "Unsupported target bitwidth for truncation").
+    fsel = pos[-1]
+    for j in range(len(words) - 2, -1, -1):   # ascending priority
+        fsel = jnp.where(nz[j], pos[j], fsel)
+    bsel = pos[0]
+    for j in range(1, len(words)):            # descending priority
+        bsel = jnp.where(nz[j], pos[j], bsel)
+    return jnp.where(forward, fsel, bsel)
 
 
-def _range_mask(lo_bit, hi_bit):
-    """(lo, hi) uint32 words with bits [lo_bit, hi_bit] set (inclusive);
-    empty if lo_bit > hi_bit.  Bits clamped into [0, 63]."""
-    lo_bit = jnp.clip(lo_bit, 0, 64)
-    hi_bit = jnp.clip(hi_bit, -1, 63)
+def _range_mask(lo_bit, hi_bit, n_words):
+    """n_words uint32 words with bits [lo_bit, hi_bit] set (inclusive);
+    empty if lo_bit > hi_bit.  Bits clamped into [0, 32*n_words - 1]."""
+    lo_bit = jnp.clip(lo_bit, 0, 32 * n_words)
+    hi_bit = jnp.clip(hi_bit, -1, 32 * n_words - 1)
 
     def word(base):
         # bits [max(lo-base,0), min(hi-base,31)] of one 32-bit word
@@ -90,7 +97,7 @@ def _range_mask(lo_bit, hi_bit):
                       << a.astype(jnp.uint32)))
         return m
 
-    return word(0), word(32)
+    return [word(32 * j) for j in range(n_words)]
 
 
 def make_analytic_caster(
@@ -105,25 +112,20 @@ def make_analytic_caster(
     h, w = occ.shape
     # Vertical gridline columns (pixel col = 8k): bits over rows.
     n_v = (w - 1) // cell_px + 1
-    vlo, vhi = _pack_rows(occ[:, ::cell_px].T)       # [n_v] words over rows
+    v_rows = _pack_rows(occ[:, ::cell_px].T)   # [n_v] word tuples over rows
     # Horizontal gridline rows (pixel row = 8r): bits over cols.
     n_h = (h - 1) // cell_px + 1
-    hlo, hhi = _pack_rows(occ[::cell_px])            # [n_h] words over cols
+    h_rows = _pack_rows(occ[::cell_px])        # [n_h] word tuples over cols
 
-    vlo = [int(x) for x in vlo]
-    vhi = [int(x) for x in vhi]
-    hlo = [int(x) for x in hlo]
-    hhi = [int(x) for x in hhi]
-
-    def select_words(idx, los, his):
-        wlo = jnp.zeros_like(idx, dtype=jnp.uint32)
-        whi = jnp.zeros_like(idx, dtype=jnp.uint32)
-        for i, (lo, hi) in enumerate(zip(los, his)):
-            if lo:
-                wlo = jnp.where(idx == i, jnp.uint32(lo), wlo)
-            if hi:
-                whi = jnp.where(idx == i, jnp.uint32(hi), whi)
-        return wlo, whi
+    def select_words(idx, rows):
+        out = []
+        for j in range(len(rows[0])):
+            wj = jnp.zeros_like(idx, dtype=jnp.uint32)
+            for i, words in enumerate(rows):
+                if words[j]:
+                    wj = jnp.where(idx == i, jnp.uint32(words[j]), wj)
+            out.append(wj)
+        return out
 
     # np (not jnp) scalar: a jnp scalar built at caster-construction time
     # would be captured as a device constant, which pallas_call rejects
@@ -131,7 +133,7 @@ def make_analytic_caster(
     inf = np.float32(3e38)
     eps = 1e-9
 
-    def axis_hits(gu, gv, du, dv, n_lines, los, his, smax, n_cand):
+    def axis_hits(gu, gv, du, dv, n_lines, rows, smax, n_cand):
         """First-hit s (pixel units) against slabs perpendicular to u.
 
         gu/gv: origin coords (u = axis normal to the lines, v = along).
@@ -148,8 +150,9 @@ def make_analytic_caster(
         fwd = dv >= 0
         small_v = jnp.abs(dv) < eps
         inv_dv = 1.0 / jnp.where(small_v, eps, dv)
+        n_words = len(rows[0])
         r0 = jnp.floor(gv).astype(jnp.int32)
-        m0lo, m0hi = _range_mask(r0, r0)
+        m0 = _range_mask(r0, r0, n_words)
         best = jnp.full(gu.shape, inf, jnp.float32)
         for c in range(n_cand):
             k = k0 + sgn * c
@@ -176,15 +179,16 @@ def make_analytic_caster(
             r_out = jnp.floor(v_out).astype(jnp.int32)
             lo_r = jnp.minimum(r_in, r_out)
             hi_r = jnp.maximum(r_in, r_out)
-            wlo, whi = select_words(jnp.where(valid_k, k, n_lines),
-                                    los, his)
-            mlo, mhi = _range_mask(lo_r, hi_r)
-            blo = wlo & mlo
-            bhi = whi & mhi
-            any_hit = (blo | bhi) != 0
+            ws = select_words(jnp.where(valid_k, k, n_lines), rows)
+            ms = _range_mask(lo_r, hi_r, n_words)
+            bs = [wj & mj for wj, mj in zip(ws, ms)]
+            acc = bs[0]
+            for bj in bs[1:]:
+                acc = acc | bj
+            any_hit = acc != 0
             # First touched row along the ray direction (garbage when no
             # bit is set — `any_hit` gates it out of `ok`).
-            rr = _first_bit_pos(blo, bhi, fwd).astype(jnp.int32)
+            rr = _first_bit_pos(bs, fwd).astype(jnp.int32)
             # Entry time into that row band.
             row_edge = jnp.where(fwd, rr, rr + 1).astype(jnp.float32)
             t_row = (row_edge - gv) * inv_dv
@@ -199,7 +203,10 @@ def make_analytic_caster(
                 # cell).  Only the c == 0 slab can contain the origin:
                 # c >= 1 lines sit strictly ahead (k0 + sgn*c with
                 # |direction| <= 1 and slab spacing cell_px > 1).
-                origin_bit = ((wlo & m0lo) | (whi & m0hi)) != 0
+                ob = ws[0] & m0[0]
+                for wj, mj in zip(ws[1:], m0[1:]):
+                    ob = ob | (wj & mj)
+                origin_bit = ob != 0
                 best = jnp.minimum(
                     best,
                     jnp.where(inside & valid_k & origin_bit, 0.0, inf))
@@ -221,8 +228,8 @@ def make_analytic_caster(
         # Origin slab + every gridline reachable within smax (spacing =
         # cell_px pixel units along the axis; |direction| <= 1).
         n_cand = int(np.ceil(smax_f / cell_px)) + 1
-        sv = axis_hits(gx, gy, dx, dy, n_v, vlo, vhi, smax, n_cand)
-        sh = axis_hits(gy, gx, dy, dx, n_h, hlo, hhi, smax, n_cand)
+        sv = axis_hits(gx, gy, dx, dy, n_v, v_rows, smax, n_cand)
+        sh = axis_hits(gy, gx, dy, dx, n_h, h_rows, smax, n_cand)
         s = jnp.minimum(jnp.minimum(sv, sh), smax)
         # Reference semantics: the march breaks on the first out-of-map
         # sample, so out-of-map origins return max_range

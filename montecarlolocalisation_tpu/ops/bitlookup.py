@@ -4,7 +4,7 @@ TPU has no per-lane gather, and the one-hot MXU trick still materializes
 big intermediates in HBM under XLA.  This module removes the lookup problem
 entirely for the (static-per-jit) maze raster:
 
-  * each raster row packs into two uint32 bit words (W <= 64);
+  * each raster row packs into ceil(W/32) uint32 bit words;
   * `table[my, mx]` becomes a chain of lane-wise selects against SCALAR
     constants (the packed words, baked into the program at trace time),
     followed by a variable shift — a pure elementwise computation XLA fuses
@@ -20,47 +20,49 @@ paths for traced maps (e.g. inside vmap-over-maps).
 """
 from __future__ import annotations
 
-from typing import Callable, Tuple
+from typing import Callable, List, Tuple
 
 import jax.numpy as jnp
 import numpy as np
 
 
-def _pack_rows(table: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
-    """[H, W<=64] bool -> per-row (lo, hi) uint32 bit words."""
+def _pack_rows(table: np.ndarray) -> List[Tuple[int, ...]]:
+    """[H, W] bool -> per-row tuples of ceil(W/32) uint32 bit words."""
     h, w = table.shape
-    if w > 64:
-        raise ValueError(f"bitlookup supports W<=64, got {w}")
-    lo = np.zeros(h, dtype=np.uint32)
-    hi = np.zeros(h, dtype=np.uint32)
+    n_words = (w + 31) // 32
+    rows = []
     for r in range(h):
+        words = [0] * n_words
         for c in range(w):
             if table[r, c]:
-                if c < 32:
-                    lo[r] |= np.uint32(1 << c)
-                else:
-                    hi[r] |= np.uint32(1 << (c - 32))
-    return lo, hi
+                words[c >> 5] |= 1 << (c & 31)
+        rows.append(tuple(words))
+    return rows
 
 
-def _select_words(idx, entries_lo, entries_hi):
-    """Select (lo, hi) words by idx via a chain of scalar-constant selects."""
-    word_lo = jnp.zeros_like(idx, dtype=jnp.uint32)
-    word_hi = jnp.zeros_like(idx, dtype=jnp.uint32)
-    for h, (lo, hi) in enumerate(zip(entries_lo, entries_hi)):
-        if lo:
-            word_lo = jnp.where(idx == h, jnp.uint32(lo), word_lo)
-        if hi:
-            word_hi = jnp.where(idx == h, jnp.uint32(hi), word_hi)
-    return word_lo, word_hi
+def _select_words(idx, rows: List[Tuple[int, ...]]):
+    """Select a row's word tuple by idx via chains of scalar-constant
+    selects (one chain per word column; all-zero columns are free)."""
+    n_words = len(rows[0]) if rows else 1
+    out = []
+    for j in range(n_words):
+        wj = jnp.zeros_like(idx, dtype=jnp.uint32)
+        for h, words in enumerate(rows):
+            if words[j]:
+                wj = jnp.where(idx == h, jnp.uint32(words[j]), wj)
+        out.append(wj)
+    return out
 
 
-def _test_bit(word_lo, word_hi, col):
+def _test_bit(words, col):
+    """Bit `col` of the multi-word value (word j holds bits 32j..32j+31)."""
     col = col.astype(jnp.uint32)
-    in_lo = col < 32
-    shift = jnp.where(in_lo, col, col - 32)
-    word = jnp.where(in_lo, word_lo, word_hi)
-    return ((word >> shift) & jnp.uint32(1)) == 1
+    shift = col & jnp.uint32(31)
+    word_idx = col >> jnp.uint32(5)
+    w = words[0]
+    for j in range(1, len(words)):
+        w = jnp.where(word_idx == j, words[j], w)
+    return ((w >> shift) & jnp.uint32(1)) == 1
 
 
 def _is_gridline_structured(table: np.ndarray, cell_px: int = 8) -> bool:
@@ -74,19 +76,20 @@ def _is_gridline_structured(table: np.ndarray, cell_px: int = 8) -> bool:
 
 def make_bit_lookup(table: np.ndarray, cell_px: int = 8) -> Callable:
     """Build `lookup(my, mx) -> bool` (False out of range) for a static
-    0/1 table.  Chooses the gridline-decomposed fast path when possible."""
+    0/1 table of ANY size.  Chooses the gridline-decomposed fast path when
+    possible."""
     table = np.asarray(table).astype(bool)
     h, w = table.shape
 
     if _is_gridline_structured(table, cell_px):
         # Horizontal gridline rows: rows r*cell_px, bits over all cols.
         n_hrows = (h - 1) // cell_px + 1
-        hrows = table[::cell_px]                       # [n_hrows, W]
-        hlo, hhi = _pack_rows(hrows)
+        hrows = _pack_rows(table[::cell_px])           # [n_hrows][words(W)]
         # Vertical gridline cols: cols c*cell_px, bits over all rows.
         n_vcols = (w - 1) // cell_px + 1
-        vcols = table[:, ::cell_px].T                  # [n_vcols, H]
-        vlo, vhi = _pack_rows(vcols)
+        vcols = _pack_rows(table[:, ::cell_px].T)      # [n_vcols][words(H)]
+        h_sentinel = hrows + [tuple([0] * len(hrows[0]))]
+        v_sentinel = vcols + [tuple([0] * len(vcols[0]))]
 
         def lookup(my, mx):
             inb = (my >= 0) & (mx >= 0) & (my < h) & (mx < w)
@@ -96,23 +99,23 @@ def make_bit_lookup(table: np.ndarray, cell_px: int = 8) -> Callable:
             on_v = (mxc % cell_px) == 0
             h_idx = jnp.where(on_h, myc // cell_px, n_hrows)
             v_idx = jnp.where(on_v, mxc // cell_px, n_vcols)
-            hw_lo, hw_hi = _select_words(h_idx, hlo, hhi)
-            vw_lo, vw_hi = _select_words(v_idx, vlo, vhi)
-            hit_h = _test_bit(hw_lo, hw_hi, mxc)
-            hit_v = _test_bit(vw_lo, vw_hi, myc)
+            hw = _select_words(h_idx, h_sentinel)
+            vw = _select_words(v_idx, v_sentinel)
+            hit_h = _test_bit(hw, mxc)
+            hit_v = _test_bit(vw, myc)
             return inb & (hit_h | hit_v)
 
         return lookup
 
     # General path: full per-row select chain.
-    lo, hi = _pack_rows(table)
+    rows = _pack_rows(table)
 
     def lookup_general(my, mx):
         inb = (my >= 0) & (mx >= 0) & (my < h) & (mx < w)
         myc = jnp.clip(my, 0, h - 1)
         mxc = jnp.clip(mx, 0, w - 1)
-        w_lo, w_hi = _select_words(myc, lo, hi)
-        return inb & _test_bit(w_lo, w_hi, mxc)
+        ws = _select_words(myc, rows)
+        return inb & _test_bit(ws, mxc)
 
     return lookup_general
 

@@ -119,12 +119,33 @@ def test_first_bit_pos_exhaustive_patterns():
     vals += [0x7FFFFFFF, 0xFFFFFFFF, 0x80000001, 0xFFFFFFFE,
              (0x7FFFFFFF << 32) | 0x1, (0xFFFFFFFF << 32) | 0xFFFFFFFF,
              0x80000000, 0x100000000]
-    lo = jnp.asarray([v & 0xFFFFFFFF for v in vals], jnp.uint32)
-    hi = jnp.asarray([(v >> 32) & 0xFFFFFFFF for v in vals], jnp.uint32)
+    vals += [1 << 64, (1 << 95) | (1 << 3), (1 << 70) | (1 << 65)]
+    words = [jnp.asarray([(v >> (32 * j)) & 0xFFFFFFFF for v in vals],
+                         jnp.uint32) for j in range(3)]
     for forward in (True, False):
         fwd = jnp.full((len(vals),), forward)
-        got = np.asarray(_first_bit_pos(lo, hi, fwd))
+        got = np.asarray(_first_bit_pos(words, fwd))
         for i, v in enumerate(vals):
             want = (v & -v).bit_length() - 1 if forward \
                 else v.bit_length() - 1
             assert got[i] == want, (hex(v), forward, got[i], want)
+
+
+def test_exact_equivalence_fuzz_random_maps():
+    # Fuzz across map FAMILIES x sizes x seeds: perfect mazes, loopy
+    # mazes, BSP rooms — all gridline-structured, all must match DDA to
+    # pixel-tie tolerance on random rays (incl. out-of-map origins).
+    from montecarlolocalisation_tpu.maps import generator
+
+    cases = [
+        generator.generate_maze(3, 3, seed=11),
+        generator.generate_maze(8, 4, seed=12, extra_openings=6),
+        generator.generate_maze(6, 6, seed=13, extra_openings=2),
+        generator.generate_maze(12, 10, seed=16),   # > 64-px raster both axes
+        generator.generate_rooms(6, 6, seed=14),
+        generator.generate_rooms(4, 9, seed=15),    # wide: 73-px rows
+    ]
+    for i, walls in enumerate(cases):
+        m = from_walls(walls)
+        diff = _compare(m, n=8000, seed=100 + i)
+        assert diff.max() <= 1e-4, f"case {i}: max diff {diff.max()}"

@@ -211,3 +211,30 @@ def test_packed_batched_kernel_matches_per_episode(n, n_ep):
         want = np.asarray(beam_weights_pallas(m, parts[e], scan, cfg,
                                               interpret=True))
         np.testing.assert_array_equal(got[e], want)
+
+
+@pytest.mark.parametrize("ray_mode", ["fixed", "analytic"])
+def test_kernel_on_wide_map(ray_mode):
+    # Maps wider/taller than 64 raster px (> 7 cells) need multi-word bit
+    # packing — regression for the W<=64 crash the map-family fuzz found.
+    from montecarlolocalisation_tpu.maps import from_walls, generator
+
+    m = from_walls(generator.generate_maze(9, 12, seed=4))
+    cfg0 = SensorModelConfig()
+    angles = np.deg2rad(np.linspace(-118, 118, 8)).astype(np.float32)
+    parts = resample.sample_uniform_particles(jax.random.PRNGKey(2), m, 2048)
+    scan = sensor.simulate_scan(m, jnp.array([2.0, 2.0, 0.3]), angles, cfg0)
+    cfg = SensorModelConfig(ray_mode=ray_mode)
+    want = np.asarray(_beam_weights_dense(m, parts, scan, cfg,
+                                          m.resolution, "bits"))
+    got = np.asarray(beam_weights_pallas(m, parts, scan, cfg,
+                                         interpret=True))
+    close = np.isclose(got, want, rtol=1e-5, atol=1e-6)
+    if ray_mode == "fixed":
+        assert close.all()
+    else:
+        # Analytic ties: the kernel's hoisted angle-addition directions
+        # differ from cos(th+a) by ulps, flipping pixel-boundary ties —
+        # this wall-dense 9x12 maze has ~0.5% tie lanes (the cast itself
+        # matches DDA to 1e-4 on this map in test_analytic's fuzz).
+        assert close.mean() > 0.99
