@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .bitlookup import _is_gridline_structured, _pack_rows
+from .bitlookup import _is_gridline_structured, _pack_rows, _select_words
 
 _F32_BIAS = 127
 
@@ -117,15 +117,7 @@ def make_analytic_caster(
     n_h = (h - 1) // cell_px + 1
     h_rows = _pack_rows(occ[::cell_px])        # [n_h] word tuples over cols
 
-    def select_words(idx, rows):
-        out = []
-        for j in range(len(rows[0])):
-            wj = jnp.zeros_like(idx, dtype=jnp.uint32)
-            for i, words in enumerate(rows):
-                if words[j]:
-                    wj = jnp.where(idx == i, jnp.uint32(words[j]), wj)
-            out.append(wj)
-        return out
+    select_words = _select_words  # shared with bitlookup (one definition)
 
     # np (not jnp) scalar: a jnp scalar built at caster-construction time
     # would be captured as a device constant, which pallas_call rejects

@@ -88,8 +88,9 @@ def make_bit_lookup(table: np.ndarray, cell_px: int = 8) -> Callable:
         # Vertical gridline cols: cols c*cell_px, bits over all rows.
         n_vcols = (w - 1) // cell_px + 1
         vcols = _pack_rows(table[:, ::cell_px].T)      # [n_vcols][words(H)]
-        h_sentinel = hrows + [tuple([0] * len(hrows[0]))]
-        v_sentinel = vcols + [tuple([0] * len(vcols[0]))]
+        # Off-gridline pixels select the sentinel index n_hrows/n_vcols,
+        # which matches no chain entry and falls through to the
+        # zero-initialized accumulator (no explicit zero row needed).
 
         def lookup(my, mx):
             inb = (my >= 0) & (mx >= 0) & (my < h) & (mx < w)
@@ -99,8 +100,8 @@ def make_bit_lookup(table: np.ndarray, cell_px: int = 8) -> Callable:
             on_v = (mxc % cell_px) == 0
             h_idx = jnp.where(on_h, myc // cell_px, n_hrows)
             v_idx = jnp.where(on_v, mxc // cell_px, n_vcols)
-            hw = _select_words(h_idx, h_sentinel)
-            vw = _select_words(v_idx, v_sentinel)
+            hw = _select_words(h_idx, hrows)
+            vw = _select_words(v_idx, vcols)
             hit_h = _test_bit(hw, mxc)
             hit_v = _test_bit(vw, myc)
             return inb & (hit_h | hit_v)

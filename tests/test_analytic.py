@@ -19,9 +19,9 @@ ANA = SensorModelConfig(ray_mode="analytic")
 
 def _compare(m, n=20000, seed=0, extent_pad=0.2):
     rng = np.random.default_rng(seed)
-    ext = float(m.extent_x)
-    ox = jnp.asarray(rng.uniform(-extent_pad, ext + extent_pad, n), jnp.float32)
-    oy = jnp.asarray(rng.uniform(-extent_pad, ext + extent_pad, n), jnp.float32)
+    ex, ey = float(m.extent_x), float(m.extent_y)
+    ox = jnp.asarray(rng.uniform(-extent_pad, ex + extent_pad, n), jnp.float32)
+    oy = jnp.asarray(rng.uniform(-extent_pad, ey + extent_pad, n), jnp.float32)
     ang = jnp.asarray(rng.uniform(-np.pi, np.pi, n), jnp.float32)
     dda = np.asarray(raycast(m, ox, oy, ang, DDA))
     ana = np.asarray(raycast(m, ox, oy, ang, ANA))
