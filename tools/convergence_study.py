@@ -1,0 +1,43 @@
+"""Convergence vs particle count at fixed compute budget (BASELINE config 4).
+
+Sweeps 1024 global-localization episodes x 300 ticks on the default maze
+for a range of particle counts, reporting the alias-aware convergence
+fraction and RMSE — the measured answer to "how many particles does this
+maze need" (the reference hand-picked 1500 for a Pi 4; monte_carlo.cpp:84).
+
+Run: python tools/convergence_study.py [--batch 1024] [--ticks 300]
+"""
+import argparse
+import json
+import os.path as osp
+import sys
+import time
+
+sys.path.insert(0, osp.join(osp.dirname(osp.abspath(__file__)), ".."))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=1024)
+    ap.add_argument("--ticks", type=int, default=300)
+    ap.add_argument("--particles", type=int, nargs="*",
+                    default=[100, 250, 500, 1000, 2000, 4000])
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args()
+
+    from montecarlolocalisation_tpu import presets
+
+    for n in args.particles:
+        world = presets.make_world(num_particles=n)
+        t0 = time.time()
+        metrics = presets.run_sweep(world, batch=args.batch,
+                                    num_ticks=args.ticks, seed=args.seed)
+        print(json.dumps(dict(
+            particles=n, batch=args.batch, ticks=args.ticks,
+            wall_s=round(time.time() - t0, 1),
+            **{k: round(float(v), 4) for k, v in metrics.items()})),
+            flush=True)
+
+
+if __name__ == "__main__":
+    main()
