@@ -100,6 +100,126 @@ def _range_mask(lo_bit, hi_bit, n_words):
     return [word(32 * j) for j in range(n_words)]
 
 
+def _make_pixel_scan(line_pixels: np.ndarray):
+    """Band-scan strategy over raw pixel columns: [n_lines, L] bools ->
+    (band_scan, origin_bit) closures.  Cost scales with ceil(L/32) words.
+
+    band_scan(kk, lo_r, hi_r, fwd) -> (any_hit, rr): whether line kk has a
+    set pixel in rows [lo_r, hi_r], and the first such row along the scan
+    direction (garbage when none — callers gate on any_hit).
+    origin_bit(kk, r0) -> bool: pixel r0 of line kk (False out of range).
+    kk == n_lines selects all-zero words (the invalid-line sentinel).
+    """
+    rows = _pack_rows(line_pixels)
+    n_words = len(rows[0])
+
+    def band_scan(kk, lo_r, hi_r, fwd):
+        ws = _select_words(kk, rows)
+        ms = _range_mask(lo_r, hi_r, n_words)
+        bs = [wj & mj for wj, mj in zip(ws, ms)]
+        acc = bs[0]
+        for bj in bs[1:]:
+            acc = acc | bj
+        any_hit = acc != 0
+        rr = _first_bit_pos(bs, fwd).astype(jnp.int32)
+        return any_hit, rr
+
+    def origin_bit(kk, r0):
+        ws = _select_words(kk, rows)   # CSE'd with band_scan's selects
+        m0 = _range_mask(r0, r0, n_words)
+        ob = ws[0] & m0[0]
+        for wj, mj in zip(ws[1:], m0[1:]):
+            ob = ob | (wj & mj)
+        return ob != 0
+
+    return band_scan, origin_bit
+
+
+def _make_cell_scan(line_pixels: np.ndarray, cell_px: int):
+    """Cell-level band-scan strategy: two SINGLE uint32 words per line
+    instead of ceil(L/32) pixel words — map-size-independent cost (maps up
+    to 31x32 cells).
+
+    A gridline's pixel column decomposes exactly into cell INTERIORS (the
+    cell_px-1 pixels strictly between consecutive corners — uniform,
+    because the raster rules draw whole wall segments; word A, bit c) plus
+    the shared CORNER pixels at multiples of cell_px (taken straight from
+    the raster, which already unions adjacent walls and crossing
+    perpendicular segments; word B, bit m).  Returns None when the
+    interiors are not uniform (verified, not assumed) or they don't fit
+    one word.
+
+    The returned `rr` is the first set row along the direction EXCEPT that
+    an interior segment reports its first interior row (cell_px*c + 1
+    forward, cell_px*c + cell_px - 1 backward) even when the queried band
+    starts mid-segment; that row is then on or before the band start, so
+    the caller's s_hit = max(t_in, t_row) clamps it to the slab entry —
+    exactly what the true first row would give.
+    """
+    n_lines, length = line_pixels.shape
+    n_cells = (length - 1) // cell_px
+    n_corners = n_cells + 1
+    if cell_px != 8 or n_cells > 32 or n_corners > 32:
+        return None
+    a_tab, b_tab = [], []
+    for px in line_pixels:
+        a = 0
+        for c in range(n_cells):
+            seg = px[c * cell_px + 1: (c + 1) * cell_px]
+            if seg.any() != seg.all():
+                return None
+            if seg[0]:
+                a |= 1 << c
+        b = 0
+        for mc in range(n_corners):
+            if px[mc * cell_px]:
+                b |= 1 << mc
+        a_tab.append((a,))
+        b_tab.append((b,))
+
+    # np (not jnp): a jnp scalar here would be captured as a device
+    # constant, which pallas_call rejects in-kernel.
+    big = np.int32(1 << 24)
+
+    def band_scan(kk, lo_r, hi_r, fwd):
+        a = _select_words(kk, a_tab)[0]
+        b = _select_words(kk, b_tab)[0]
+        # Interior of cell c ([8c+1, 8c+7]) intersects [lo, hi] iff
+        # floor(lo/8) <= c <= floor((hi-1)/8); corner m (row 8m) iff
+        # ceil(lo/8) <= m <= floor(hi/8).  (Arithmetic >> = floor div.)
+        (mask_a,) = _range_mask(lo_r >> 3, (hi_r - 1) >> 3, 1)
+        (mask_b,) = _range_mask((lo_r + 7) >> 3, hi_r >> 3, 1)
+        am = a & mask_a
+        bm = b & mask_b
+        any_a = am != jnp.uint32(0)
+        any_b = bm != jnp.uint32(0)
+        pa = _first_bit_pos([am], fwd).astype(jnp.int32)
+        pb = _first_bit_pos([bm], fwd).astype(jnp.int32)
+        ra = (pa << 3) + jnp.where(fwd, 1, cell_px - 1)
+        rb = pb << 3
+        # Directional merge of the two candidates, empty words pushed to
+        # the losing side (gated by any_hit when both are empty).
+        rr = jnp.where(
+            fwd,
+            jnp.minimum(jnp.where(any_a, ra, big), jnp.where(any_b, rb, big)),
+            jnp.maximum(jnp.where(any_a, ra, -big), jnp.where(any_b, rb, -big)))
+        return any_a | any_b, rr
+
+    def origin_bit(kk, r0):
+        a = _select_words(kk, a_tab)[0]
+        b = _select_words(kk, b_tab)[0]
+        in_len = (r0 >= 0) & (r0 < length)
+        r0c = jnp.clip(r0, 0, length - 1)
+        idx = (r0c >> 3).astype(jnp.uint32)
+        on_corner = (r0c & 7) == 0
+        bit_a = ((a >> idx) & jnp.uint32(1)) == 1
+        bit_b = ((b >> idx) & jnp.uint32(1)) == 1
+        # No where() between i1 vectors (Mosaic cannot lower i1 selects).
+        return in_len & ((on_corner & bit_b) | (~on_corner & bit_a))
+
+    return band_scan, origin_bit
+
+
 def make_analytic_caster(
     occ: np.ndarray, resolution: float, origin_x: float, origin_y: float,
     cell_px: int = 8,
@@ -112,12 +232,24 @@ def make_analytic_caster(
     h, w = occ.shape
     # Vertical gridline columns (pixel col = 8k): bits over rows.
     n_v = (w - 1) // cell_px + 1
-    v_rows = _pack_rows(occ[:, ::cell_px].T)   # [n_v] word tuples over rows
+    v_px = occ[:, ::cell_px].T                 # [n_v, h]
     # Horizontal gridline rows (pixel row = 8r): bits over cols.
     n_h = (h - 1) // cell_px + 1
-    h_rows = _pack_rows(occ[::cell_px])        # [n_h] word tuples over cols
+    h_px = occ[::cell_px]                      # [n_h, w]
 
-    select_words = _select_words  # shared with bitlookup (one definition)
+    def _axis_scan(line_pixels):
+        # Cell tables beat pixel words once the pixel column needs > 2
+        # words (at exactly 2 the op count ties and the pixel path measured
+        # ~3% faster on-chip at 1M x 34, so small maps keep it; the cell
+        # path's cost is map-size-independent from here up to 31x32 cells).
+        if (line_pixels.shape[1] + 31) // 32 > 2:
+            cs = _make_cell_scan(line_pixels, cell_px)
+            if cs is not None:
+                return cs
+        return _make_pixel_scan(line_pixels)
+
+    v_scan = _axis_scan(v_px)
+    h_scan = _axis_scan(h_px)
 
     # np (not jnp) scalar: a jnp scalar built at caster-construction time
     # would be captured as a device constant, which pallas_call rejects
@@ -125,26 +257,26 @@ def make_analytic_caster(
     inf = np.float32(3e38)
     eps = 1e-9
 
-    def axis_hits(gu, gv, du, dv, n_lines, rows, smax, n_cand):
+    def axis_hits(gu, gv, du, dv, n_lines, scans, smax, n_cand):
         """First-hit s (pixel units) against slabs perpendicular to u.
 
         gu/gv: origin coords (u = axis normal to the lines, v = along).
         Returns s_hit (inf when none) over n_cand candidate lines (the
-        origin's slab plus every line reachable within smax).
+        origin's slab plus every line reachable within smax).  `scans` is
+        the axis's (band_scan, origin_bit) strategy pair.
         """
+        band_scan, origin_bit = scans
         small = jnp.abs(du) < eps
         inv_du = 1.0 / jnp.where(small, eps, du)
         sgn = jnp.where(du >= 0, 1, -1).astype(jnp.int32)
         k0 = jnp.floor(gu / cell_px).astype(jnp.int32)
         # Loop invariants hoisted out of the candidate loop: the row-scan
-        # direction and reciprocal, and the origin-pixel row mask (the
-        # origin can sit inside the c == 0 slab only).
+        # direction and reciprocal, and the origin pixel row (the origin
+        # can sit inside the c == 0 slab only).
         fwd = dv >= 0
         small_v = jnp.abs(dv) < eps
         inv_dv = 1.0 / jnp.where(small_v, eps, dv)
-        n_words = len(rows[0])
         r0 = jnp.floor(gv).astype(jnp.int32)
-        m0 = _range_mask(r0, r0, n_words)
         best = jnp.full(gu.shape, inf, jnp.float32)
         for c in range(n_cand):
             k = k0 + sgn * c
@@ -171,16 +303,11 @@ def make_analytic_caster(
             r_out = jnp.floor(v_out).astype(jnp.int32)
             lo_r = jnp.minimum(r_in, r_out)
             hi_r = jnp.maximum(r_in, r_out)
-            ws = select_words(jnp.where(valid_k, k, n_lines), rows)
-            ms = _range_mask(lo_r, hi_r, n_words)
-            bs = [wj & mj for wj, mj in zip(ws, ms)]
-            acc = bs[0]
-            for bj in bs[1:]:
-                acc = acc | bj
-            any_hit = acc != 0
-            # First touched row along the ray direction (garbage when no
-            # bit is set — `any_hit` gates it out of `ok`).
-            rr = _first_bit_pos(bs, fwd).astype(jnp.int32)
+            kk = jnp.where(valid_k, k, n_lines)
+            # Any set pixel in rows [lo_r, hi_r] of line kk, and the first
+            # touched row along the ray direction (garbage when no bit is
+            # set — `any_hit` gates it out of `ok`).
+            any_hit, rr = band_scan(kk, lo_r, hi_r, fwd)
             # Entry time into that row band.
             row_edge = jnp.where(fwd, rr, rr + 1).astype(jnp.float32)
             t_row = (row_edge - gv) * inv_dv
@@ -195,13 +322,10 @@ def make_analytic_caster(
                 # cell).  Only the c == 0 slab can contain the origin:
                 # c >= 1 lines sit strictly ahead (k0 + sgn*c with
                 # |direction| <= 1 and slab spacing cell_px > 1).
-                ob = ws[0] & m0[0]
-                for wj, mj in zip(ws[1:], m0[1:]):
-                    ob = ob | (wj & mj)
-                origin_bit = ob != 0
                 best = jnp.minimum(
                     best,
-                    jnp.where(inside & valid_k & origin_bit, 0.0, inf))
+                    jnp.where(inside & valid_k & origin_bit(kk, r0),
+                              0.0, inf))
         return best
 
     def cast_dir(ox, oy, dx, dy, max_range):
@@ -220,8 +344,8 @@ def make_analytic_caster(
         # Origin slab + every gridline reachable within smax (spacing =
         # cell_px pixel units along the axis; |direction| <= 1).
         n_cand = int(np.ceil(smax_f / cell_px)) + 1
-        sv = axis_hits(gx, gy, dx, dy, n_v, v_rows, smax, n_cand)
-        sh = axis_hits(gy, gx, dy, dx, n_h, h_rows, smax, n_cand)
+        sv = axis_hits(gx, gy, dx, dy, n_v, v_scan, smax, n_cand)
+        sh = axis_hits(gy, gx, dy, dx, n_h, h_scan, smax, n_cand)
         s = jnp.minimum(jnp.minimum(sv, sh), smax)
         # Reference semantics: the march breaks on the first out-of-map
         # sample, so out-of-map origins return max_range

@@ -44,33 +44,71 @@ def simulate_episode_batch(
 def run_episode_batch(
     key, m: MazeMap, cfg: FilterConfig, encoders, scan_ranges, scan_angles,
     mesh: Optional[Mesh] = None, episode_axis: str = "episode",
+    tick_chunk: Optional[int] = None,
 ) -> Tuple[mcl.MCLState, mcl.MCLOutput]:
     """Run the filter over a batch of episodes: vmap(init + lax.scan).
 
     encoders [E, T, 2], scan_ranges [E, T, B].  With `mesh`, the episode
     batch is sharded over its `episode_axis` (data parallelism; no
     cross-episode collectives needed).
+
+    `tick_chunk` splits the tick scan into host-synced segments of that
+    many ticks (bit-identical results: the per-tick RNG rides in the
+    carried MCLState).  Use it to bound single-execution device time —
+    the axon runtime kills executions that run multi-minute device time
+    (observed: the multinomial parity path at 1024 episodes x 2000
+    particles x 300 ticks), and a bounded chunk costs only one ~ms host
+    round trip per segment.
     """
     batch = encoders.shape[0]
     keys = jax.random.split(key, batch)
     angles = jnp.asarray(scan_angles, jnp.float32)
-
-    cache_key = ("batch", id(m.occ), cfg, encoders.shape,
-                 jnp.asarray(scan_ranges).shape, angles.shape)
-    fn = _JIT_CACHE.get(cache_key)
-    if fn is None:
-        def one(k, enc, ranges):
-            st = mcl.init_state(k, m, cfg)
-            return mcl.run_episode(st, enc, ranges, angles, m, cfg)
-
-        fn = jax.jit(jax.vmap(one))
-        _JIT_CACHE[cache_key] = fn
+    encoders = jnp.asarray(encoders, jnp.float32)
+    scan_ranges = jnp.asarray(scan_ranges, jnp.float32)
     if mesh is not None:
         sh = NamedSharding(mesh, P(episode_axis))
         keys = jax.device_put(keys, sh)
-        encoders = jax.device_put(jnp.asarray(encoders, jnp.float32), sh)
-        scan_ranges = jax.device_put(jnp.asarray(scan_ranges, jnp.float32), sh)
-    return fn(keys, encoders, scan_ranges)
+        encoders = jax.device_put(encoders, sh)
+        scan_ranges = jax.device_put(scan_ranges, sh)
+
+    num_ticks = encoders.shape[1]
+    if tick_chunk is None or tick_chunk >= num_ticks:
+        cache_key = ("batch", id(m.occ), cfg, encoders.shape,
+                     scan_ranges.shape, angles.shape)
+        fn = _JIT_CACHE.get(cache_key)
+        if fn is None:
+            def one(k, enc, ranges, ang):
+                st = mcl.init_state(k, m, cfg)
+                return mcl.run_episode(st, enc, ranges, ang, m, cfg)
+
+            fn = jax.jit(jax.vmap(one, in_axes=(0, 0, 0, None)))
+            _JIT_CACHE[cache_key] = fn
+        return fn(keys, encoders, scan_ranges, angles)
+
+    init_key = ("batch-init", id(m.occ), cfg, batch)
+    init_fn = _JIT_CACHE.get(init_key)
+    if init_fn is None:
+        init_fn = jax.jit(jax.vmap(lambda k: mcl.init_state(k, m, cfg)))
+        _JIT_CACHE[init_key] = init_fn
+    states = init_fn(keys)
+    outs_chunks = []
+    for t0 in range(0, num_ticks, tick_chunk):
+        enc_c = encoders[:, t0:t0 + tick_chunk]
+        rng_c = scan_ranges[:, t0:t0 + tick_chunk]
+        ck = ("batch-chunk", id(m.occ), cfg, enc_c.shape, rng_c.shape,
+              angles.shape)
+        cf = _JIT_CACHE.get(ck)
+        if cf is None:
+            cf = jax.jit(jax.vmap(
+                lambda st, e, r, a: mcl.run_episode(st, e, r, a, m, cfg),
+                in_axes=(0, 0, 0, None)))
+            _JIT_CACHE[ck] = cf
+        states, outs = cf(states, enc_c, rng_c, angles)
+        jax.block_until_ready(states.particles)   # bound execution time
+        outs_chunks.append(outs)
+    outs = jax.tree_util.tree_map(
+        lambda *xs: jnp.concatenate(xs, axis=1), *outs_chunks)
+    return states, outs
 
 
 def run_multimap_sweep(

@@ -130,8 +130,13 @@ def run_moving(world: World, seed: int = 0, num_ticks: int = 300,
 
 
 def run_sweep(world: World, batch: int = 64, num_ticks: int = 150,
-              seed: int = 0, mesh=None):
-    """vmap'd multi-episode localization sweep; returns metrics dict."""
+              seed: int = 0, mesh=None, tick_chunk=None):
+    """vmap'd multi-episode localization sweep; returns metrics dict.
+
+    `tick_chunk` bounds single-execution device time (see
+    parallel.episodes.run_episode_batch) — needed for slow-path configs
+    (multinomial resampling) at large batch x particles x ticks on axon.
+    """
     from .parallel import episodes
 
     from .maps import symmetry
@@ -141,7 +146,8 @@ def run_sweep(world: World, batch: int = 64, num_ticks: int = 150,
         k1, world.maze, world.cfg, world.angles, num_ticks, batch,
         start_pose=(2.05, 2.05, 0.0))
     final, outs = episodes.run_episode_batch(
-        k2, world.maze, world.cfg, enc, scans, world.angles, mesh=mesh)
+        k2, world.maze, world.cfg, enc, scans, world.angles, mesh=mesh,
+        tick_chunk=tick_chunk)
     sym = symmetry.maze_symmetries(world.maze.walls,
                                    float(world.maze.cell_meters))
     return episodes.sweep_rmse(final, truth, sym=sym)

@@ -37,3 +37,26 @@ def test_sweep_preset(world):
             "alias_rmse_xy", "alias_converged_frac"} <= set(metrics)
     assert 0.0 <= float(metrics["converged_frac"]) <= 1.0
     assert 0.0 <= float(metrics["alias_converged_frac"]) <= 1.0
+
+
+def test_tick_chunked_sweep_bit_identical(world):
+    """tick_chunk segments must reproduce the single-scan run exactly
+    (the per-tick RNG rides in the carried MCLState), including a ragged
+    final chunk."""
+    import jax
+    from montecarlolocalisation_tpu.parallel import episodes
+
+    k1, k2 = jax.random.split(jax.random.PRNGKey(3))
+    enc, scans, _ = episodes.simulate_episode_batch(
+        k1, world.maze, world.cfg, world.angles, 25, 3,
+        start_pose=(2.05, 2.05, 0.0))
+    full_final, full_outs = episodes.run_episode_batch(
+        k2, world.maze, world.cfg, enc, scans, world.angles)
+    ch_final, ch_outs = episodes.run_episode_batch(
+        k2, world.maze, world.cfg, enc, scans, world.angles, tick_chunk=10)
+    for a, b in zip(jax.tree_util.tree_leaves(full_final),
+                    jax.tree_util.tree_leaves(ch_final)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree_util.tree_leaves(full_outs),
+                    jax.tree_util.tree_leaves(ch_outs)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -5,9 +5,16 @@ for a range of particle counts, reporting the alias-aware convergence
 fraction and RMSE — the measured answer to "how many particles does this
 maze need" (the reference hand-picked 1500 for a Pi 4; monte_carlo.cpp:84).
 
+Default resampling is "systematic" (the production path).  The reference
+"multinomial" parity path serializes searchsorted+gather under vmap; at
+>= ~2000 particles x 1024 episodes x 300 ticks its single-execution device
+time crosses what the axon runtime tolerates — pass
+`--method multinomial --tick-chunk 50` to run it chunked.
+
 Run: python tools/convergence_study.py [--batch 1024] [--ticks 300]
 """
 import argparse
+import dataclasses
 import json
 import os.path as osp
 import sys
@@ -23,18 +30,26 @@ def main() -> None:
     ap.add_argument("--particles", type=int, nargs="*",
                     default=[100, 250, 500, 1000, 2000, 4000])
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--method", default="systematic",
+                    choices=["systematic", "multinomial"])
+    ap.add_argument("--tick-chunk", type=int, default=None)
     args = ap.parse_args()
 
     from montecarlolocalisation_tpu import presets
 
     for n in args.particles:
         world = presets.make_world(num_particles=n)
+        cfg = dataclasses.replace(
+            world.cfg, resample=dataclasses.replace(
+                world.cfg.resample, method=args.method))
+        world = dataclasses.replace(world, cfg=cfg)
         t0 = time.time()
         metrics = presets.run_sweep(world, batch=args.batch,
-                                    num_ticks=args.ticks, seed=args.seed)
+                                    num_ticks=args.ticks, seed=args.seed,
+                                    tick_chunk=args.tick_chunk)
         print(json.dumps(dict(
             particles=n, batch=args.batch, ticks=args.ticks,
-            wall_s=round(time.time() - t0, 1),
+            method=args.method, wall_s=round(time.time() - t0, 1),
             **{k: round(float(v), 4) for k, v in metrics.items()})),
             flush=True)
 
