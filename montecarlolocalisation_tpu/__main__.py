@@ -21,6 +21,10 @@ def main() -> None:
     ap.add_argument("--ticks", type=int, default=None)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--batch", type=int, default=64)
+    # Bounds single-execution device time for the sweep (the axon runtime
+    # kills multi-minute executions; bit-identical — see
+    # parallel.episodes.run_episode_batch).
+    ap.add_argument("--tick-chunk", type=int, default=None)
     args = ap.parse_args()
     for name in ("particles", "beams", "batch"):
         if getattr(args, name) < 1:
@@ -71,7 +75,8 @@ def main() -> None:
     elif args.preset == "sweep":
         metrics = presets.run_sweep(world, batch=args.batch,
                                     num_ticks=args.ticks or 150,
-                                    seed=args.seed)
+                                    seed=args.seed,
+                                    tick_chunk=args.tick_chunk)
         print(json.dumps({k: round(float(v), 4)
                           for k, v in metrics.items()}))
     elif args.preset == "calibrate":

@@ -22,6 +22,7 @@ the value itself.
 """
 from __future__ import annotations
 
+import os
 from typing import Callable, Optional
 
 import jax
@@ -102,19 +103,25 @@ def _range_mask(lo_bit, hi_bit, n_words):
 
 def _make_pixel_scan(line_pixels: np.ndarray):
     """Band-scan strategy over raw pixel columns: [n_lines, L] bools ->
-    (band_scan, origin_bit) closures.  Cost scales with ceil(L/32) words.
+    (select, band_scan, origin_bit) closures.  Cost scales with
+    ceil(L/32) words.
 
-    band_scan(kk, lo_r, hi_r, fwd) -> (any_hit, rr): whether line kk has a
-    set pixel in rows [lo_r, hi_r], and the first such row along the scan
-    direction (garbage when none — callers gate on any_hit).
-    origin_bit(kk, r0) -> bool: pixel r0 of line kk (False out of range).
-    kk == n_lines selects all-zero words (the invalid-line sentinel).
+    select(kk) -> ws: line kk's packed words (strategy-opaque); kk ==
+    n_lines selects all-zero words (the invalid-line sentinel).
+    band_scan(ws, lo_r, hi_r, fwd, span) -> (any_hit, rr): whether the
+    line has a set pixel in rows [lo_r, hi_r], and the first such row
+    along the scan direction (garbage when none — callers gate on
+    any_hit); `span` is a STATIC upper bound on hi_r - lo_r + 1
+    (unused here).
+    origin_bit(ws, r0) -> bool: pixel r0 of the line (False out of range).
     """
     rows = _pack_rows(line_pixels)
     n_words = len(rows[0])
 
-    def band_scan(kk, lo_r, hi_r, fwd):
-        ws = _select_words(kk, rows)
+    def select(kk):
+        return _select_words(kk, rows)
+
+    def band_scan(ws, lo_r, hi_r, fwd, span):
         ms = _range_mask(lo_r, hi_r, n_words)
         bs = [wj & mj for wj, mj in zip(ws, ms)]
         acc = bs[0]
@@ -124,15 +131,74 @@ def _make_pixel_scan(line_pixels: np.ndarray):
         rr = _first_bit_pos(bs, fwd).astype(jnp.int32)
         return any_hit, rr
 
-    def origin_bit(kk, r0):
-        ws = _select_words(kk, rows)   # CSE'd with band_scan's selects
+    def origin_bit(ws, r0):
         m0 = _range_mask(r0, r0, n_words)
         ob = ws[0] & m0[0]
         for wj, mj in zip(ws[1:], m0[1:]):
             ob = ob | (wj & mj)
         return ob != 0
 
-    return band_scan, origin_bit
+    return select, band_scan, origin_bit
+
+
+def _make_window_scan(line_pixels: np.ndarray):
+    """Funnel-window band scan: extract the <= 32-bit window starting at
+    lo_r from the line's packed words (cross-word variable shift), mask to
+    the band, and run ONE single-word directional bit scan.  ~Half the
+    mask-path ops at 2 words and near-flat in map size (the per-word cost
+    collapses to one 2-way select in the straddling-pair pick).
+
+    Applies when the band span fits 32 bits — span <= ceil(smax) + 2,
+    i.e. max_range <= ~3 m at 0.1 m/px; wider spans take the mask path
+    (static, per cast_dir call).
+    """
+    rows = _pack_rows(line_pixels)
+    n_words = len(rows[0])
+    n_bits = int(line_pixels.shape[1])
+    _, fallback_scan, _ = _make_pixel_scan(line_pixels)
+
+    def select(kk):
+        return _select_words(kk, rows)
+
+    def band_scan(ws, lo_r, hi_r, fwd, span):
+        if span > 32:
+            return fallback_scan(ws, lo_r, hi_r, fwd, span)
+        lo = jnp.maximum(lo_r, 0)
+        hi = jnp.minimum(hi_r, n_bits - 1)
+        width = jnp.clip(hi - lo + 1, 0, 32)
+        sh = (lo & 31).astype(jnp.uint32)
+        # Straddling word pair (a, b) for window start lo: words lo>>5 and
+        # lo>>5 + 1 (b = 0 past the end).
+        a = ws[0]
+        b = ws[1] if n_words > 1 else jnp.zeros_like(ws[0])
+        for j in range(1, n_words):
+            nxt = ws[j + 1] if j + 1 < n_words else jnp.zeros_like(ws[0])
+            sel = (lo >> 5) == j
+            a = jnp.where(sel, ws[j], a)
+            b = jnp.where(sel, nxt, b)
+        # Funnel shift; the sh == 0 guard avoids the undefined b << 32.
+        hi_part = jnp.where(
+            sh == 0, jnp.uint32(0),
+            b << ((jnp.uint32(32) - sh) & jnp.uint32(31)))
+        win = (a >> sh) | hi_part
+        wmask = jnp.where(
+            width >= 32, jnp.uint32(0xFFFFFFFF),
+            (jnp.uint32(1) << width.astype(jnp.uint32)) - jnp.uint32(1))
+        wm = win & wmask
+        any_hit = wm != jnp.uint32(0)
+        rr = lo + _first_bit_pos([wm], fwd).astype(jnp.int32)
+        return any_hit, rr
+
+    def origin_bit(ws, r0):
+        inb = (r0 >= 0) & (r0 < n_bits)
+        r0c = jnp.clip(r0, 0, n_bits - 1)
+        w = ws[0]
+        for j in range(1, n_words):
+            w = jnp.where((r0c >> 5) == j, ws[j], w)
+        bit = (w >> (r0c & 31).astype(jnp.uint32)) & jnp.uint32(1)
+        return inb & (bit == jnp.uint32(1))
+
+    return select, band_scan, origin_bit
 
 
 def _make_cell_scan(line_pixels: np.ndarray, cell_px: int):
@@ -181,9 +247,11 @@ def _make_cell_scan(line_pixels: np.ndarray, cell_px: int):
     # constant, which pallas_call rejects in-kernel.
     big = np.int32(1 << 24)
 
-    def band_scan(kk, lo_r, hi_r, fwd):
-        a = _select_words(kk, a_tab)[0]
-        b = _select_words(kk, b_tab)[0]
+    def select(kk):
+        return (_select_words(kk, a_tab)[0], _select_words(kk, b_tab)[0])
+
+    def band_scan(ws, lo_r, hi_r, fwd, span):
+        a, b = ws
         # Interior of cell c ([8c+1, 8c+7]) intersects [lo, hi] iff
         # floor(lo/8) <= c <= floor((hi-1)/8); corner m (row 8m) iff
         # ceil(lo/8) <= m <= floor(hi/8).  (Arithmetic >> = floor div.)
@@ -205,9 +273,8 @@ def _make_cell_scan(line_pixels: np.ndarray, cell_px: int):
             jnp.maximum(jnp.where(any_a, ra, -big), jnp.where(any_b, rb, -big)))
         return any_a | any_b, rr
 
-    def origin_bit(kk, r0):
-        a = _select_words(kk, a_tab)[0]
-        b = _select_words(kk, b_tab)[0]
+    def origin_bit(ws, r0):
+        a, b = ws
         in_len = (r0 >= 0) & (r0 < length)
         r0c = jnp.clip(r0, 0, length - 1)
         idx = (r0c >> 3).astype(jnp.uint32)
@@ -217,7 +284,7 @@ def _make_cell_scan(line_pixels: np.ndarray, cell_px: int):
         # No where() between i1 vectors (Mosaic cannot lower i1 selects).
         return in_len & ((on_corner & bit_b) | (~on_corner & bit_a))
 
-    return band_scan, origin_bit
+    return select, band_scan, origin_bit
 
 
 def make_analytic_caster(
@@ -238,15 +305,20 @@ def make_analytic_caster(
     h_px = occ[::cell_px]                      # [n_h, w]
 
     def _axis_scan(line_pixels):
-        # Cell tables beat pixel words once the pixel column needs > 2
-        # words (at exactly 2 the op count ties and the pixel path measured
-        # ~3% faster on-chip at 1M x 34, so small maps keep it; the cell
-        # path's cost is map-size-independent from here up to 31x32 cells).
-        if (line_pixels.shape[1] + 31) // 32 > 2:
+        # Default strategy: the funnel-window scan (fewest ops, near-flat
+        # in map size; falls back to the mask path per-call for spans
+        # > 32 bits).  The mask and cell-table strategies remain
+        # selectable for benchmarking (dev knob; BENCH_DETAILS has the
+        # measured A/B).
+        force = os.environ.get("MCL_ANALYTIC_SCAN")
+        if force == "pixel":
+            return _make_pixel_scan(line_pixels)
+        if force == "cells":
             cs = _make_cell_scan(line_pixels, cell_px)
             if cs is not None:
                 return cs
-        return _make_pixel_scan(line_pixels)
+            return _make_pixel_scan(line_pixels)
+        return _make_window_scan(line_pixels)
 
     v_scan = _axis_scan(v_px)
     h_scan = _axis_scan(h_px)
@@ -257,39 +329,79 @@ def make_analytic_caster(
     inf = np.float32(3e38)
     eps = 1e-9
 
-    def axis_hits(gu, gv, du, dv, n_lines, scans, smax, n_cand):
+    def _axis_prepare(gu, gv, scans, n_lines, n_cand):
+        """Direction-independent per-origin state for one axis: the origin
+        slab index, the PRESELECTED candidate-line words for every offset
+        the direction sign can reach (k0-(n_cand-1) .. k0+(n_cand-1)), and
+        the origin-pixel hit (the origin can sit inside the c == 0 slab
+        only, and only that slab's occupancy matters at s = 0).
+
+        This is the beam-loop hoist: the select chains (the word-table
+        lookups) run ONCE per origin; each direction then picks a
+        preselected candidate with one 2-way select per word.
+        """
+        select, _, origin_bit = scans
+        k0 = jnp.floor(gu / cell_px).astype(jnp.int32)
+        r0 = jnp.floor(gv).astype(jnp.int32)
+        pre = {}
+        for off in range(-(n_cand - 1), n_cand):
+            k = k0 + off
+            kk = jnp.where((k >= 0) & (k < n_lines), k, n_lines)
+            pre[off] = select(kk)
+        line_u0 = (k0 * cell_px).astype(jnp.float32)
+        # Half-open slab [u, u+1): gu == line_u0 + 1 is the next cell.
+        inside0 = (gu >= line_u0) & (gu < line_u0 + 1.0)
+        valid0 = (k0 >= 0) & (k0 < n_lines)
+        # Origin inside the slab's occupied pixel -> hit at 0 even when
+        # the forward window is empty (e.g. moving out across the entry
+        # face; DDA/fixed return 0 for an occupied origin cell).
+        origin0 = inside0 & valid0 & origin_bit(pre[0], r0)
+        return dict(k0=k0, pre=pre, inside0=inside0, origin0=origin0)
+
+    def _axis_hits(gu, gv, du, dv, n_lines, scans, prep, smax, n_cand,
+                   span):
         """First-hit s (pixel units) against slabs perpendicular to u.
 
         gu/gv: origin coords (u = axis normal to the lines, v = along).
         Returns s_hit (inf when none) over n_cand candidate lines (the
         origin's slab plus every line reachable within smax).  `scans` is
-        the axis's (band_scan, origin_bit) strategy pair.
+        the axis's (select, band_scan, origin_bit) strategy; `prep` its
+        _axis_prepare output; `span` the static bound on a band's bit
+        count (ceil(smax) + 2).
         """
-        band_scan, origin_bit = scans
+        _, band_scan, _ = scans
         small = jnp.abs(du) < eps
         inv_du = 1.0 / jnp.where(small, eps, du)
-        sgn = jnp.where(du >= 0, 1, -1).astype(jnp.int32)
-        k0 = jnp.floor(gu / cell_px).astype(jnp.int32)
-        # Loop invariants hoisted out of the candidate loop: the row-scan
-        # direction and reciprocal, and the origin pixel row (the origin
-        # can sit inside the c == 0 slab only).
+        pos_dir = du >= 0
+        sgn = jnp.where(pos_dir, 1, -1).astype(jnp.int32)
+        k0 = prep["k0"]
         fwd = dv >= 0
         small_v = jnp.abs(dv) < eps
         inv_dv = 1.0 / jnp.where(small_v, eps, dv)
-        r0 = jnp.floor(gv).astype(jnp.int32)
-        best = jnp.full(gu.shape, inf, jnp.float32)
+        best = jnp.where(prep["origin0"], 0.0, inf)
         for c in range(n_cand):
             k = k0 + sgn * c
             line_u = (k * cell_px).astype(jnp.float32)   # slab [u, u+1)
-            inside = (gu >= line_u) & (gu < line_u + 1.0)
             # Entry/exit times in pixel units.
             t_near = (line_u - gu) * inv_du
             t_far = (line_u + 1.0 - gu) * inv_du
             t_in = jnp.minimum(t_near, t_far)
             t_out = jnp.maximum(t_near, t_far)
-            # du ~ 0: never crosses; inside slab -> [0, smax].
-            t_in = jnp.where(small, jnp.where(inside, 0.0, inf), t_in)
-            t_out = jnp.where(small, jnp.where(inside, smax, -inf), t_out)
+            if c == 0:
+                # du ~ 0: never crosses; inside slab -> [0, smax].
+                inside = prep["inside0"]
+                t_in = jnp.where(small, jnp.where(inside, 0.0, inf), t_in)
+                t_out = jnp.where(
+                    small, jnp.where(inside, smax, -inf), t_out)
+                ws = prep["pre"][0]
+            else:
+                # c >= 1 slabs sit strictly ahead (slab width 1 px <
+                # spacing cell_px), so the origin is never inside them.
+                t_in = jnp.where(small, inf, t_in)
+                t_out = jnp.where(small, -inf, t_out)
+                ws = jax.tree_util.tree_map(
+                    lambda a, b: jnp.where(pos_dir, a, b),
+                    prep["pre"][c], prep["pre"][-c])
             t_in = jnp.maximum(t_in, 0.0)
             t_out_c = jnp.minimum(t_out, smax)
             # Strict: a zero-measure touch (origin exactly on the slab's
@@ -303,11 +415,10 @@ def make_analytic_caster(
             r_out = jnp.floor(v_out).astype(jnp.int32)
             lo_r = jnp.minimum(r_in, r_out)
             hi_r = jnp.maximum(r_in, r_out)
-            kk = jnp.where(valid_k, k, n_lines)
-            # Any set pixel in rows [lo_r, hi_r] of line kk, and the first
+            # Any set pixel in rows [lo_r, hi_r] of the line, and the first
             # touched row along the ray direction (garbage when no bit is
             # set — `any_hit` gates it out of `ok`).
-            any_hit, rr = band_scan(kk, lo_r, hi_r, fwd)
+            any_hit, rr = band_scan(ws, lo_r, hi_r, fwd, span)
             # Entry time into that row band.
             row_edge = jnp.where(fwd, rr, rr + 1).astype(jnp.float32)
             t_row = (row_edge - gv) * inv_dv
@@ -315,24 +426,14 @@ def make_analytic_caster(
             s_hit = jnp.maximum(t_in, t_row)
             ok = window & valid_k & any_hit & (s_hit < smax)
             best = jnp.minimum(best, jnp.where(ok, s_hit, inf))
-            if c == 0:
-                # Origin inside this slab's occupied pixel -> hit at 0 even
-                # when the forward window is empty (e.g. moving out across
-                # the entry face; DDA/fixed return 0 for an occupied origin
-                # cell).  Only the c == 0 slab can contain the origin:
-                # c >= 1 lines sit strictly ahead (k0 + sgn*c with
-                # |direction| <= 1 and slab spacing cell_px > 1).
-                best = jnp.minimum(
-                    best,
-                    jnp.where(inside & valid_k & origin_bit(kk, r0),
-                              0.0, inf))
         return best
 
-    def cast_dir(ox, oy, dx, dy, max_range):
-        """First-hit distance along a UNIT direction (dx, dy).
-
-        Split out from `cast` so the beam-weight kernel can hoist the
-        per-particle trig out of its beam loop (angle-addition identity).
+    def prepare(ox, oy, max_range):
+        """Direction-independent context for casts from (ox, oy): grid
+        coords, in-map test, and the per-axis preselected candidate words.
+        The beam-weight kernel calls this ONCE per particle tile and then
+        casts every beam with `cast_prepared` — the word-table select
+        chains leave the beam loop.
         """
         # max_range must be a static Python float (it is cfg.max_range):
         # the candidate-slab count derives from it.
@@ -340,25 +441,43 @@ def make_analytic_caster(
         gx = (ox - origin_x) / resolution
         gy = (oy - origin_y) / resolution
         smax_f = max_range / resolution
-        smax = jnp.float32(smax_f)
         # Origin slab + every gridline reachable within smax (spacing =
         # cell_px pixel units along the axis; |direction| <= 1).
         n_cand = int(np.ceil(smax_f / cell_px)) + 1
-        sv = axis_hits(gx, gy, dx, dy, n_v, v_scan, smax, n_cand)
-        sh = axis_hits(gy, gx, dy, dx, n_h, h_scan, smax, n_cand)
-        s = jnp.minimum(jnp.minimum(sv, sh), smax)
+        span = int(np.ceil(smax_f)) + 2
         # Reference semantics: the march breaks on the first out-of-map
         # sample, so out-of-map origins return max_range
         # (monte_carlo.cpp:374 via worldToMap failure; DDA matches).
         inb = ((gx >= 0.0) & (gy >= 0.0)
                & (gx < float(w)) & (gy < float(h)))
-        s = jnp.where(inb, s, smax)
+        return dict(
+            gx=gx, gy=gy, inb=inb, smax=jnp.float32(smax_f),
+            n_cand=n_cand, span=span,
+            v=_axis_prepare(gx, gy, v_scan, n_v, n_cand),
+            h=_axis_prepare(gy, gx, h_scan, n_h, n_cand))
+
+    def cast_prepared(ctx, dx, dy):
+        """First-hit distance along a UNIT direction from a prepared
+        origin (see `prepare`)."""
+        smax, n_cand, span = ctx["smax"], ctx["n_cand"], ctx["span"]
+        sv = _axis_hits(ctx["gx"], ctx["gy"], dx, dy, n_v, v_scan,
+                        ctx["v"], smax, n_cand, span)
+        sh = _axis_hits(ctx["gy"], ctx["gx"], dy, dx, n_h, h_scan,
+                        ctx["h"], smax, n_cand, span)
+        s = jnp.minimum(jnp.minimum(sv, sh), smax)
+        s = jnp.where(ctx["inb"], s, smax)
         return (s * resolution).astype(jnp.float32)
+
+    def cast_dir(ox, oy, dx, dy, max_range):
+        """First-hit distance along a UNIT direction (dx, dy)."""
+        return cast_prepared(prepare(ox, oy, max_range), dx, dy)
 
     def cast(ox, oy, angle, max_range):
         return cast_dir(ox, oy, jnp.cos(angle), jnp.sin(angle), max_range)
 
     cast.cast_dir = cast_dir
+    cast.prepare = prepare
+    cast.cast_prepared = cast_prepared
     return cast
 
 

@@ -79,6 +79,12 @@ def _weights_kernel(x_ref, y_ref, th_ref, ang_ref, cos_ref, sin_ref,
     denom = 1.0 / (sigma * math.sqrt(2.0 * math.pi))
     log_mode = cfg.beam_combine == "log"
 
+    # Direction-independent cast state (grid coords, preselected candidate
+    # line words, origin-pixel hits) hoisted out of the beam loop: the
+    # word-table select chains run once per tile instead of per beam.
+    cast_ctx = None if cast_fn is None else cast_fn.prepare(
+        ox, oy, cfg.max_range)
+
     def ray_fixed(dx, dy):
         """The reference's 0.1 m march (monte_carlo.cpp:350-390)."""
         dist = jnp.full_like(x, cfg.max_range)
@@ -136,7 +142,7 @@ def _weights_kernel(x_ref, y_ref, th_ref, ang_ref, cos_ref, sin_ref,
         if cast_fn is None:
             dist = ray_fixed(dx, dy)
         else:
-            dist = cast_fn.cast_dir(ox, oy, dx, dy, cfg.max_range)
+            dist = cast_fn.cast_prepared(cast_ctx, dx, dy)
         diff = jnp.abs(obs - dist)
         gauss = jnp.where(
             diff <= cfg.gauss_max_diff,

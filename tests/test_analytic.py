@@ -149,3 +149,20 @@ def test_exact_equivalence_fuzz_random_maps():
         m = from_walls(walls)
         diff = _compare(m, n=8000, seed=100 + i)
         assert diff.max() <= 1e-4, f"case {i}: max diff {diff.max()}"
+
+
+def test_wide_span_falls_back_to_mask_path():
+    """max_range 5 m -> band span > 32 bits: the window strategy must
+    route to the mask path per call and still match DDA."""
+    m = from_map_file(MAP_PATH)
+    cfg_d = SensorModelConfig(ray_mode="dda", lookup_mode="gather",
+                              max_range=5.0)
+    cfg_a = SensorModelConfig(ray_mode="analytic", max_range=5.0)
+    rng = np.random.default_rng(9)
+    n = 4000
+    ox = jnp.asarray(rng.uniform(0.0, 4.9, n), jnp.float32)
+    oy = jnp.asarray(rng.uniform(0.0, 4.9, n), jnp.float32)
+    ang = jnp.asarray(rng.uniform(-np.pi, np.pi, n), jnp.float32)
+    dda = np.asarray(raycast(m, ox, oy, ang, cfg_d))
+    ana = np.asarray(raycast(m, ox, oy, ang, cfg_a))
+    assert np.abs(dda - ana).max() <= 1e-3, np.abs(dda - ana).max()
