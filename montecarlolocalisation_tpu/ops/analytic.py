@@ -468,6 +468,64 @@ def make_analytic_caster(
         s = jnp.where(ctx["inb"], s, smax)
         return (s * resolution).astype(jnp.float32)
 
+    def _march_lookup(ctx, mx, my):
+        """`occ_lookup(my, mx)` served from the prepared candidate words.
+
+        Bit-exact with ops/bitlookup's gridline select-chain probe: the
+        per-probe row/column chains (one entry per gridline of the map)
+        collapse to one (2*n_cand-1)-way pick over the candidates already
+        selected by `prepare`.  Word-selection divergence is confined to
+        out-of-map pixels, where the `inb` gate forces False either way.
+        """
+        n_cand = ctx["n_cand"]
+        inb = (my >= 0) & (mx >= 0) & (my < h) & (mx < w)
+
+        def axis_bit(prep, scans, line_idx, bit_idx):
+            origin_bit = scans[2]
+            off = line_idx - prep["k0"]
+            ws = jax.tree_util.tree_map(jnp.zeros_like, prep["pre"][0])
+            for o in range(-(n_cand - 1), n_cand):
+                sel = off == o
+                ws = jax.tree_util.tree_map(
+                    lambda z, p: jnp.where(sel, p, z), ws, prep["pre"][o])
+            return origin_bit(ws, bit_idx)
+
+        # jnp floor-mod: negative coords give nonzero residues (except
+        # exact multiples, whose line index is then negative -> zero
+        # words) — every such probe is out of map and inb-gated anyway.
+        hit_v = ((mx % cell_px) == 0) & axis_bit(
+            ctx["v"], v_scan, mx // cell_px, my)
+        hit_h = ((my % cell_px) == 0) & axis_bit(
+            ctx["h"], h_scan, my // cell_px, mx)
+        return inb & (hit_v | hit_h)
+
+    def march_prepared(ctx, ox, oy, dx, dy, cfg, extent_x, extent_y):
+        """The reference's fixed-step ray march (monte_carlo.cpp:350-390)
+        with the occupancy probes answered from a prepared origin.
+
+        Bit-exact with the bitlookup-chain march in the weight kernel:
+        same trunc worldToMap, same per-step hit ordering, same break at
+        the first out-of-map sample.  Every reachable gridline is among
+        `prepare`'s candidates: the sample reach ray_step*(num_steps-1)
+        is < max_range, so |line(sample) - k0| <= ceil(smax/cell_px)
+        = n_cand - 1.
+        """
+        inv_res = 1.0 / resolution
+        dist = jnp.full_like(ctx["gx"], cfg.max_range)
+        alive = jnp.ones_like(dist, dtype=jnp.bool_)
+        for s in range(cfg.num_ray_steps):
+            r = cfg.ray_step * s
+            px_w = ox + r * dx
+            py_w = oy + r * dy
+            mx = ((px_w - origin_x) * inv_res).astype(jnp.int32)
+            my = ((py_w - origin_y) * inv_res).astype(jnp.int32)
+            hit = _march_lookup(ctx, mx, my) & alive
+            dist = jnp.minimum(dist, jnp.where(hit, r, cfg.max_range))
+            inb = ((mx >= 0) & (my >= 0)
+                   & (px_w < extent_x) & (py_w < extent_y))
+            alive = alive & inb
+        return dist
+
     def cast_dir(ox, oy, dx, dy, max_range):
         """First-hit distance along a UNIT direction (dx, dy)."""
         return cast_prepared(prepare(ox, oy, max_range), dx, dy)
@@ -478,6 +536,7 @@ def make_analytic_caster(
     cast.cast_dir = cast_dir
     cast.prepare = prepare
     cast.cast_prepared = cast_prepared
+    cast.march_prepared = march_prepared
     return cast
 
 

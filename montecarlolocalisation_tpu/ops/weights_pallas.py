@@ -30,6 +30,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 
 import jax
 import jax.numpy as jnp
@@ -141,6 +142,9 @@ def _weights_kernel(x_ref, y_ref, th_ref, ang_ref, cos_ref, sin_ref,
             dy = sth * cb + cth * sb
         if cast_fn is None:
             dist = ray_fixed(dx, dy)
+        elif cfg.ray_mode == "fixed":
+            dist = cast_fn.march_prepared(
+                cast_ctx, ox, oy, dx, dy, cfg, extent_x, extent_y)
         else:
             dist = cast_fn.cast_prepared(cast_ctx, dx, dy)
         diff = jnp.abs(obs - dist)
@@ -234,7 +238,16 @@ def _resolve_kernel_inputs(m: MazeMap, cfg: SensorModelConfig):
         if cast_fn is None:
             raise ValueError("analytic Pallas kernel needs a "
                              "gridline-structured raster")
-    elif cfg.ray_mode != "fixed":
+    elif cfg.ray_mode == "fixed":
+        # Gridline rasters serve the march's occupancy probes from the
+        # caster's prepared candidate words (bit-exact, cheaper per step);
+        # other rasters keep the bitlookup-chain march.  MCL_FIXED_MARCH=
+        # loop forces the chain march for A/B.
+        if os.environ.get("MCL_FIXED_MARCH") != "loop":
+            from .analytic import AnalyticCasterCache
+
+            cast_fn = AnalyticCasterCache.get(m)
+    else:
         raise ValueError(f"unsupported ray_mode {cfg.ray_mode!r} for the "
                          "Pallas kernel")
     occ_lookup, dil_lookup = MapBitTables.get(m)
