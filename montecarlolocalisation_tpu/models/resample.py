@@ -222,7 +222,15 @@ def resample(
         axis=-1,
     )
 
-    fresh = sample_uniform_particles(k_fresh, m, n, cfg.init)
+    # Fresh-particle sampling only runs when it can matter: p_inject == 0
+    # makes `inject` provably all-false (inject_r is uniform in [0, 1)),
+    # so the cond's zero branch is bit-identical and skips ~5 RNG sweeps
+    # over N on most converged-tracking steps.  Under vmap the cond
+    # lowers to a select (both branches run) — same semantics, no win.
+    fresh = jax.lax.cond(
+        p_inject > 0.0,
+        lambda: sample_uniform_particles(k_fresh, m, n, cfg.init),
+        lambda: jnp.zeros((n, 3), jnp.float32))
     new_particles = jnp.where(inject[:, None], fresh, drawn)
     new_weights = jnp.full((n,), 1.0 / n, dtype=jnp.float32)
     info = dict(p_inject=p_inject, n_injected=n_injected, w_avg=w_avg,

@@ -139,3 +139,50 @@ def test_systematic_mode():
     counts = np.bincount(ids, minlength=2)[:2]
     # Systematic: exactly proportional (n/2 each) up to 1.
     assert abs(counts[0] - n // 2) <= 1 and abs(counts[1] - n // 2) <= 1
+
+
+def test_fresh_sampling_cond_is_bit_identical():
+    """The p_inject == 0 cond branch skips fresh sampling bit-identically.
+
+    Same key, same particles/weights: the only difference between the two
+    injection states is whether fresh sampling runs, and with p_inject == 0
+    the inject mask is provably all-false, so the outputs must match what
+    an always-sampling implementation produced (drawn + jitter only).
+    """
+    key = jax.random.PRNGKey(11)
+    n = CFG.num_particles
+    parts = _mk_particles(n, jax.random.PRNGKey(12))
+    weights = jax.random.uniform(jax.random.PRNGKey(13), (n,)) + 0.1
+
+    # p_inject == 0 regime: w_fast >= w_slow.
+    inj0 = resample.InjectionState(w_slow=jnp.float32(0.1),
+                                   w_fast=jnp.float32(0.5))
+    p0, w0, _, info0 = resample.resample(key, parts, weights, inj0, TRUE,
+                                         MAP, CFG)
+    assert float(info0["p_inject"]) == 0.0
+    assert int(info0["n_injected"]) == 0
+
+    # Reference recomputation WITHOUT the cond: drawn + jitter, using the
+    # same key splits as resample() (k_draw, k_jx, k_jy, k_jt; default
+    # method is the reference-parity multinomial CDF draw).
+    k_draw, k_inj, k_jx, k_jy, k_jt, k_fresh = jax.random.split(key, 6)
+    total = jnp.sum(weights)
+    cdf = jnp.cumsum(weights / total)
+    r = jax.random.uniform(k_draw, (n,))
+    drawn = parts[jnp.clip(jnp.searchsorted(cdf, r, side="left"), 0, n - 1)]
+    rcfg = CFG.resample
+    jx = jax.random.uniform(k_jx, (n,), minval=-1.0, maxval=1.0) * rcfg.lost_jitter_xy
+    jy = jax.random.uniform(k_jy, (n,), minval=-1.0, maxval=1.0) * rcfg.lost_jitter_xy
+    jt = jax.random.uniform(k_jt, (n,), minval=-1.0, maxval=1.0) * rcfg.lost_jitter_theta
+    expect = jnp.stack(
+        [drawn[:, 0] + jx, drawn[:, 1] + jy,
+         resample.normalize_angle(drawn[:, 2] + jt)], axis=-1)
+    np.testing.assert_array_equal(np.asarray(p0), np.asarray(expect))
+
+    # p_inject > 0 regime still injects fresh particles (cond true branch).
+    injL = resample.InjectionState(w_slow=jnp.float32(0.5),
+                                   w_fast=jnp.float32(0.1))
+    _, _, _, infoL = resample.resample(key, parts, weights, injL, TRUE,
+                                       MAP, CFG)
+    assert float(infoL["p_inject"]) > 0.0
+    assert int(infoL["n_injected"]) > 0
