@@ -16,6 +16,9 @@ def main() -> None:
     ap.add_argument("preset", choices=["localisation", "planning",
                                        "challenge", "sweep", "moving",
                                        "calibrate", "serve"])
+    ap.add_argument("--map", dest="map_path", default=None,
+                    help="map file: reference map.txt wall list, or a ROS "
+                         "map_server YAML (+PGM raster)")
     ap.add_argument("--particles", type=int, default=1500)
     ap.add_argument("--beams", type=int, default=24)
     ap.add_argument("--ticks", type=int, default=None)
@@ -34,8 +37,9 @@ def main() -> None:
 
     from . import presets
 
-    world = presets.make_world(num_particles=args.particles,
-                               num_beams=args.beams)
+    world = presets.make_world(
+        **({} if args.map_path is None else dict(map_path=args.map_path)),
+        num_particles=args.particles, num_beams=args.beams)
 
     if args.preset == "localisation":
         final, outs, truth = presets.run_localisation(

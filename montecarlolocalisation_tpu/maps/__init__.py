@@ -1,6 +1,8 @@
-"""Map pipeline: map.txt parsing, rasterization, transforms, generation."""
-from . import maze, raster, grid, generator
-from .grid import MazeMap, from_walls, from_map_file
+"""Map pipeline: map.txt parsing, rasterization, transforms, generation,
+map_server (PGM + YAML) import/export."""
+from . import maze, raster, grid, generator, pgm
+from .grid import MazeMap, from_walls, from_map_file, from_raster
+from .pgm import from_pgm
 
-__all__ = ["maze", "raster", "grid", "generator", "MazeMap", "from_walls",
-           "from_map_file"]
+__all__ = ["maze", "raster", "grid", "generator", "pgm", "MazeMap",
+           "from_walls", "from_map_file", "from_raster", "from_pgm"]

@@ -69,11 +69,10 @@ class MazeMap:
         return self.origin_y + self.height * self.resolution
 
 
-def from_walls(
-    walls: Sequence[Sequence[Sequence[int]]],
-    grid: GridConfig = GridConfig(),
-) -> MazeMap:
-    occ = raster.rasterize_walls(walls, grid) > grid.occupied_threshold
+def _finalize(occ: np.ndarray, walls_t: np.ndarray, row_lens: np.ndarray,
+              resolution: float, origin_x: float, origin_y: float,
+              cell_meters: float) -> MazeMap:
+    """Derived rasters (dilation, bf16, Pallas padding) + device upload."""
     # 3x3 dilation: the isValidPos +-0.1 m stencil equals one lookup into the
     # dilated raster (offsets are exactly one pixel; border clipping matches
     # the out-of-map-is-free rule).  Precomputed once on host.
@@ -100,17 +99,96 @@ def from_walls(
         dil_f=jnp.asarray(dil, jnp.bfloat16),
         occ_pad=jnp.asarray(pad16_128(occ)),
         dil_pad=jnp.asarray(pad16_128(dil)),
-        walls=jnp.asarray(maze.walls_to_tensor(walls)),
-        row_lengths=jnp.asarray(maze.row_lengths(walls)),
-        resolution=grid.resolution,
-        origin_x=grid.origin_x,
-        origin_y=grid.origin_y,
-        cell_meters=grid.cell_meters,
+        walls=jnp.asarray(walls_t),
+        row_lengths=jnp.asarray(row_lens),
+        resolution=resolution,
+        origin_x=origin_x,
+        origin_y=origin_y,
+        cell_meters=cell_meters,
     )
+
+
+def from_walls(
+    walls: Sequence[Sequence[Sequence[int]]],
+    grid: GridConfig = GridConfig(),
+) -> MazeMap:
+    occ = raster.rasterize_walls(walls, grid) > grid.occupied_threshold
+    return _finalize(occ, maze.walls_to_tensor(walls), maze.row_lengths(walls),
+                     grid.resolution, grid.origin_x, grid.origin_y,
+                     grid.cell_meters)
 
 
 def from_map_file(path: str, grid: GridConfig = GridConfig()) -> MazeMap:
     return from_walls(maze.load_map_file(path), grid)
+
+
+def synthesize_walls(occ: np.ndarray, cell_px: int) -> np.ndarray:
+    """Wall tensor [R, C, 4] from an arbitrary occupancy raster.
+
+    Overlays the reference's 0.8 m cell lattice (cell (r, c) spans pixels
+    [r*cell_px, (r+1)*cell_px] x [c*cell_px, ...]) and declares a wall on
+    an edge when its OPEN band — the edge's pixels excluding the two
+    shared corner pixels — contains any occupied pixel.  Corners are
+    excluded because perpendicular walls share them: on the reference's
+    own rasters a TOP-only cell would otherwise also report LEFT/RIGHT.
+    Edges outside the raster count as walls, a cell whose interior
+    contains occupied pixels (an obstacle blob, unexplored space) becomes
+    all-walls, and walls are marked on BOTH adjacent cells, so the
+    BFS/TSP planner sees symmetric blocking.  For maze rasters the result
+    is connectivity-identical to the source wall list (tests/test_pgm.py).
+    """
+    occ = np.asarray(occ).astype(bool)
+    h, w = occ.shape
+    n_rows = max(1, (h - 1) // cell_px)
+    n_cols = max(1, (w - 1) // cell_px)
+    t = np.zeros((n_rows, n_cols, 4), dtype=bool)
+
+    def band_any(r0, r1, c0, c1):
+        if r0 >= h or c0 >= w or r1 > h or c1 > w:
+            return True  # edge (partly) outside the raster: walled
+        return bool(occ[r0:r1, c0:c1].any())
+
+    from ..config import WALL_RIGHT, WALL_TOP, WALL_LEFT, WALL_BOTTOM
+
+    for r in range(n_rows):
+        for c in range(n_cols):
+            r0, c0 = r * cell_px, c * cell_px
+            t[r, c, WALL_TOP] = band_any(r0, r0 + 1, c0 + 1, c0 + cell_px)
+            t[r, c, WALL_BOTTOM] = band_any(
+                r0 + cell_px, r0 + cell_px + 1, c0 + 1, c0 + cell_px)
+            t[r, c, WALL_LEFT] = band_any(r0 + 1, r0 + cell_px, c0, c0 + 1)
+            t[r, c, WALL_RIGHT] = band_any(
+                r0 + 1, r0 + cell_px, c0 + cell_px, c0 + cell_px + 1)
+            interior = occ[r0 + 1: min(r0 + cell_px, h),
+                           c0 + 1: min(c0 + cell_px, w)]
+            if interior.size == 0 or interior.any():
+                t[r, c, :] = True
+    return t
+
+
+def from_raster(
+    occ: np.ndarray,
+    resolution: float = 0.1,
+    origin_x: float = 0.0,
+    origin_y: float = 0.0,
+    cell_meters: float = 0.8,
+) -> MazeMap:
+    """MazeMap from an arbitrary boolean occupancy raster (True = wall).
+
+    The entry point for imported maps (maps/pgm.py) and user-supplied
+    rasters.  The filter core (ray cast, likelihood, validity, Pallas
+    kernels) uses the raster directly; the maze-cell layer (uniform
+    sampler, BFS/TSP planner) runs on a `synthesize_walls` overlay of the
+    reference's cell lattice.  Gridline-structured rasters keep every
+    fast path (analytic caster included); others fall back to the
+    chain-march/DDA paths automatically.
+    """
+    occ = np.asarray(occ).astype(bool)
+    cell_px = max(1, int(round(cell_meters / resolution)))
+    walls_t = synthesize_walls(occ, cell_px)
+    row_lens = np.full((walls_t.shape[0],), walls_t.shape[1], dtype=np.int32)
+    return _finalize(occ, walls_t, row_lens, float(resolution),
+                     float(origin_x), float(origin_y), float(cell_meters))
 
 
 def world_to_map(m: MazeMap, wx, wy):

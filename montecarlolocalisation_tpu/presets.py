@@ -44,8 +44,17 @@ class World:
 
 def make_world(map_path: str = DEFAULT_MAP, num_particles: int = 1500,
                num_beams: int = 24, ray_mode: str = "fixed") -> World:
-    maze = from_map_file(map_path)
-    walls = maze_mod.walls_to_tensor(maze_mod.load_map_file(map_path))
+    """World from a map file: reference map.txt wall lists, or a ROS
+    map_server YAML (+PGM) — the planner then runs on the synthesized
+    cell-lattice wall tensor (maps/pgm.py)."""
+    if map_path.endswith((".yaml", ".yml")):
+        from .maps import from_pgm
+
+        maze = from_pgm(map_path)
+        walls = np.asarray(maze.walls)
+    else:
+        maze = from_map_file(map_path)
+        walls = maze_mod.walls_to_tensor(maze_mod.load_map_file(map_path))
     cfg = FilterConfig(num_particles=num_particles,
                        sensor=SensorModelConfig(ray_mode=ray_mode))
     angles = np.deg2rad(
