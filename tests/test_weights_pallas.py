@@ -238,3 +238,45 @@ def test_kernel_on_wide_map(ray_mode):
         # this wall-dense 9x12 maze has ~0.5% tie lanes (the cast itself
         # matches DDA to 1e-4 on this map in test_analytic's fuzz).
         assert close.mean() > 0.99
+
+
+def test_fixed_march_prepared_matches_chain(monkeypatch):
+    """march_prepared (default) is bit-exact with the legacy bitlookup
+    chain march (MCL_FIXED_MARCH=loop) on a gridline map."""
+    from montecarlolocalisation_tpu.ops import weights_pallas as wp
+
+    m, parts, scan = _fixture(n=1024)
+    cfg = SensorModelConfig(ray_mode="fixed")
+    got_default = np.asarray(beam_weights_pallas(m, parts, scan, cfg,
+                                                 interpret=True))
+    monkeypatch.setenv("MCL_FIXED_MARCH", "loop")
+    got_chain = np.asarray(beam_weights_pallas(m, parts, scan, cfg,
+                                               interpret=True))
+    np.testing.assert_array_equal(got_default, got_chain)
+
+
+def test_fixed_kernel_nongridline_chain_march():
+    """Non-gridline rasters have no analytic caster: the kernel must fall
+    back to the in-kernel bitlookup chain march and still match the dense
+    path (this is the only remaining consumer of that march)."""
+    from montecarlolocalisation_tpu.maps import from_raster
+
+    occ = np.zeros((33, 33), dtype=bool)
+    occ[:, 0] = occ[:, -1] = occ[0, :] = occ[-1, :] = True
+    occ[13, 4:28] = True   # off-lattice wall row
+    occ[4:28, 21] = True   # off-lattice wall column
+    m = from_raster(occ, resolution=0.1)
+
+    from montecarlolocalisation_tpu.ops.analytic import AnalyticCasterCache
+
+    assert AnalyticCasterCache.get(m) is None  # really non-gridline
+
+    cfg = SensorModelConfig(ray_mode="fixed")
+    angles = np.deg2rad(np.linspace(-118, 118, 10)).astype(np.float32)
+    parts = resample.sample_uniform_particles(jax.random.PRNGKey(3), m, 1024)
+    scan = sensor.simulate_scan(m, jnp.array([1.6, 1.6, 0.7]), angles, cfg)
+    want = np.asarray(_beam_weights_dense(m, parts, scan, cfg,
+                                          m.resolution, "bits"))
+    got = np.asarray(beam_weights_pallas(m, parts, scan, cfg,
+                                         interpret=True))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
