@@ -4,10 +4,13 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 Headline metric (BASELINE.md): particle-beam updates per second on one chip
 running the COMPLETE filter tick (motion + ray-cast beam likelihood +
-adaptive-injection resampling + k-means confidence) at 1M particles x 12
-beams, fp32.  vs_baseline is against the reference's implied ceiling of
-~1.8e5 particle-beam updates/s (1500 particles x 12 beams x 10 Hz on a
-Raspberry Pi 4; BASELINE.md).
+adaptive-injection resampling + k-means confidence) at 1M particles x 34
+beams, fp32.  The default ray mode is the EXACT closed-form caster
+(ops/analytic.py — geometrically exact first hits, and faster than the
+reference's step-quantized march; pass --ray-mode fixed for the
+reference-quirk parity mode).  vs_baseline is against the reference's
+implied ceiling of ~5.1e5 particle-beam updates/s (1500 particles x 34
+beams x 10 Hz on a Raspberry Pi 4; BASELINE.md).
 
 Usage: python bench.py [--particles N] [--beams B] [--iters I] [--mode all]
 """
@@ -91,7 +94,7 @@ def main() -> None:
     ap.add_argument("--particles", type=int, default=1_000_000)
     ap.add_argument("--beams", type=int, default=34)
     ap.add_argument("--iters", type=int, default=20)
-    ap.add_argument("--ray-mode", default="fixed",
+    ap.add_argument("--ray-mode", default="analytic",
                     choices=["fixed", "dda", "analytic"])
     ap.add_argument("--resample", default="systematic",
                     choices=["systematic", "multinomial"])

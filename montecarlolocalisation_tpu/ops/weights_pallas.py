@@ -159,7 +159,23 @@ def _weights_kernel(x_ref, y_ref, th_ref, ang_ref, cos_ref, sin_ref,
             return prob + bmask * jnp.log(jnp.maximum(per_beam, 1e-6))
         return prob + bmask * per_beam
 
-    prob = jax.lax.fori_loop(0, num_beams, beam_body, jnp.zeros_like(x))
+    # MCL_BEAM_UNROLL > 1 processes that many beams per loop iteration (ILP
+    # experiment knob; default 1 — full static unrolling at B=34 blew up
+    # Mosaic compile time, small factors are tractable).  Manual grouping:
+    # Mosaic's fori_loop only lowers unroll=1 or unroll=num_steps.
+    unroll = int(os.environ.get("MCL_BEAM_UNROLL", "1"))
+    if unroll <= 1:
+        prob = jax.lax.fori_loop(0, num_beams, beam_body, jnp.zeros_like(x))
+    else:
+        def group_body(g, prob):
+            for j in range(unroll):
+                prob = beam_body(g * unroll + j, prob)
+            return prob
+
+        prob = jax.lax.fori_loop(0, num_beams // unroll, group_body,
+                                 jnp.zeros_like(x))
+        for b in range(num_beams - num_beams % unroll, num_beams):
+            prob = beam_body(b, prob)
 
     if log_mode:
         # Raw log-sums: temperature, global max shift, and validity are
