@@ -21,10 +21,13 @@ gate run in XLA afterwards since a per-tile kernel cannot see the max).
 
 Matches models/sensor.beam_weights to float ulps: trunc worldToMap,
 masked-min first hit, truncated-Gaussian + random-hit mixture,
-dilated-raster validity, world-extent bounds.  Two deliberate ulp-level
-reassociations vs the dense path: beams accumulate sequentially, and ray
-directions come from the hoisted angle-addition identity; "analytic" mode
-can additionally differ at exact pixel-boundary ties.
+dilated-raster validity, world-extent bounds.  Three deliberate ulp-level
+reassociations vs the dense path: beams accumulate sequentially, ray
+directions come from the hoisted angle-addition identity, and the beam
+loop unrolls in groups of MCL_BEAM_UNROLL (default 4, +17% full-step
+throughput; XLA fuses across the wider body — set 1 for the bit-exact
+single-beam loop); "analytic" mode can additionally differ at exact
+pixel-boundary ties.
 """
 from __future__ import annotations
 
@@ -159,11 +162,15 @@ def _weights_kernel(x_ref, y_ref, th_ref, ang_ref, cos_ref, sin_ref,
             return prob + bmask * jnp.log(jnp.maximum(per_beam, 1e-6))
         return prob + bmask * per_beam
 
-    # MCL_BEAM_UNROLL > 1 processes that many beams per loop iteration (ILP
-    # experiment knob; default 1 — full static unrolling at B=34 blew up
-    # Mosaic compile time, small factors are tractable).  Manual grouping:
-    # Mosaic's fori_loop only lowers unroll=1 or unroll=num_steps.
-    unroll = int(os.environ.get("MCL_BEAM_UNROLL", "1"))
+    # Beam-loop unroll: process MCL_BEAM_UNROLL beams per fori_loop
+    # iteration (manual grouping — Mosaic's fori_loop only lowers unroll=1
+    # or unroll=num_steps, and FULL static unrolling at B=34 blew up its
+    # compile time).  Default 4: on-chip A/B at 1M x 34 analytic measured
+    # full-step 2.58-2.65e9 updates/s at 1, 2.85-2.92e9 at 2, 3.05-3.08e9
+    # at 4, 3.10e9 at 8 (plateau; 3 was anomalously SLOW — keep powers of
+    # two).  Grouping reassociates ulps (XLA fuses across the wider body);
+    # MCL_BEAM_UNROLL=1 restores the bit-exact single-beam loop.
+    unroll = int(os.environ.get("MCL_BEAM_UNROLL", "4"))
     if unroll <= 1:
         prob = jax.lax.fori_loop(0, num_beams, beam_body, jnp.zeros_like(x))
     else:
