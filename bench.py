@@ -8,7 +8,12 @@ adaptive-injection resampling + k-means confidence) at 1M particles x 34
 beams, fp32.  The default ray mode is the EXACT closed-form caster
 (ops/analytic.py — geometrically exact first hits, and faster than the
 reference's step-quantized march; pass --ray-mode fixed for the
-reference-quirk parity mode).  vs_baseline is against the reference's
+reference-quirk parity mode).  Steps run --scan-chunk at a time under
+lax.scan — the framework's production episode form (models/filter
+.run_episode) — which amortizes per-dispatch overhead and lets XLA donate
+the carried state between steps (+14% vs per-dispatch at 1M x 34;
+--scan-chunk 1 measures the online-serving form).  vs_baseline is
+against the reference's
 implied ceiling of ~5.1e5 particle-beam updates/s (1500 particles x 34
 beams x 10 Hz on a Raspberry Pi 4; BASELINE.md).
 
@@ -33,7 +38,8 @@ BASELINE_UPDATES_PER_SEC = 1500 * 34 * 10.0
 def bench_full_step(num_particles: int, num_beams: int, iters: int,
                     ray_mode: str = "fixed",
                     resample_method: str = "systematic",
-                    beam_combine: str = "sum") -> dict:
+                    beam_combine: str = "sum",
+                    scan_chunk: int = 1) -> dict:
     import jax
     import jax.numpy as jnp
 
@@ -59,12 +65,29 @@ def bench_full_step(num_particles: int, num_beams: int, iters: int,
     scan = sensor.simulate_scan(
         maze, jnp.array([1.25, 1.25, 0.0]), angles, cfg.sensor)
 
-    @jax.jit
-    def step(state, enc_l, enc_r, ranges):
-        sc = sensor.Scan(angles=jnp.asarray(angles), ranges=ranges,
-                         mask=jnp.ones_like(ranges, dtype=bool))
-        new_state, _ = mcl.mcl_step(state, enc_l, enc_r, sc, maze, cfg)
-        return new_state
+    if scan_chunk > 1:
+        # Episode mode: scan_chunk full steps per dispatch (lax.scan, the
+        # framework's production episode/sweep form — run_episode).  This
+        # amortizes the per-dispatch host->device overhead (~0.8 ms
+        # through a remote-attached chip) and lets XLA donate the carried
+        # state between steps.
+        @jax.jit
+        def step(state, enc_l, enc_r, ranges):
+            sc = sensor.Scan(angles=jnp.asarray(angles), ranges=ranges,
+                             mask=jnp.ones_like(ranges, dtype=bool))
+
+            def body(st, _):
+                st2, _ = mcl.mcl_step(st, enc_l, enc_r, sc, maze, cfg)
+                return st2, None
+
+            return jax.lax.scan(body, state, None, length=scan_chunk)[0]
+    else:
+        @jax.jit
+        def step(state, enc_l, enc_r, ranges):
+            sc = sensor.Scan(angles=jnp.asarray(angles), ranges=ranges,
+                             mask=jnp.ones_like(ranges, dtype=bool))
+            new_state, _ = mcl.mcl_step(state, enc_l, enc_r, sc, maze, cfg)
+            return new_state
 
     enc = jnp.float32(0.1)
     # Warm-up / compile.
@@ -77,7 +100,7 @@ def bench_full_step(num_particles: int, num_beams: int, iters: int,
     jax.block_until_ready(state.particles)
     dt = time.perf_counter() - t0
 
-    steps_per_sec = iters / dt
+    steps_per_sec = iters * scan_chunk / dt
     updates_per_sec = steps_per_sec * num_particles * num_beams
     return dict(
         steps_per_sec=steps_per_sec,
@@ -93,19 +116,27 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--particles", type=int, default=1_000_000)
     ap.add_argument("--beams", type=int, default=34)
-    ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--iters", type=int, default=4,
+                    help="timed dispatches (each runs --scan-chunk steps)")
     ap.add_argument("--ray-mode", default="analytic",
                     choices=["fixed", "dda", "analytic"])
     ap.add_argument("--resample", default="systematic",
                     choices=["systematic", "multinomial"])
     ap.add_argument("--beam-combine", default="sum", choices=["sum", "log"])
+    ap.add_argument("--scan-chunk", type=int, default=8,
+                    help="full steps per dispatch via lax.scan (episode "
+                         "mode, the production run_episode form; 1 = one "
+                         "dispatch per step, the online-serving form — "
+                         "~14%% slower: per-dispatch overhead plus no "
+                         "in-scan donation of the carried state)")
     ap.add_argument("--verbose", action="store_true")
     args = ap.parse_args()
 
     r = bench_full_step(args.particles, args.beams, args.iters,
                         ray_mode=args.ray_mode,
                         resample_method=args.resample,
-                        beam_combine=args.beam_combine)
+                        beam_combine=args.beam_combine,
+                        scan_chunk=args.scan_chunk)
     if args.verbose:
         import sys
         print(json.dumps(r, indent=2), file=sys.stderr)

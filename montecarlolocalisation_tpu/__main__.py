@@ -28,6 +28,13 @@ def main() -> None:
     # kills multi-minute executions; bit-identical — see
     # parallel.episodes.run_episode_batch).
     ap.add_argument("--tick-chunk", type=int, default=None)
+    ap.add_argument("--robots", type=int, default=1,
+                    help="serve preset: robots per batched fleet tick "
+                         "(io/fleet.py; 1 = single-stream io/server.py)")
+    ap.add_argument("--pipeline", action="store_true",
+                    help="serve preset, fleet mode: double-buffered ticks "
+                         "(replies lag one tick; fetch of tick t-1 "
+                         "overlaps device compute of tick t)")
     args = ap.parse_args()
     for name in ("particles", "beams", "batch"):
         if getattr(args, name) < 1:
@@ -91,17 +98,32 @@ def main() -> None:
     elif args.preset == "serve":
         # Online mode: JSONL sensor frames on stdin -> pose stream on
         # stdout (io/server.py; the reference's live-node deployment).
+        # --robots R > 1 serves a FLEET: R filters per batched device
+        # step (io/fleet.py).
         import sys
 
-        from .io.server import MCLServer
+        if args.robots > 1:
+            from .io.fleet import MCLFleetServer
 
-        server = MCLServer(world.maze, world.cfg, world.angles,
-                           seed=args.seed)
-        ticks = server.serve(sys.stdin)
-        print(json.dumps(dict(preset="serve", ticks=ticks,
-                              final_confidence=round(
-                                  float(server.state.confidence), 4))),
-              file=sys.stderr)
+            fleet = MCLFleetServer(world.maze, world.cfg, world.angles,
+                                   n_robots=args.robots, seed=args.seed,
+                                   pipeline=args.pipeline)
+            ticks = fleet.serve(sys.stdin)
+            conf = np.asarray(fleet.state.confidence, np.float64)
+            print(json.dumps(dict(
+                preset="serve", robots=args.robots, ticks=ticks,
+                final_confidence=[round(float(c), 4) for c in conf])),
+                file=sys.stderr)
+        else:
+            from .io.server import MCLServer
+
+            server = MCLServer(world.maze, world.cfg, world.angles,
+                               seed=args.seed)
+            ticks = server.serve(sys.stdin)
+            print(json.dumps(dict(preset="serve", ticks=ticks,
+                                  final_confidence=round(
+                                      float(server.state.confidence), 4))),
+                  file=sys.stderr)
 
 
 if __name__ == "__main__":
