@@ -23,7 +23,10 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import os.path as osp
+import subprocess
+import sys
 import time
 
 import numpy as np
@@ -39,7 +42,8 @@ def bench_full_step(num_particles: int, num_beams: int, iters: int,
                     ray_mode: str = "fixed",
                     resample_method: str = "systematic",
                     beam_combine: str = "sum",
-                    scan_chunk: int = 1) -> dict:
+                    scan_chunk: int = 1,
+                    ess_threshold=None) -> dict:
     import jax
     import jax.numpy as jnp
 
@@ -58,7 +62,8 @@ def bench_full_step(num_particles: int, num_beams: int, iters: int,
         num_particles=num_particles,
         sensor=SensorModelConfig(ray_mode=ray_mode,
                                  beam_combine=beam_combine),
-        resample=ResampleConfig(method=resample_method))
+        resample=ResampleConfig(method=resample_method,
+                                ess_threshold=ess_threshold))
     angles = np.deg2rad(
         np.linspace(-118.0, 118.0, num_beams)).astype(np.float32)
     state = mcl.init_state(jax.random.PRNGKey(0), maze, cfg)
@@ -112,6 +117,31 @@ def bench_full_step(num_particles: int, num_beams: int, iters: int,
     )
 
 
+def _run_with_stall_retry(timeout_s: int, attempts: int) -> None:
+    """Re-exec the bench in a child with a wall-clock bound, retrying.
+
+    The axon runtime's fresh-compile RPCs intermittently stall forever
+    (process asleep at ~0 CPU; kill + re-run is the only fix — see
+    BENCH_DETAILS.md "axon runtime limits").  The child inherits stdout,
+    so the JSON line passes through untouched on success.
+    """
+    env = dict(os.environ, _MCL_BENCH_INPROC="1")
+    for i in range(1, attempts + 1):
+        try:
+            rc = subprocess.run(
+                [sys.executable, osp.abspath(__file__)] + sys.argv[1:],
+                env=env, timeout=timeout_s).returncode
+        except subprocess.TimeoutExpired:
+            print(f"[bench] attempt {i}/{attempts} stalled "
+                  f"(> {timeout_s}s), retrying", file=sys.stderr)
+            continue
+        if rc == 0:
+            return
+        print(f"[bench] attempt {i}/{attempts} exited rc={rc}, retrying",
+              file=sys.stderr)
+    sys.exit(1)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--particles", type=int, default=1_000_000)
@@ -129,16 +159,30 @@ def main() -> None:
                          "dispatch per step, the online-serving form — "
                          "~14%% slower: per-dispatch overhead plus no "
                          "in-scan donation of the carried state)")
+    ap.add_argument("--ess", type=float, default=None,
+                    help="ESS-gated resampling threshold (e.g. 0.5): carry "
+                         "cumulative weights and resample only when "
+                         "ESS < ess*N (production SIR schedule; measures "
+                         "tracking-mode throughput).  Default: reference "
+                         "schedule, resample every tick")
     ap.add_argument("--verbose", action="store_true")
+    ap.add_argument("--stall-timeout", type=int, default=1200,
+                    help="per-attempt wall-clock bound (s); 0 disables "
+                         "the stall watchdog and runs in-process")
+    ap.add_argument("--stall-attempts", type=int, default=3)
     args = ap.parse_args()
+
+    if args.stall_timeout > 0 and os.environ.get("_MCL_BENCH_INPROC") != "1":
+        _run_with_stall_retry(args.stall_timeout, args.stall_attempts)
+        return
 
     r = bench_full_step(args.particles, args.beams, args.iters,
                         ray_mode=args.ray_mode,
                         resample_method=args.resample,
                         beam_combine=args.beam_combine,
-                        scan_chunk=args.scan_chunk)
+                        scan_chunk=args.scan_chunk,
+                        ess_threshold=args.ess)
     if args.verbose:
-        import sys
         print(json.dumps(r, indent=2), file=sys.stderr)
     print(json.dumps(dict(
         metric="particle_beam_updates_per_sec_full_mcl_step",

@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
-from typing import Tuple
+from typing import Optional, Tuple
 
 # --------------------------------------------------------------------------
 # Wall / direction conventions (reference: msg/Cell.msg, msg/Pose.msg)
@@ -118,6 +118,14 @@ class ResampleConfig:
     # kernel (ops/expand_pallas) on TPU at n >= 2048, else the XLA
     # scatter+cummax+gather path; "pallas"/"xla" force one.
     expand: str = "auto"
+    # ESS-gated resampling (opt-in; None = reference behavior, resample
+    # every tick, monte_carlo.cpp:457).  When set (e.g. 0.5), the filter
+    # carries cumulative importance weights (w_t ∝ w_{t-1}·likelihood) and
+    # runs the full resampling pass only when the effective sample size
+    # 1/Σŵ² drops below ess_threshold·N — the standard production SIR
+    # schedule; skipped ticks cost neither sampling noise nor jitter and
+    # skip the whole resample stage under lax.cond on TPU.
+    ess_threshold: Optional[float] = None
 
 
 @dataclasses.dataclass(frozen=True)

@@ -124,7 +124,8 @@ def _kmeans_dense(xy, centers0, reseed, cfg: ClusterConfig):
 
 
 def cluster_confidence(
-    key, particles, weights, threshold, cfg: ClusterConfig
+    key, particles, weights, threshold, cfg: ClusterConfig,
+    weighted: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """Returns (confidence_ratio, best_pose[3] or (-1,-1,-1) sentinel).
 
@@ -133,6 +134,15 @@ def cluster_confidence(
     cfg.near_radius=0.4 regardless of the cluster_threshold parameter — a
     reference quirk preserved here (the cluster_distance arg at :887 is
     unused).
+
+    `weighted=False` (default) is the reference semantics: the confidence
+    ratio counts PARTICLES near the best center and the pose is the raw
+    k-means center — correct when resampling runs every tick, so post-
+    resample weights are uniform.  `weighted=True` is the importance-
+    weighted form for the ESS-gated schedule (carried non-uniform weights):
+    the ratio is the WEIGHT fraction near the center, and the reported
+    pose is the weight-weighted mean of the best cluster's members — the
+    two coincide exactly when weights are uniform.
     """
     xy = particles[:, :2]
     centers, assign = kmeans(key, xy, cfg)
@@ -142,9 +152,20 @@ def cluster_confidence(
     best = jnp.argmax(cluster_w)
     cx, cy = centers[best, 0], centers[best, 1]
     member = (assign == best).astype(jnp.float32)
-    theta = circular_mean(particles[:, 2], weights=member)
-    d2 = (xy[:, 0] - cx) ** 2 + (xy[:, 1] - cy) ** 2
-    ratio = jnp.mean((d2 <= cfg.near_radius**2).astype(jnp.float32))
+    if weighted:
+        w_sum = jnp.maximum(jnp.sum(weights), 1e-30)
+        mw = member * weights
+        mw_sum = jnp.maximum(jnp.sum(mw), 1e-30)
+        cx = jnp.sum(mw * xy[:, 0]) / mw_sum
+        cy = jnp.sum(mw * xy[:, 1]) / mw_sum
+        theta = circular_mean(particles[:, 2], weights=mw)
+        d2 = (xy[:, 0] - cx) ** 2 + (xy[:, 1] - cy) ** 2
+        ratio = jnp.sum(
+            jnp.where(d2 <= cfg.near_radius**2, weights, 0.0)) / w_sum
+    else:
+        theta = circular_mean(particles[:, 2], weights=member)
+        d2 = (xy[:, 0] - cx) ** 2 + (xy[:, 1] - cy) ** 2
+        ratio = jnp.mean((d2 <= cfg.near_radius**2).astype(jnp.float32))
     best_pose = jnp.where(
         ratio > threshold,
         jnp.stack([cx, cy, theta]),

@@ -162,12 +162,23 @@ def mcl_step(
     #    monte_carlo.cpp:1087).
     weights = sensor.beam_weights(m, particles, scan, cfg.sensor,
                                   cfg.valid_pos_offset)
-    particles, weights, inj, info = resample.resample(
-        k_resample, particles, weights, state.inj, was_lost, m, cfg)
+    if cfg.resample.ess_threshold is None:
+        # Reference schedule: fresh per-tick weights, resample every tick.
+        particles, weights, inj, info = resample.resample(
+            k_resample, particles, weights, state.inj, was_lost, m, cfg)
+    else:
+        # Production SIR schedule: carried weights, resample only when the
+        # effective sample size drops below ess_threshold * N.
+        particles, weights, inj, info = resample.ess_gated_resample(
+            k_resample, particles, weights, state.weights, state.inj,
+            was_lost, m, cfg)
 
-    # 6. Cluster confidence with post-hysteresis threshold.
+    # 6. Cluster confidence with post-hysteresis threshold.  Under the
+    #    ESS-gated schedule the carried weights are non-uniform between
+    #    resamples, so confidence/pose must be importance-weighted.
     confidence, best_pose = cluster.cluster_confidence(
-        k_cluster, particles, weights, conf_thr, cfg.cluster)
+        k_cluster, particles, weights, conf_thr, cfg.cluster,
+        weighted=cfg.resample.ess_threshold is not None)
 
     new_state = MCLState(
         particles=particles, weights=weights, odom=odom, inj=inj,

@@ -158,15 +158,47 @@ def _expand_onehot_batched(p, cdf, u0):
 
 
 def _regime(jitter_state, cfg: ResampleConfig):
-    """Select lost/confident scalar params (monte_carlo.cpp:472-482)."""
+    """Select lost/confident scalar params (monte_carlo.cpp:472-482).
+
+    Under the opt-in ESS-gated schedule the dual-timescale averages must be
+    proper convex combinations, so alphas are clamped to <= 1: the
+    reference's conf_alpha_fast = 2.0 quirk (monte_carlo.cpp:481) makes
+    w_fast an unstable oscillator (w_fast' = 2*w_avg - w_fast) that goes
+    NEGATIVE when w_avg dips, and with gated resampling the resulting
+    p_inject > 1 floods become self-sustaining (inject -> lower next-tick
+    w_avg -> w_fast negative -> inject).  The default every-tick schedule
+    keeps the quirk bit-exactly.
+    """
+    clamp = ((lambda a: min(float(a), 1.0))
+             if cfg.ess_threshold is not None else float)
     sel = lambda a, b: jnp.where(jitter_state, jnp.float32(a), jnp.float32(b))
     return dict(
         max_injection=sel(cfg.lost_max_injection, cfg.conf_max_injection),
-        alpha_slow=sel(cfg.lost_alpha_slow, cfg.conf_alpha_slow),
-        alpha_fast=sel(cfg.lost_alpha_fast, cfg.conf_alpha_fast),
+        alpha_slow=sel(clamp(cfg.lost_alpha_slow), clamp(cfg.conf_alpha_slow)),
+        alpha_fast=sel(clamp(cfg.lost_alpha_fast), clamp(cfg.conf_alpha_fast)),
         jitter_xy=sel(cfg.lost_jitter_xy, cfg.conf_jitter_xy),
         jitter_theta=sel(cfg.lost_jitter_theta, cfg.conf_jitter_theta),
     )
+
+
+def update_injection(weights, inj: InjectionState, jitter_state,
+                     cfg: FilterConfig):
+    """Dual-timescale average update (monte_carlo.cpp:487-492).
+
+    `weights` is the per-tick beam likelihood (unnormalized).  Returns
+    (new InjectionState, p_inject, w_avg, total_weight).  Shared by the
+    every-tick resample pass and the ESS-gated skip branch so kidnap
+    detection keeps tracking the measurement likelihood either way.
+    """
+    p = _regime(jitter_state, cfg.resample)
+    total = jnp.sum(weights)
+    w_avg = total / weights.shape[0]
+    w_slow = inj.w_slow + p["alpha_slow"] * (w_avg - inj.w_slow)
+    w_fast = inj.w_fast + p["alpha_fast"] * (w_avg - inj.w_fast)
+    # Guard the 0/0 at startup (C++ std::max(0.0, nan) -> 0.0).
+    p_inject = jnp.where(
+        w_slow > 0.0, jnp.maximum(0.0, 1.0 - w_fast / w_slow), 0.0)
+    return InjectionState(w_slow, w_fast), p_inject, w_avg, total
 
 
 def resample(
@@ -177,22 +209,22 @@ def resample(
     jitter_state,           # traced bool: True = lost regime
     m: MazeMap,
     cfg: FilterConfig,
+    draw_weights=None,      # [N] optional CDF weights (default: `weights`);
+                            # `weights` always feeds injection bookkeeping
 ) -> Tuple[jax.Array, jax.Array, InjectionState, dict]:
     """One resampling pass.  Returns (particles, weights=1/N, inj, info)."""
     rcfg = cfg.resample
     n = particles.shape[0]
-    total = jnp.sum(weights)
-    w_avg = total / n
     p = _regime(jitter_state, rcfg)
-
-    w_slow = inj.w_slow + p["alpha_slow"] * (w_avg - inj.w_slow)
-    w_fast = inj.w_fast + p["alpha_fast"] * (w_avg - inj.w_fast)
-    # Guard the 0/0 at startup (C++ std::max(0.0, nan) -> 0.0).
-    p_inject = jnp.where(
-        w_slow > 0.0, jnp.maximum(0.0, 1.0 - w_fast / w_slow), 0.0)
+    new_inj, p_inject, w_avg, total = update_injection(
+        weights, inj, jitter_state, cfg)
 
     # Normalized CDF; degenerate all-zero weights fall back to uniform.
-    norm_w = jnp.where(total > 0.0, weights / total, 1.0 / n)
+    if draw_weights is None:
+        draw_weights, draw_total = weights, total
+    else:
+        draw_total = jnp.sum(draw_weights)
+    norm_w = jnp.where(draw_total > 0.0, draw_weights / draw_total, 1.0 / n)
     cdf = jnp.cumsum(norm_w)
 
     k_draw, k_inj, k_jx, k_jy, k_jt, k_fresh = jax.random.split(key, 6)
@@ -235,4 +267,65 @@ def resample(
     new_weights = jnp.full((n,), 1.0 / n, dtype=jnp.float32)
     info = dict(p_inject=p_inject, n_injected=n_injected, w_avg=w_avg,
                 total_weight=total)
-    return new_particles, new_weights, InjectionState(w_slow, w_fast), info
+    return new_particles, new_weights, new_inj, info
+
+
+def ess_gated_resample(
+    key,
+    particles,              # [N, 3]
+    likelihood,             # [N] per-tick beam likelihood (unnormalized)
+    carried_w,              # [N] carried importance weights (prev tick)
+    inj: InjectionState,
+    jitter_state,
+    m: MazeMap,
+    cfg: FilterConfig,
+) -> Tuple[jax.Array, jax.Array, InjectionState, dict]:
+    """ESS-gated SIR resampling (opt-in via cfg.resample.ess_threshold).
+
+    Carried importance weights accumulate the per-tick likelihood
+    (w_t ∝ w_{t-1} · p(z_t | x_t), normalized each tick); the full
+    resampling pass (CDF draw + jitter + adaptive injection) runs only when
+    the effective sample size ESS = 1/Σ ŵ² falls below ess_threshold · N —
+    the standard production SIR schedule.  Skipped ticks return the
+    particle set untouched (no sampling noise, no jitter) and, under
+    lax.cond on TPU, skip the resample stage's compute entirely.  The
+    reference instead resamples every tick with fresh per-tick weights
+    (monte_carlo.cpp:457-561); ess_threshold=None keeps that behavior.
+
+    Injection bookkeeping (w_slow/w_fast) updates from the PER-TICK
+    likelihood average on every tick — gated or not — so kidnapped-robot
+    detection (monte_carlo.cpp:487-492) is unaffected by the schedule.
+    The pass also fires whenever the detector REQUESTS injection
+    (p_inject > 0): random-particle injection can only happen inside a
+    resampling pass, so gating it on ESS alone would batch recovery
+    particles into rare bursty floods and delay kidnap recovery — measured
+    to let a symmetric-maze alias capture the carried weight mass.  During
+    healthy tracking p_inject is 0 and the skip rate is set by ESS alone.
+    Degenerate all-zero weights normalize to uniform (ESS = N), which
+    skips the draw; the next informative scan re-skews them.
+    """
+    n = particles.shape[0]
+    tau = cfg.resample.ess_threshold
+    combined = carried_w * likelihood
+    total_c = jnp.sum(combined)
+    norm = jnp.where(total_c > 0.0, combined / total_c,
+                     jnp.float32(1.0 / n))
+    ess = 1.0 / jnp.sum(norm * norm)
+    # Same deterministic update the taken branch recomputes below — run
+    # here only to read the injection request off this tick's likelihood.
+    _, p_inject_now, _, _ = update_injection(
+        likelihood, inj, jitter_state, cfg)
+
+    def _do_resample():
+        return resample(key, particles, likelihood, inj, jitter_state, m,
+                        cfg, draw_weights=norm)
+
+    def _skip():
+        new_inj, p_inject, w_avg, total = update_injection(
+            likelihood, inj, jitter_state, cfg)
+        info = dict(p_inject=p_inject, n_injected=jnp.int32(0),
+                    w_avg=w_avg, total_weight=total)
+        return particles, norm, new_inj, info
+
+    return jax.lax.cond((ess < tau * n) | (p_inject_now > 0.0),
+                        _do_resample, _skip)
