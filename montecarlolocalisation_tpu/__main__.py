@@ -35,6 +35,14 @@ def main() -> None:
                     help="serve preset, fleet mode: double-buffered ticks "
                          "(replies lag one tick; fetch of tick t-1 "
                          "overlaps device compute of tick t)")
+    ap.add_argument("--refine-iters", type=int, default=0,
+                    help="gradient-guided particle refinement rounds per "
+                         "tick (models/refine; autodiff scan matching — "
+                         "opt-in, no reference counterpart)")
+    ap.add_argument("--ess", type=float, default=None,
+                    help="ESS-gated resampling threshold (e.g. 0.5): "
+                         "resample only when ESS < ess*N (production SIR "
+                         "schedule; default = reference every-tick)")
     args = ap.parse_args()
     for name in ("particles", "beams", "batch"):
         if getattr(args, name) < 1:
@@ -46,7 +54,8 @@ def main() -> None:
 
     world = presets.make_world(
         **({} if args.map_path is None else dict(map_path=args.map_path)),
-        num_particles=args.particles, num_beams=args.beams)
+        num_particles=args.particles, num_beams=args.beams,
+        refine_iters=args.refine_iters, ess_threshold=args.ess)
 
     if args.preset == "localisation":
         final, outs, truth = presets.run_localisation(

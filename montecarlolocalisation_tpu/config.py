@@ -129,6 +129,25 @@ class ResampleConfig:
 
 
 @dataclasses.dataclass(frozen=True)
+class RefineConfig:
+    """Gradient-guided particle refinement (models/refine; opt-in).
+
+    No reference counterpart — jax.grad through the exact ray casters
+    nudges particles up the beam likelihood before weighting (scan
+    matching as autodiff).  iters=0 (default) preserves exact reference
+    behavior; see models/refine.py for semantics and the bias caveat.
+    """
+
+    iters: int = 0                # gradient-ascent rounds per tick (0 = off)
+    step_xy: float = 0.02         # meters per round along the xy gradient
+    step_theta: float = 0.01      # radians per round along sign(dL/dθ)
+    # Differentiable caster for the gradient pass ("dda" or "analytic";
+    # the reference's "fixed" march is piecewise constant — zero gradient).
+    ray_mode: str = "dda"
+    eps: float = 1e-9             # log-likelihood floor (invalid poses)
+
+
+@dataclasses.dataclass(frozen=True)
 class ClusterConfig:
     """k-means pose clustering / confidence (monte_carlo.cpp:802-949)."""
 
@@ -173,6 +192,7 @@ class FilterConfig:
     sensor: SensorModelConfig = SensorModelConfig()
     motion: MotionModelConfig = MotionModelConfig()
     resample: ResampleConfig = ResampleConfig()
+    refine: RefineConfig = RefineConfig()
     cluster: ClusterConfig = ClusterConfig()
     hysteresis: HysteresisConfig = HysteresisConfig()
     init: InitConfig = InitConfig()

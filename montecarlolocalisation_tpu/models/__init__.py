@@ -1,5 +1,6 @@
 """Model components: ray casting, sensor likelihood, motion, filter."""
-from . import raycast, sensor, motion, resample, cluster, filter, diagnostics
+from . import (raycast, sensor, motion, resample, refine, cluster, filter,
+               diagnostics)
 
-__all__ = ["raycast", "sensor", "motion", "resample", "cluster", "filter",
-           "diagnostics"]
+__all__ = ["raycast", "sensor", "motion", "resample", "refine", "cluster",
+           "filter", "diagnostics"]

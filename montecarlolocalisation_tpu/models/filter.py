@@ -158,6 +158,13 @@ def mcl_step(
         k_motion, state.particles, state.odom, encoder_left, encoder_right,
         cfg.motion)
 
+    # 4b. Optional gradient-guided refinement (models/refine, opt-in —
+    #     no reference counterpart; cfg.refine.iters=0 skips entirely).
+    if cfg.refine.iters > 0:
+        from . import refine as _refine
+
+        particles = _refine.refine_particles(m, particles, scan, cfg)
+
     # 5. Weights + resample (jitter regime = was_lost after hysteresis,
     #    monte_carlo.cpp:1087).
     weights = sensor.beam_weights(m, particles, scan, cfg.sensor,

@@ -24,7 +24,8 @@ from typing import Optional, Tuple
 import jax
 import numpy as np
 
-from .config import FilterConfig, SensorModelConfig
+from .config import (FilterConfig, RefineConfig, ResampleConfig,
+                     SensorModelConfig)
 from .maps import from_map_file
 from .maps import maze as maze_mod
 
@@ -43,10 +44,17 @@ class World:
 
 
 def make_world(map_path: str = DEFAULT_MAP, num_particles: int = 1500,
-               num_beams: int = 24, ray_mode: str = "fixed") -> World:
+               num_beams: int = 24, ray_mode: str = "fixed",
+               refine_iters: int = 0,
+               ess_threshold=None) -> World:
     """World from a map file: reference map.txt wall lists, or a ROS
     map_server YAML (+PGM) — the planner then runs on the synthesized
-    cell-lattice wall tensor (maps/pgm.py)."""
+    cell-lattice wall tensor (maps/pgm.py).
+
+    refine_iters > 0 enables gradient-guided particle refinement
+    (models/refine); ess_threshold enables the ESS-gated resampling
+    schedule (models/resample.ess_gated_resample).  Both opt-in.
+    """
     if map_path.endswith((".yaml", ".yml")):
         from .maps import from_pgm
 
@@ -56,7 +64,9 @@ def make_world(map_path: str = DEFAULT_MAP, num_particles: int = 1500,
         maze = from_map_file(map_path)
         walls = maze_mod.walls_to_tensor(maze_mod.load_map_file(map_path))
     cfg = FilterConfig(num_particles=num_particles,
-                       sensor=SensorModelConfig(ray_mode=ray_mode))
+                       sensor=SensorModelConfig(ray_mode=ray_mode),
+                       refine=RefineConfig(iters=refine_iters),
+                       resample=ResampleConfig(ess_threshold=ess_threshold))
     angles = np.deg2rad(
         np.linspace(-118.0, 118.0, num_beams)).astype(np.float32)
     return World(maze=maze, walls=walls, cfg=cfg, angles=angles)
