@@ -151,10 +151,20 @@ def _expand_onehot_batched(p, cdf, u0):
     starts = jnp.pad(c[:, :-1], ((0, 0), (1, 0)))
     kk = jnp.arange(p.shape[1], dtype=jnp.int32)[None, :, None]
     m = ((kk >= starts[:, None, :]) & (kk < c[:, None, :])).astype(p.dtype)
-    return jax.lax.dot_general(
-        m, p, (((2,), (1,)), ((0,), (0,))),
-        precision=jax.lax.Precision.HIGHEST,
+    # Bit-exact select via a manual 3-term bf16 split of the VALUES (the
+    # 0/1 matrix is bf16-exact): h/mid/lo carry disjoint 8-bit mantissa
+    # slices (v - h exact by Sterbenz), so three DEFAULT-precision MXU
+    # passes reconstruct f32 exactly — Precision.HIGHEST spent six (same
+    # trick as ops/expand_pallas; exactness pinned by the sweep-parity
+    # tests).
+    h = p.astype(jnp.bfloat16).astype(jnp.float32)
+    r = p - h
+    mid = r.astype(jnp.bfloat16).astype(jnp.float32)
+    lo = r - mid
+    dot = lambda a: jax.lax.dot_general(
+        m, a, (((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32)
+    return (dot(h) + dot(mid)) + dot(lo)
 
 
 def _regime(jitter_state, cfg: ResampleConfig):

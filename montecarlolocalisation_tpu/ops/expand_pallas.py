@@ -16,7 +16,9 @@ pair it builds the 0/1 interval matrix
 (per output row exactly one hit) and accumulates
     out[:, k] += sum_p vals[:, p] * M[k, p]
 on the MXU — a gather expressed as a one-hot matmul, the canonical TPU
-idiom.  Total chunk pairs <= 2*N/CHUNK, so the walk does ~2x minimal work.
+idiom.  Total (chunk, tile) pairs <= N/CHUNK + N/OUT (every chunk fully
+consumed once, plus one boundary-straddling re-visit per output tile), so
+the M-build — the dominant VPU cost — totals ~N*(OUT + CHUNK) lane ops.
 
 Layout trick: counts ride as two extra f32 ROWS (6: c_prev, 7: c) of the
 [8, CHUNK] values chunk, so each chunk is one aligned DMA and the interval
@@ -31,16 +33,21 @@ particles[systematic_indices(cdf, u0)].
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-CHUNK = 256  # sources per chunk = outputs per tile; interval-compare and
-# one-hot matmul work both scale with N*CHUNK, so smaller chunks are
-# cheaper until per-chunk DMA latency dominates; 256 measured best on v5e
-# inside the composed MCL step (512: +1.2 ms, 128: +5.9 ms at 1M).
+OUT = 256    # outputs per grid tile (one [8, OUT] accumulator + store)
+CHUNK = int(os.environ.get("MCL_EXPAND_CHUNK", "256"))
+# Sources per DMA chunk (OUT must stay a CHUNK multiple).  The
+# interval-compare M-build totals ~N*(OUT + CHUNK) lane ops (every chunk
+# consumed once + one boundary re-visit per tile), so smaller chunks cut
+# compare work but add per-chunk DMA/loop overhead.  Measured on v5e at
+# 1M (dependency-chain differential timing, 3-pass split matmul):
+# 256 = 2.67 ms, 128 = 2.89 ms — the overhead wins; 256 stays default.
 MAX_N = 1 << 24  # count rows ride as exact f32
 
 
@@ -60,8 +67,8 @@ def offspring_counts(cdf, u0):
 def _expand_kernel(c_last_ref, v_ref, out_ref, cur_ref, vbuf, sem,
                    *, num_chunks: int):
     j = pl.program_id(0)
-    base = j * CHUNK
-    limit = base + CHUNK
+    base = j * OUT
+    limit = base + OUT
 
     @pl.when(j == 0)
     def _():
@@ -81,8 +88,8 @@ def _expand_kernel(c_last_ref, v_ref, out_ref, cur_ref, vbuf, sem,
         pltpu.make_async_copy(
             v_ref.at[t], vbuf.at[t % 2], sem.at[t % 2]).start()
 
-    # Loop-invariant output-row index matrix.
-    kk = (jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 0)
+    # Loop-invariant output-row index matrix [OUT, CHUNK].
+    kk = (jax.lax.broadcasted_iota(jnp.int32, (OUT, CHUNK), 0)
           + base).astype(jnp.float32)
 
     def cond(carry):
@@ -102,14 +109,21 @@ def _expand_kernel(c_last_ref, v_ref, out_ref, cur_ref, vbuf, sem,
         vb = vbuf[t % 2]                               # [8, CHUNK]
         cprow = vb[6:7, :]                             # [1, CHUNK] c_prev
         crow = vb[7:8, :]                              # [1, CHUNK] c
-        m = ((kk >= cprow) & (kk < crow)).astype(jnp.float32)  # [k, p]
-        # HIGHEST = multi-pass bf16 decomposition; with a 0/1 selection
-        # matrix each pass is an exact select, so the f32 reconstruction is
-        # bit-exact (default precision bf16-rounds the copied particles).
-        acc = acc + jax.lax.dot_general(
-            vb, m, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)
+        m = ((kk >= cprow) & (kk < crow)).astype(jnp.float32)  # [OUT, CHUNK]
+        # Bit-exact f32 select via a manual 3-term bf16 split: h/mid/lo
+        # carry disjoint 8-bit mantissa slices (v - h is exact by Sterbenz:
+        # h is v rounded to bf16, so v/2 <= h <= 2v; ditto r - mid), each
+        # is bf16-exact, and DEFAULT-precision dots against the 0/1
+        # selection matrix copy them exactly — 3 MXU passes where
+        # Precision.HIGHEST spent 6 on the same exact result.
+        h = vb.astype(jnp.bfloat16).astype(jnp.float32)
+        r = vb - h
+        mid = r.astype(jnp.bfloat16).astype(jnp.float32)
+        lo = r - mid
+        dims = (((1,), (1,)), ((), ()))
+        dot = lambda a: jax.lax.dot_general(
+            a, m, dims, preferred_element_type=jnp.float32)
+        acc = acc + ((dot(h) + dot(mid)) + dot(lo))
         return t + 1, acc
 
     @pl.when(needed(t0))
@@ -117,7 +131,7 @@ def _expand_kernel(c_last_ref, v_ref, out_ref, cur_ref, vbuf, sem,
         start_dma(t0)
 
     t_end, acc = jax.lax.while_loop(
-        cond, body, (t0, jnp.zeros((8, CHUNK), jnp.float32)))
+        cond, body, (t0, jnp.zeros((8, OUT), jnp.float32)))
     out_ref[:] = acc
     # Next tile resumes at the first chunk not fully consumed by this one.
     last = jnp.maximum(t_end - 1, 0)
@@ -132,8 +146,9 @@ def systematic_expand(particles, cdf, u0, interpret: bool = False):
     """
     n, d = particles.shape
     assert d <= 6 and n <= MAX_N
+    assert OUT % CHUNK == 0, "OUT must be a CHUNK multiple"
     c = offspring_counts(cdf, u0)
-    pad = (-n) % CHUNK
+    pad = (-n) % OUT
     np_ = n + pad
     t_chunks = np_ // CHUNK
     # Padded sources get the empty interval [n, n).
@@ -154,9 +169,9 @@ def systematic_expand(particles, cdf, u0, interpret: bool = False):
     kernel = functools.partial(_expand_kernel, num_chunks=t_chunks)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(t_chunks,),
+        grid=(np_ // OUT,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],   # v3 (manual DMA)
-        out_specs=pl.BlockSpec((8, CHUNK), lambda j, *_: (0, j),
+        out_specs=pl.BlockSpec((8, OUT), lambda j, *_: (0, j),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.SMEM((1,), jnp.int32),              # source-chunk cursor
