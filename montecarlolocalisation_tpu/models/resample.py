@@ -143,7 +143,7 @@ def _expand_onehot_batched(p, cdf, u0):
     1024 episodes x 500 particles it was HALF the sweep step time.  Source
     particle i owns output interval [c_{i-1}, c_i); the selection matrix
     M[e, k, i] = (c_prev <= k < c) has exactly one 1 per output row, so the
-    f32 HIGHEST-precision matmul is an exact select — bit-identical to
+    3-pass bf16-split matmul below is an exact select — bit-identical to
     particles[systematic_indices(cdf, u0)] per episode (the same interval
     idiom as ops/expand_pallas, affordable dense at sweep-sized N).
     """

@@ -88,7 +88,11 @@ def _expand_kernel(c_last_ref, v_ref, out_ref, cur_ref, vbuf, sem,
         pltpu.make_async_copy(
             v_ref.at[t], vbuf.at[t % 2], sem.at[t % 2]).start()
 
-    # Loop-invariant output-row index matrix [OUT, CHUNK].
+    # Loop-invariant output-row index matrix [OUT, CHUNK].  (A bf16
+    # variant with tile-relative clipped counts — all integers <= OUT,
+    # bf16-exact — was tried for cheaper compares + native-bf16 MXU feeds:
+    # v5e Mosaic rejects bf16 compares outright, "Target does not support
+    # this comparison".  f32 compares it is.)
     kk = (jax.lax.broadcasted_iota(jnp.int32, (OUT, CHUNK), 0)
           + base).astype(jnp.float32)
 
@@ -109,21 +113,22 @@ def _expand_kernel(c_last_ref, v_ref, out_ref, cur_ref, vbuf, sem,
         vb = vbuf[t % 2]                               # [8, CHUNK]
         cprow = vb[6:7, :]                             # [1, CHUNK] c_prev
         crow = vb[7:8, :]                              # [1, CHUNK] c
-        m = ((kk >= cprow) & (kk < crow)).astype(jnp.float32)  # [OUT, CHUNK]
+        m = ((kk >= cprow) & (kk < crow)).astype(jnp.float32)
         # Bit-exact f32 select via a manual 3-term bf16 split: h/mid/lo
         # carry disjoint 8-bit mantissa slices (v - h is exact by Sterbenz:
         # h is v rounded to bf16, so v/2 <= h <= 2v; ditto r - mid), each
-        # is bf16-exact, and DEFAULT-precision dots against the 0/1
-        # selection matrix copy them exactly — 3 MXU passes where
-        # Precision.HIGHEST spent 6 on the same exact result.
-        h = vb.astype(jnp.bfloat16).astype(jnp.float32)
+        # is bf16-exact, and single-pass dots against the 0/1 selection
+        # matrix copy them exactly — 3 MXU passes where Precision.HIGHEST
+        # spent 6 on the same exact result.
+        h16 = vb.astype(jnp.bfloat16)
+        h = h16.astype(jnp.float32)
         r = vb - h
-        mid = r.astype(jnp.bfloat16).astype(jnp.float32)
-        lo = r - mid
+        mid16 = r.astype(jnp.bfloat16)
+        lo = r - mid16.astype(jnp.float32)
         dims = (((1,), (1,)), ((), ()))
         dot = lambda a: jax.lax.dot_general(
             a, m, dims, preferred_element_type=jnp.float32)
-        acc = acc + ((dot(h) + dot(mid)) + dot(lo))
+        acc = acc + ((dot(h) + dot(mid16.astype(jnp.float32))) + dot(lo))
         return t + 1, acc
 
     @pl.when(needed(t0))
