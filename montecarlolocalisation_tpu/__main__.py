@@ -43,6 +43,11 @@ def main() -> None:
                     help="ESS-gated resampling threshold (e.g. 0.5): "
                          "resample only when ESS < ess*N (production SIR "
                          "schedule; default = reference every-tick)")
+    ap.add_argument("--adapt", default=None, metavar="NMIN:NMAX",
+                    help="serve preset (single robot): elastic particle "
+                         "budget — halve the count every 20 confident "
+                         "ticks down to NMIN, jump to NMAX on a lost "
+                         "transition (io/server.py)")
     args = ap.parse_args()
     for name in ("particles", "beams", "batch"):
         if getattr(args, name) < 1:
@@ -126,8 +131,12 @@ def main() -> None:
         else:
             from .io.server import MCLServer
 
+            adapt = None
+            if args.adapt:
+                lo, _, hi = args.adapt.partition(":")
+                adapt = (int(lo), int(hi))
             server = MCLServer(world.maze, world.cfg, world.angles,
-                               seed=args.seed)
+                               seed=args.seed, adapt=adapt)
             ticks = server.serve(sys.stdin)
             print(json.dumps(dict(preset="serve", ticks=ticks,
                                   final_confidence=round(

@@ -34,6 +34,7 @@ Protocol — one JSON object per line, one JSON object back per line:
 """
 from __future__ import annotations
 
+import dataclasses
 import json
 import sys
 from typing import IO, Iterable, Optional
@@ -45,7 +46,7 @@ import numpy as np
 from ..config import FilterConfig
 from ..maps.grid import MazeMap
 from ..models import filter as mcl
-from ..models import sensor
+from ..models import resample, sensor
 from . import logs
 
 
@@ -55,15 +56,33 @@ class MCLServer:
     The beam table is FIXED at construction (the jit signature needs a
     static beam count, exactly as the reference fixes its LIDAR): raw
     scans are filtered and padded host-side to `len(angles)` lanes.
+
+    `adapt=(n_min, n_max)` enables the ELASTIC PARTICLE BUDGET (no
+    reference counterpart — its N=1500 is a compile-time constant,
+    monte_carlo.cpp:84): while confidently tracking, the budget halves
+    every `adapt_patience` consecutive confident ticks down to n_min; the
+    moment the filter goes lost (the hysteresis "lost" song fires, i.e.
+    the kidnap detector) it jumps straight back to n_max for global
+    re-localization.  Each size is one compiled step (sizes are halvings
+    of n_max — at most log2(n_max/n_min) signatures, compiled lazily);
+    the resize itself is a systematic redraw of the current posterior
+    (models/resample.resize_particles), so no information is discarded
+    beyond the sampling itself.
     """
 
     def __init__(self, m: MazeMap, cfg: FilterConfig, angles,
-                 seed: int = 0):
+                 seed: int = 0, adapt=None, adapt_patience: int = 20):
         self.m = m
         self.cfg = cfg
         self.angles = np.asarray(angles, np.float32)
         self._angles_dev = jnp.asarray(self.angles)
         self.tick_count = 0
+        self.adapt = None if adapt is None else (int(adapt[0]),
+                                                 int(adapt[1]))
+        self.adapt_patience = adapt_patience
+        self._confident_run = 0
+        if self.adapt is not None and self.adapt[0] > self.adapt[1]:
+            raise ValueError("adapt=(n_min, n_max) needs n_min <= n_max")
 
         nb = len(self.angles)
 
@@ -77,8 +96,44 @@ class MCLServer:
             return mcl.mcl_step(state, frame[0], frame[1], sc, m, cfg)
 
         self._step = jax.jit(step)
+        self._resize = jax.jit(
+            resample.resize_particles, static_argnames="n_new")
         self._frame = np.zeros(2 + 2 * nb, np.float32)
         self.reset(seed)
+
+    @property
+    def num_particles(self) -> int:
+        return int(self.state.particles.shape[0])
+
+    def _set_particle_count(self, n_new: int) -> None:
+        """Resize the live posterior to n_new particles (systematic
+        redraw); jit caches one resize per (n_from, n_new) signature and
+        one step per n_new."""
+        if n_new == self.num_particles:
+            return
+        key, k_resize = jax.random.split(self.state.key)
+        parts, w = self._resize(k_resize, self.state.particles,
+                                self.state.weights, n_new=n_new)
+        self.state = dataclasses.replace(
+            self.state, particles=parts, weights=w, key=key)
+
+    def _maybe_adapt(self, out: dict) -> None:
+        if self.adapt is None:
+            return
+        n_min, n_max = self.adapt
+        n = self.num_particles
+        if out["song"] == self.cfg.hysteresis.song_lost:
+            # Kidnapped / lost: full budget for global re-localization.
+            self._confident_run = 0
+            if n < n_max:
+                self._set_particle_count(n_max)
+            return
+        confident = (out["confidence"]
+                     >= self.cfg.hysteresis.conf_confident_threshold)
+        self._confident_run = self._confident_run + 1 if confident else 0
+        if self._confident_run >= self.adapt_patience and n > n_min:
+            self._set_particle_count(max(n // 2, n_min))
+            self._confident_run = 0
 
     # -- lifecycle ---------------------------------------------------------
 
@@ -86,6 +141,10 @@ class MCLServer:
         self.state = mcl.init_state(jax.random.PRNGKey(seed), self.m,
                                     self.cfg)
         self.tick_count = 0
+        self._confident_run = 0
+        if self.adapt is not None:
+            # Global localization starts at the full budget.
+            self._set_particle_count(self.adapt[1])
 
     def checkpoint(self, path: str) -> None:
         logs.save_pytree(path, self.state)
@@ -109,9 +168,14 @@ class MCLServer:
         f[0], f[1] = encoder_left, encoder_right
         f[2:2 + nb] = ranges
         f[2 + nb:] = 1.0 if mask is None else np.asarray(mask, np.float32)
+        n_used = self.num_particles
         self.state, out = self._step(self.state, f)
         self.tick_count += 1
-        return self._out_dict(out)
+        d = self._out_dict(out)
+        if self.adapt is not None:
+            d["particles"] = n_used
+        self._maybe_adapt(d)
+        return d
 
     def tick_raw(self, encoder_left: float, encoder_right: float,
                  raw: dict) -> dict:

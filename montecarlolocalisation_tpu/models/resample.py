@@ -88,6 +88,34 @@ def systematic_indices(cdf, u0):
     return jax.lax.cummax(out)
 
 
+def resize_particles(key, particles, weights, n_new: int):
+    """Systematic redraw of `n_new` particles from a weighted set.
+
+    The elastic-serving primitive (no reference counterpart — the
+    reference's N=1500 is a compile-time constant, monte_carlo.cpp:84):
+    stratified positions u_k = (k + u0)/n_new against the weight CDF give
+    offspring counts c_i = clip(floor(n_new*cdf_i - u0) + 1, 0, n_new) —
+    the same closed-form expansion as systematic_indices, generalized to
+    an output length different from the source count.  Degenerate all-zero
+    weights fall back to a uniform draw.  Returns ([n_new, 3] particles,
+    [n_new] uniform weights).
+    """
+    n = particles.shape[0]
+    total = jnp.sum(weights)
+    norm = jnp.where(total > 0.0, weights / total, jnp.float32(1.0 / n))
+    cdf = jnp.cumsum(norm)
+    u0 = jax.random.uniform(key, ())
+    c = jax.lax.cummax(jnp.clip(
+        jnp.floor(n_new * cdf - u0).astype(jnp.int32) + 1, 0, n_new))
+    starts = jnp.concatenate([jnp.zeros((1,), jnp.int32), c[:-1]])
+    ids = jnp.arange(n, dtype=jnp.int32)
+    scatter_pos = jnp.where(c > starts, starts, n_new)  # n_new -> dropped
+    idx = jax.lax.cummax(
+        jnp.zeros((n_new,), jnp.int32).at[scatter_pos].max(ids, mode="drop"))
+    return (particles[idx],
+            jnp.full((n_new,), 1.0 / n_new, dtype=jnp.float32))
+
+
 def _systematic_draw(particles, cdf, u0, expand_mode: str):
     """drawn[k] = particles[systematic index k], fast-path dispatched.
 
