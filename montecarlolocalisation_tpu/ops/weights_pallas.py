@@ -165,12 +165,14 @@ def _weights_kernel(x_ref, y_ref, th_ref, ang_ref, cos_ref, sin_ref,
     # Beam-loop unroll: process MCL_BEAM_UNROLL beams per fori_loop
     # iteration (manual grouping — Mosaic's fori_loop only lowers unroll=1
     # or unroll=num_steps, and FULL static unrolling at B=34 blew up its
-    # compile time).  Default 4: on-chip A/B at 1M x 34 analytic measured
-    # full-step 2.58-2.65e9 updates/s at 1, 2.85-2.92e9 at 2, 3.05-3.08e9
-    # at 4, 3.10e9 at 8 (plateau; 3 was anomalously SLOW — keep powers of
-    # two).  Grouping reassociates ulps (XLA fuses across the wider body);
-    # MCL_BEAM_UNROLL=1 restores the bit-exact single-beam loop.
-    unroll = int(os.environ.get("MCL_BEAM_UNROLL", "4"))
+    # compile time).  On-chip A/B at 1M x 34 analytic measured full-step
+    # 2.58-2.65e9 updates/s at 1, 2.85-2.92e9 at 2, 3.05-3.08e9 at 4,
+    # 3.10e9 at 8 (3 was anomalously SLOW — keep powers of two); after the
+    # expand-kernel split sped the rest of the step, 8 re-measured ahead
+    # of 4 (3.73 vs 3.63e9) and is now the default.  Grouping reassociates
+    # ulps (XLA fuses across the wider body); MCL_BEAM_UNROLL=1 restores
+    # the bit-exact single-beam loop.
+    unroll = int(os.environ.get("MCL_BEAM_UNROLL", "8"))
     if unroll <= 1:
         prob = jax.lax.fori_loop(0, num_beams, beam_body, jnp.zeros_like(x))
     else:
