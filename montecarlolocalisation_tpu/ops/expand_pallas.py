@@ -40,7 +40,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-OUT = 256    # outputs per grid tile (one [8, OUT] accumulator + store)
+OUT = int(os.environ.get("MCL_EXPAND_OUT", "256"))
+# Outputs per grid tile (one [8, OUT] accumulator + store).
 CHUNK = int(os.environ.get("MCL_EXPAND_CHUNK", "256"))
 # Sources per DMA chunk (OUT must stay a CHUNK multiple).  The
 # interval-compare M-build totals ~N*(OUT + CHUNK) lane ops (every chunk
