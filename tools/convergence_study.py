@@ -33,12 +33,21 @@ def main() -> None:
     ap.add_argument("--method", default="systematic",
                     choices=["systematic", "multinomial"])
     ap.add_argument("--tick-chunk", type=int, default=None)
+    ap.add_argument("--refine-iters", type=int, default=0,
+                    help="gradient-guided refinement rounds per tick "
+                         "(models/refine) — reproduces the BENCH_DETAILS "
+                         "refinement table (e.g. --particles 250 "
+                         "--refine-iters 2)")
+    ap.add_argument("--ray-mode", default="fixed",
+                    choices=["fixed", "dda", "analytic"])
     args = ap.parse_args()
 
     from montecarlolocalisation_tpu import presets
 
     for n in args.particles:
-        world = presets.make_world(num_particles=n)
+        world = presets.make_world(num_particles=n,
+                                   ray_mode=args.ray_mode,
+                                   refine_iters=args.refine_iters)
         cfg = dataclasses.replace(
             world.cfg, resample=dataclasses.replace(
                 world.cfg.resample, method=args.method))
@@ -49,7 +58,8 @@ def main() -> None:
                                     tick_chunk=args.tick_chunk)
         print(json.dumps(dict(
             particles=n, batch=args.batch, ticks=args.ticks,
-            method=args.method, wall_s=round(time.time() - t0, 1),
+            method=args.method, refine=args.refine_iters,
+            wall_s=round(time.time() - t0, 1),
             **{k: round(float(v), 4) for k, v in metrics.items()})),
             flush=True)
 
