@@ -57,10 +57,12 @@ def _shard_keys(key, axis_name: str):
 
 def resample_sharded(
     key, particles, weights, inj: resample.InjectionState, jitter_state,
-    m: MazeMap, cfg: FilterConfig, axis_name: str,
+    m: MazeMap, cfg: FilterConfig, axis_name: str, draw_weights=None,
 ):
     """Distributed resampling: identical semantics to resample.resample on
-    the concatenated shards (up to RNG stream)."""
+    the concatenated shards (up to RNG stream).  `draw_weights` (local
+    shard, optional) feeds the CDF draw while `weights` always feeds the
+    injection bookkeeping — same contract as resample.resample."""
     rcfg = cfg.resample
     n_loc = particles.shape[0]
     n_shards = jax.lax.psum(1, axis_name)
@@ -77,8 +79,13 @@ def resample_sharded(
         w_slow > 0.0, jnp.maximum(0.0, 1.0 - w_fast / w_slow), 0.0)
 
     # Global CDF: all_gather the weight shards (tiled=True -> [N_global]).
-    all_w = jax.lax.all_gather(weights, axis_name, tiled=True)
-    norm_w = jnp.where(total > 0.0, all_w / total, 1.0 / n_global)
+    if draw_weights is None:
+        draw_weights, draw_total = weights, total
+    else:
+        draw_total = jax.lax.psum(jnp.sum(draw_weights), axis_name)
+    all_w = jax.lax.all_gather(draw_weights, axis_name, tiled=True)
+    norm_w = jnp.where(draw_total > 0.0, all_w / draw_total,
+                       1.0 / n_global)
     cdf = jnp.cumsum(norm_w)
     all_parts = jax.lax.all_gather(particles, axis_name, tiled=True)
 
@@ -118,6 +125,46 @@ def resample_sharded(
     return new_particles, new_weights, resample.InjectionState(w_slow, w_fast), info
 
 
+def ess_gated_resample_sharded(
+    key, particles, likelihood, carried_w, inj: resample.InjectionState,
+    jitter_state, m: MazeMap, cfg: FilterConfig, axis_name: str,
+):
+    """Sharded ESS-gated SIR (models/resample.ess_gated_resample with all
+    reductions as psums).  The gate predicate (global ESS and the kidnap
+    detector's injection request) is computed from collectives, so every
+    shard takes the same lax.cond branch."""
+    n_loc = particles.shape[0]
+    n_global = n_loc * jax.lax.psum(1, axis_name)
+    tau = cfg.resample.ess_threshold
+    combined = carried_w * likelihood
+    total_c = jax.lax.psum(jnp.sum(combined), axis_name)
+    norm = jnp.where(total_c > 0.0, combined / total_c,
+                     jnp.float32(1.0 / n_global))
+    ess = 1.0 / jax.lax.psum(jnp.sum(norm * norm), axis_name)
+
+    p = resample._regime(jitter_state, cfg.resample)
+    total_l = jax.lax.psum(jnp.sum(likelihood), axis_name)
+    w_avg = total_l / n_global
+    w_slow = inj.w_slow + p["alpha_slow"] * (w_avg - inj.w_slow)
+    w_fast = inj.w_fast + p["alpha_fast"] * (w_avg - inj.w_fast)
+    p_inject_now = jnp.where(
+        w_slow > 0.0, jnp.maximum(0.0, 1.0 - w_fast / w_slow), 0.0)
+
+    def _do_resample():
+        return resample_sharded(key, particles, likelihood, inj,
+                                jitter_state, m, cfg, axis_name,
+                                draw_weights=norm)
+
+    def _skip():
+        info = dict(p_inject=p_inject_now, n_injected=jnp.int32(0),
+                    w_avg=w_avg, total_weight=total_l)
+        return (particles, norm,
+                resample.InjectionState(w_slow, w_fast), info)
+
+    return jax.lax.cond((ess < tau * n_global) | (p_inject_now > 0.0),
+                        _do_resample, _skip)
+
+
 def _global_take(particles, idx, axis_name: str):
     """Pick global particle rows by index, shards holding contiguous blocks."""
     n_loc = particles.shape[0]
@@ -131,11 +178,15 @@ def _global_take(particles, idx, axis_name: str):
 
 def cluster_confidence_sharded(
     key, particles, weights, threshold, cfg, axis_name: str,
+    weighted: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """Distributed k-means confidence: replicated centers, sharded points.
 
     Same semantics as cluster.cluster_confidence on the concatenation; all
-    reductions are psums, no particle gather.
+    reductions are psums, no particle gather.  `weighted=True` is the
+    importance-weighted form for the ESS-gated schedule (see
+    cluster.cluster_confidence) — coincides with the default under uniform
+    weights.
     """
     n_loc = particles.shape[0]
     n_global = n_loc * jax.lax.psum(1, axis_name)
@@ -174,13 +225,33 @@ def cluster_confidence_sharded(
     best = jnp.argmax(cluster_w)
     cx, cy = centers[best, 0], centers[best, 1]
     member = (assign == best).astype(jnp.float32)
-    sin_sum = jax.lax.psum(jnp.sum(member * jnp.sin(particles[:, 2])), axis_name)
-    cos_sum = jax.lax.psum(jnp.sum(member * jnp.cos(particles[:, 2])), axis_name)
-    theta = jnp.arctan2(sin_sum, cos_sum)
-    d2 = (xy[:, 0] - cx) ** 2 + (xy[:, 1] - cy) ** 2
-    near = jax.lax.psum(
-        jnp.sum((d2 <= cfg.near_radius**2).astype(jnp.float32)), axis_name)
-    ratio = near / n_global
+    if weighted:
+        w_sum = jnp.maximum(jax.lax.psum(jnp.sum(weights), axis_name),
+                            1e-30)
+        mw = member * weights
+        mw_sum = jnp.maximum(jax.lax.psum(jnp.sum(mw), axis_name), 1e-30)
+        cx = jax.lax.psum(jnp.sum(mw * xy[:, 0]), axis_name) / mw_sum
+        cy = jax.lax.psum(jnp.sum(mw * xy[:, 1]), axis_name) / mw_sum
+        sin_sum = jax.lax.psum(
+            jnp.sum(mw * jnp.sin(particles[:, 2])), axis_name)
+        cos_sum = jax.lax.psum(
+            jnp.sum(mw * jnp.cos(particles[:, 2])), axis_name)
+        theta = jnp.arctan2(sin_sum, cos_sum)
+        d2 = (xy[:, 0] - cx) ** 2 + (xy[:, 1] - cy) ** 2
+        ratio = jax.lax.psum(
+            jnp.sum(jnp.where(d2 <= cfg.near_radius**2, weights, 0.0)),
+            axis_name) / w_sum
+    else:
+        sin_sum = jax.lax.psum(
+            jnp.sum(member * jnp.sin(particles[:, 2])), axis_name)
+        cos_sum = jax.lax.psum(
+            jnp.sum(member * jnp.cos(particles[:, 2])), axis_name)
+        theta = jnp.arctan2(sin_sum, cos_sum)
+        d2 = (xy[:, 0] - cx) ** 2 + (xy[:, 1] - cy) ** 2
+        near = jax.lax.psum(
+            jnp.sum((d2 <= cfg.near_radius**2).astype(jnp.float32)),
+            axis_name)
+        ratio = near / n_global
     best_pose = jnp.where(
         ratio > threshold,
         jnp.stack([cx, cy, theta]),
@@ -214,13 +285,27 @@ def mcl_step_sharded(
         k_m, state.particles, state.odom, encoder_left, encoder_right,
         cfg.motion)
 
+    # Gradient-guided refinement is purely per-particle (the dense
+    # differentiable evaluation has no cross-particle terms), so the local
+    # shard refines independently — no collectives needed.
+    if cfg.refine.iters > 0:
+        from ..models import refine as _refine
+
+        particles = _refine.refine_particles(m, particles, scan, cfg)
+
     weights = sensor.beam_weights(m, particles, scan, cfg.sensor,
                                   cfg.valid_pos_offset)
-    particles, weights, inj, info = resample_sharded(
-        k_resample, particles, weights, state.inj, was_lost, m, cfg,
-        axis_name)
+    if cfg.resample.ess_threshold is None:
+        particles, weights, inj, info = resample_sharded(
+            k_resample, particles, weights, state.inj, was_lost, m, cfg,
+            axis_name)
+    else:
+        particles, weights, inj, info = ess_gated_resample_sharded(
+            k_resample, particles, weights, state.weights, state.inj,
+            was_lost, m, cfg, axis_name)
     confidence, best_pose = cluster_confidence_sharded(
-        k_cluster, particles, weights, conf_thr, cfg.cluster, axis_name)
+        k_cluster, particles, weights, conf_thr, cfg.cluster, axis_name,
+        weighted=cfg.resample.ess_threshold is not None)
 
     new_state = mcl.MCLState(
         particles=particles, weights=weights, odom=odom, inj=inj,

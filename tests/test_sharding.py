@@ -130,6 +130,79 @@ def test_sharded_systematic_resampling(maze, scan):
     assert (spread < 1.6).all()
 
 
+def test_sharded_ess_gated_schedule(maze, scan):
+    """ESS gating on the mesh: the gate predicate is built from psums, so
+    all shards take the same branch; skipped ticks carry non-uniform
+    normalized weights, and the weighted confidence stays finite."""
+    from montecarlolocalisation_tpu.config import ResampleConfig
+
+    cfg = FilterConfig(
+        num_particles=1024,
+        sensor=SensorModelConfig(ray_mode="fixed"),
+        resample=ResampleConfig(method="systematic", ess_threshold=0.5))
+    mesh = dist.make_mesh(n_particle_shards=8)
+    state = mcl.init_state(jax.random.PRNGKey(3), maze, cfg)
+    state = dist.shard_state(state, mesh)
+    step = dist.make_sharded_step(mesh, maze, cfg)
+    st = state
+    for i in range(4):
+        enc = jnp.float32(0.05 * i)
+        st, out = step(st, enc, enc, scan)
+        # Carried weights always normalize to 1 globally (uniform 1/N
+        # after a pass, combined posterior weights on skipped ticks).
+        np.testing.assert_allclose(float(jnp.sum(st.weights)), 1.0,
+                                   rtol=1e-4)
+    assert np.isfinite(np.asarray(st.particles)).all()
+    assert np.isfinite(float(st.confidence))
+
+
+def test_sharded_ess_matches_local_weights(maze, scan):
+    """One ESS-gated tick: global weight sum and ESS bookkeeping on the
+    mesh match the single-device path closely (same particles forced in)."""
+    import dataclasses
+
+    from montecarlolocalisation_tpu.config import ResampleConfig
+
+    cfg = FilterConfig(
+        num_particles=1024,
+        sensor=SensorModelConfig(ray_mode="fixed"),
+        motion=dataclasses.replace(FilterConfig().motion,
+                                   alpha_1=0.0, alpha_2=0.0,
+                                   alpha_3=0.0, alpha_4=0.0),
+        resample=ResampleConfig(method="systematic", ess_threshold=0.05))
+    state0 = mcl.init_state(jax.random.PRNGKey(5), maze, cfg)
+    # Zero odometry + zero noise alphas: motion is a no-op, so both paths
+    # weight THE SAME particle set; with a tiny tau and fresh uniform
+    # weights the tick SKIPS the pass on both paths, making the carried
+    # normalized weights directly comparable.
+    mesh = dist.make_mesh(n_particle_shards=8)
+    local_step = jax.jit(functools.partial(mcl.mcl_step, m=maze, cfg=cfg))
+    st_l, _ = local_step(state0, jnp.float32(0.0), jnp.float32(0.0), scan)
+    sharded = dist.shard_state(state0, mesh)
+    step = dist.make_sharded_step(mesh, maze, cfg)
+    st_s, _ = step(sharded, jnp.float32(0.0), jnp.float32(0.0), scan)
+    np.testing.assert_allclose(np.asarray(st_s.weights),
+                               np.asarray(st_l.weights), rtol=1e-4)
+
+
+def test_sharded_refinement_runs(maze, scan):
+    """Refinement is per-particle: the sharded step refines local shards
+    (no collectives) and stays finite; likelihood must not decrease."""
+    from montecarlolocalisation_tpu.config import RefineConfig
+
+    cfg = FilterConfig(
+        num_particles=1024,
+        sensor=SensorModelConfig(ray_mode="fixed"),
+        refine=RefineConfig(iters=1))
+    mesh = dist.make_mesh(n_particle_shards=8)
+    state = mcl.init_state(jax.random.PRNGKey(0), maze, cfg)
+    state = dist.shard_state(state, mesh)
+    step = dist.make_sharded_step(mesh, maze, cfg)
+    st, out = step(state, jnp.float32(0.0), jnp.float32(0.0), scan)
+    assert np.isfinite(np.asarray(st.particles)).all()
+    assert np.isfinite(float(st.confidence))
+
+
 def test_batched_2d_mesh_step(maze):
     """Episode x particle 2D mesh: the dryrun_multichip configuration."""
     mesh = dist.make_mesh(n_particle_shards=4, n_episode_shards=2)
