@@ -43,11 +43,13 @@ def main() -> None:
                     help="ESS-gated resampling threshold (e.g. 0.5): "
                          "resample only when ESS < ess*N (production SIR "
                          "schedule; default = reference every-tick)")
-    ap.add_argument("--adapt", default=None, metavar="NMIN:NMAX",
+    ap.add_argument("--adapt", default=None, metavar="[kld:]NMIN:NMAX",
                     help="serve preset (single robot): elastic particle "
                          "budget — halve the count every 20 confident "
                          "ticks down to NMIN, jump to NMAX on a lost "
-                         "transition (io/server.py)")
+                         "transition (io/server.py).  'kld:NMIN:NMAX' "
+                         "sizes the budget by Fox's KLD-sampling bound "
+                         "instead (models/kld.py, AMCL-style)")
     args = ap.parse_args()
     for name in ("particles", "beams", "batch"):
         if getattr(args, name) < 1:
@@ -131,12 +133,16 @@ def main() -> None:
         else:
             from .io.server import MCLServer
 
-            adapt = None
+            adapt, adapt_mode = None, "patience"
             if args.adapt:
-                lo, _, hi = args.adapt.partition(":")
+                spec = args.adapt
+                if spec.startswith("kld:"):
+                    adapt_mode, spec = "kld", spec[len("kld:"):]
+                lo, _, hi = spec.partition(":")
                 adapt = (int(lo), int(hi))
             server = MCLServer(world.maze, world.cfg, world.angles,
-                               seed=args.seed, adapt=adapt)
+                               seed=args.seed, adapt=adapt,
+                               adapt_mode=adapt_mode)
             ticks = server.serve(sys.stdin)
             print(json.dumps(dict(preset="serve", ticks=ticks,
                                   final_confidence=round(

@@ -148,6 +148,24 @@ class RefineConfig:
 
 
 @dataclasses.dataclass(frozen=True)
+class KLDConfig:
+    """KLD-sampling statistic (Fox 2001; ROS AMCL's kld_err/kld_z knobs).
+
+    No reference counterpart — its N=1500 is compile-time
+    (monte_carlo.cpp:84).  Consumed by the serving layer's
+    `adapt_mode="kld"` (io/server.py) via models/kld.py; defaults follow
+    AMCL conventions except epsilon (AMCL's 0.01 targets building-scale
+    maps; 0.05 suits maze-scale bin counts — override per deployment).
+    """
+
+    epsilon: float = 0.05          # K-L error bound ε (AMCL kld_err)
+    z: float = 2.326               # normal upper quantile for 1-δ = 0.99
+    bin_xy: float = 0.5            # histogram bin, meters (AMCL kd-tree res)
+    bin_theta: float = math.pi / 18.0   # 10° heading bins
+    subsample: int = 8192          # particles counted (strided subsample)
+
+
+@dataclasses.dataclass(frozen=True)
 class ClusterConfig:
     """k-means pose clustering / confidence (monte_carlo.cpp:802-949)."""
 

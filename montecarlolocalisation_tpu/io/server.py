@@ -43,9 +43,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..config import FilterConfig
+from ..config import FilterConfig, KLDConfig
 from ..maps.grid import MazeMap
 from ..models import filter as mcl
+from ..models import kld as kldmod
 from ..models import resample, sensor
 from . import logs
 
@@ -68,10 +69,20 @@ class MCLServer:
     the resize itself is a systematic redraw of the current posterior
     (models/resample.resize_particles), so no information is discarded
     beyond the sampling itself.
+
+    `adapt_mode="kld"` replaces the confidence-patience shrink rule with
+    Fox's KLD-sampling bound (models/kld.py; ROS AMCL's adaptive sizing):
+    every tick the step also emits the statistically REQUIRED count for
+    the posterior's current bin spread, and the policy snaps the budget to
+    the smallest lattice size covering it — growing immediately, shrinking
+    one halving after `adapt_patience` agreeing ticks.  The lost-song snap
+    to n_max is kept as a backstop in both modes.
     """
 
     def __init__(self, m: MazeMap, cfg: FilterConfig, angles,
-                 seed: int = 0, adapt=None, adapt_patience: int = 20):
+                 seed: int = 0, adapt=None, adapt_patience: int = 20,
+                 adapt_mode: str = "patience",
+                 kld: Optional[KLDConfig] = None):
         self.m = m
         self.cfg = cfg
         self.angles = np.asarray(angles, np.float32)
@@ -83,6 +94,11 @@ class MCLServer:
         self._confident_run = 0
         if self.adapt is not None and self.adapt[0] > self.adapt[1]:
             raise ValueError("adapt=(n_min, n_max) needs n_min <= n_max")
+        if adapt_mode not in ("patience", "kld"):
+            raise ValueError(f"unknown adapt_mode {adapt_mode!r}")
+        self.adapt_mode = adapt_mode
+        self.kld = kld or KLDConfig()
+        self._kld_on = self.adapt is not None and adapt_mode == "kld"
 
         nb = len(self.angles)
 
@@ -93,7 +109,14 @@ class MCLServer:
             sc = sensor.Scan(angles=self._angles_dev,
                              ranges=frame[2:2 + nb],
                              mask=frame[2 + nb:] > 0.5)
-            return mcl.mcl_step(state, frame[0], frame[1], sc, m, cfg)
+            new_state, out = mcl.mcl_step(state, frame[0], frame[1], sc,
+                                          m, cfg)
+            # KLD mode: the required-count statistic rides the SAME step
+            # program and the same output fetch (a separate jit would pay
+            # an extra host<->device round trip per tick).
+            tgt = (kldmod.particle_target(new_state.particles, m, self.kld)
+                   if self._kld_on else jnp.float32(0.0))
+            return new_state, out, tgt
 
         self._step = jax.jit(step)
         self._resize = jax.jit(
@@ -117,7 +140,17 @@ class MCLServer:
         self.state = dataclasses.replace(
             self.state, particles=parts, weights=w, key=key)
 
-    def _maybe_adapt(self, out: dict) -> None:
+    def _lattice_size(self, target: float) -> int:
+        """Smallest halving of n_max covering `target` (clamped to adapt
+        bounds) — sizes off the lattice would each compile a new step."""
+        n_min, n_max = self.adapt
+        t = min(max(target, float(n_min)), float(n_max))
+        size = n_max
+        while size // 2 >= t and size // 2 >= n_min:
+            size //= 2
+        return size
+
+    def _maybe_adapt(self, out: dict, kld_target: float = 0.0) -> None:
         if self.adapt is None:
             return
         n_min, n_max = self.adapt
@@ -127,6 +160,25 @@ class MCLServer:
             self._confident_run = 0
             if n < n_max:
                 self._set_particle_count(n_max)
+            return
+        if self.adapt_mode == "kld":
+            want = self._lattice_size(kld_target)
+            if want > n:
+                # Under-sampled for the posterior's spread: grow NOW
+                # (delay here is lost robustness; AMCL grows within the
+                # resampling pass for the same reason).
+                self._confident_run = 0
+                self._set_particle_count(want)
+            elif want < n:
+                # Shrink one halving at a time after `adapt_patience`
+                # consecutive agreeing ticks — hysteresis against
+                # bin-count noise flapping between jit signatures.
+                self._confident_run += 1
+                if self._confident_run >= self.adapt_patience:
+                    self._set_particle_count(n // 2)
+                    self._confident_run = 0
+            else:
+                self._confident_run = 0
             return
         confident = (out["confidence"]
                      >= self.cfg.hysteresis.conf_confident_threshold)
@@ -169,12 +221,17 @@ class MCLServer:
         f[2:2 + nb] = ranges
         f[2 + nb:] = 1.0 if mask is None else np.asarray(mask, np.float32)
         n_used = self.num_particles
-        self.state, out = self._step(self.state, f)
+        self.state, out, tgt = self._step(self.state, f)
         self.tick_count += 1
-        d = self._out_dict(out)
+        # ONE fetch for output + KLD scalar (each extra device_get pays a
+        # full round trip — ~30 ms over the axon tunnel).
+        o, tgt = jax.device_get((out, tgt))
+        d = self._out_dict(o)
         if self.adapt is not None:
             d["particles"] = n_used
-        self._maybe_adapt(d)
+        if self._kld_on:
+            d["kld_target"] = round(float(tgt), 1)
+        self._maybe_adapt(d, kld_target=float(tgt))
         return d
 
     def tick_raw(self, encoder_left: float, encoder_right: float,
@@ -192,11 +249,11 @@ class MCLServer:
         del angles
         return self.tick(encoder_left, encoder_right, radii, mask)
 
-    def _out_dict(self, out: mcl.MCLOutput) -> dict:
-        # ONE device fetch for the whole output pytree: per-field fetches
-        # each pay a full host<->device round trip (~30 ms over the axon
-        # tunnel; six of them dominated tick latency).
-        o = jax.device_get(out)
+    def _out_dict(self, o: mcl.MCLOutput) -> dict:
+        # `o` is HOST data: tick() fetches the whole (output, kld) pytree
+        # in one device_get — per-field fetches each pay a full
+        # host<->device round trip (~30 ms over the axon tunnel; six of
+        # them dominated tick latency).
         return dict(
             tick=self.tick_count,
             exact_pose=[round(float(v), 6) for v in o.exact_pose],

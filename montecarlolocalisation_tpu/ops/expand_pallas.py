@@ -49,6 +49,13 @@ CHUNK = int(os.environ.get("MCL_EXPAND_CHUNK", "256"))
 # compare work but add per-chunk DMA/loop overhead.  Measured on v5e at
 # 1M (dependency-chain differential timing, 3-pass split matmul):
 # 256 = 2.67 ms, 128 = 2.89 ms — the overhead wins; 256 stays default.
+DEPTH = int(os.environ.get("MCL_EXPAND_DEPTH", "2"))
+# DMA pipeline depth (in-flight source-chunk copies).  The cursor walk
+# makes each output tile wait on its chunks in sequence; at >= 4M the
+# per-chunk DMA latency stops hiding behind the M-build (the ~1.65x
+# per-particle rate jump in BENCH_DETAILS "scaling cliff") — deeper
+# buffering is the knob for that experiment.  2 = the original double
+# buffer.
 MAX_N = 1 << 24  # count rows ride as exact f32
 
 
@@ -87,7 +94,7 @@ def _expand_kernel(c_last_ref, v_ref, out_ref, cur_ref, vbuf, sem,
 
     def start_dma(t):
         pltpu.make_async_copy(
-            v_ref.at[t], vbuf.at[t % 2], sem.at[t % 2]).start()
+            v_ref.at[t], vbuf.at[t % DEPTH], sem.at[t % DEPTH]).start()
 
     # Loop-invariant output-row index matrix [OUT, CHUNK].  (A bf16
     # variant with tile-relative clipped counts — all integers <= OUT,
@@ -102,16 +109,17 @@ def _expand_kernel(c_last_ref, v_ref, out_ref, cur_ref, vbuf, sem,
         return needed(t)
 
     def body(carry):
-        # Invariant: the DMA for chunk t is in flight on entry.
+        # Invariant: DMAs for chunks t .. t+DEPTH-2 (where needed) are in
+        # flight on entry.
         t, acc = carry
         pltpu.make_async_copy(
-            v_ref.at[t], vbuf.at[t % 2], sem.at[t % 2]).wait()
+            v_ref.at[t], vbuf.at[t % DEPTH], sem.at[t % DEPTH]).wait()
 
-        @pl.when(needed(t + 1))
+        @pl.when(needed(t + DEPTH - 1))
         def _():
-            start_dma(t + 1)
+            start_dma(t + DEPTH - 1)
 
-        vb = vbuf[t % 2]                               # [8, CHUNK]
+        vb = vbuf[t % DEPTH]                           # [8, CHUNK]
         cprow = vb[6:7, :]                             # [1, CHUNK] c_prev
         crow = vb[7:8, :]                              # [1, CHUNK] c
         m = ((kk >= cprow) & (kk < crow)).astype(jnp.float32)
@@ -132,9 +140,10 @@ def _expand_kernel(c_last_ref, v_ref, out_ref, cur_ref, vbuf, sem,
         acc = acc + ((dot(h) + dot(mid16.astype(jnp.float32))) + dot(lo))
         return t + 1, acc
 
-    @pl.when(needed(t0))
-    def _():
-        start_dma(t0)
+    for i in range(DEPTH - 1):
+        @pl.when(needed(t0 + i))
+        def _(i=i):
+            start_dma(t0 + i)
 
     t_end, acc = jax.lax.while_loop(
         cond, body, (t0, jnp.zeros((8, OUT), jnp.float32)))
@@ -181,8 +190,8 @@ def systematic_expand(particles, cdf, u0, interpret: bool = False):
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.SMEM((1,), jnp.int32),              # source-chunk cursor
-            pltpu.VMEM((2, 8, CHUNK), jnp.float32),   # double buffer
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((DEPTH, 8, CHUNK), jnp.float32),  # DMA ring buffer
+            pltpu.SemaphoreType.DMA((DEPTH,)),
         ],
     )
     out = pl.pallas_call(

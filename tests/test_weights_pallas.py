@@ -115,20 +115,35 @@ def _batch_fixture(n_ep=3, n=1500, beams=12):
 
 @pytest.mark.parametrize("ray_mode", ["fixed", "analytic"])
 @pytest.mark.parametrize("combine", ["sum", "log"])
-def test_batched_kernel_matches_per_episode(ray_mode, combine):
+def test_batched_kernel_matches_per_episode(ray_mode, combine, monkeypatch):
     from montecarlolocalisation_tpu.ops.weights_pallas import (
         beam_weights_pallas_batched,
     )
 
     m, parts, angles, ranges, mask = _batch_fixture()
     cfg = SensorModelConfig(ray_mode=ray_mode, beam_combine=combine)
-    got = np.asarray(beam_weights_pallas_batched(
-        m, parts, angles, ranges, mask, cfg, interpret=True))
-    for e in range(parts.shape[0]):
-        scan = sensor.Scan(angles=angles, ranges=ranges[e], mask=mask[e])
-        want = np.asarray(beam_weights_pallas(m, parts[e], scan, cfg,
-                                              interpret=True))
-        np.testing.assert_array_equal(got[e], want)
+
+    def run():
+        got = np.asarray(beam_weights_pallas_batched(
+            m, parts, angles, ranges, mask, cfg, interpret=True))
+        want = np.stack([
+            np.asarray(beam_weights_pallas(
+                m, parts[e],
+                sensor.Scan(angles=angles, ranges=ranges[e], mask=mask[e]),
+                cfg, interpret=True))
+            for e in range(parts.shape[0])])
+        return got, want
+
+    # Default unroll: the grouped beam loop lets XLA fuse/reassociate
+    # differently per launch shape (batched grid vs single grid), so the
+    # two launches agree only to ulps.
+    got, want = run()
+    np.testing.assert_allclose(got, want, rtol=2e-6, atol=0)
+    # unroll=1 is the documented bit-exact single-beam loop: the batched
+    # launch must match the per-episode launch EXACTLY.
+    monkeypatch.setenv("MCL_BEAM_UNROLL", "1")
+    got, want = run()
+    np.testing.assert_array_equal(got, want)
 
 
 def test_batched_dispatch_under_vmap_matches_dense():
