@@ -81,8 +81,17 @@ def _expand_kernel(c_last_ref, v_ref, out_ref, cur_ref, vbuf, sem,
     @pl.when(j == 0)
     def _():
         cur_ref[0] = 0
+        cur_ref[1] = -1
 
     t0 = cur_ref[0]
+    # Ring-buffer reuse: scratch persists across (sequential) grid steps,
+    # so when this tile revisits the previous tile's straddling chunk
+    # (t0 == the last chunk that tile waited), its data is still in slot
+    # t0 % DEPTH — skip the re-DMA.  Revisits are ~half of all chunk
+    # fetches (one per output tile), and the kernel is DMA-count-bound
+    # at >= 4M (BENCH_DETAILS "scaling cliff").
+    resident = cur_ref[1]
+    reuse0 = t0 == resident
 
     def chunk_start(t):
         # Outputs covered by chunk t begin at the cumulative count through
@@ -109,11 +118,14 @@ def _expand_kernel(c_last_ref, v_ref, out_ref, cur_ref, vbuf, sem,
         return needed(t)
 
     def body(carry):
-        # Invariant: DMAs for chunks t .. t+DEPTH-2 (where needed) are in
-        # flight on entry.
+        # Invariant: DMAs for chunks t .. t+DEPTH-2 (where needed and not
+        # resident) are in flight on entry.
         t, acc = carry
-        pltpu.make_async_copy(
-            v_ref.at[t], vbuf.at[t % DEPTH], sem.at[t % DEPTH]).wait()
+
+        @pl.when(~((t == t0) & reuse0))
+        def _():
+            pltpu.make_async_copy(
+                v_ref.at[t], vbuf.at[t % DEPTH], sem.at[t % DEPTH]).wait()
 
         @pl.when(needed(t + DEPTH - 1))
         def _():
@@ -140,7 +152,11 @@ def _expand_kernel(c_last_ref, v_ref, out_ref, cur_ref, vbuf, sem,
         acc = acc + ((dot(h) + dot(mid16.astype(jnp.float32))) + dot(lo))
         return t + 1, acc
 
-    for i in range(DEPTH - 1):
+    @pl.when(needed(t0) & ~reuse0)
+    def _():
+        start_dma(t0)
+
+    for i in range(1, DEPTH - 1):
         @pl.when(needed(t0 + i))
         def _(i=i):
             start_dma(t0 + i)
@@ -151,6 +167,9 @@ def _expand_kernel(c_last_ref, v_ref, out_ref, cur_ref, vbuf, sem,
     # Next tile resumes at the first chunk not fully consumed by this one.
     last = jnp.maximum(t_end - 1, 0)
     cur_ref[0] = jnp.where(c_last_ref[last] > limit, last, t_end)
+    # `last` is the newest chunk whose data sits (un-overwritable until
+    # chunk last+DEPTH) in slot last % DEPTH.
+    cur_ref[1] = last
 
 
 def systematic_expand(particles, cdf, u0, interpret: bool = False):
@@ -189,7 +208,7 @@ def systematic_expand(particles, cdf, u0, interpret: bool = False):
         out_specs=pl.BlockSpec((8, OUT), lambda j, *_: (0, j),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.SMEM((1,), jnp.int32),              # source-chunk cursor
+            pltpu.SMEM((2,), jnp.int32),    # [cursor, resident chunk]
             pltpu.VMEM((DEPTH, 8, CHUNK), jnp.float32),  # DMA ring buffer
             pltpu.SemaphoreType.DMA((DEPTH,)),
         ],
