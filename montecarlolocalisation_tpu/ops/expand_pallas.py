@@ -49,14 +49,16 @@ CHUNK = int(os.environ.get("MCL_EXPAND_CHUNK", "256"))
 # compare work but add per-chunk DMA/loop overhead.  Measured on v5e at
 # 1M (dependency-chain differential timing, 3-pass split matmul):
 # 256 = 2.67 ms, 128 = 2.89 ms — the overhead wins; 256 stays default.
-DEPTH = int(os.environ.get("MCL_EXPAND_DEPTH", "2"))
-# DMA pipeline depth (in-flight source-chunk copies).  The cursor walk
-# makes each output tile wait on its chunks in sequence; at >= 4M the
-# per-chunk DMA latency stops hiding behind the M-build (the ~1.65x
-# per-particle rate jump in BENCH_DETAILS "scaling cliff") — deeper
-# buffering is the knob for that experiment.  2 = the original double
-# buffer.
+DEPTH = int(os.environ.get("MCL_EXPAND_DEPTH", "0"))  # 0 = auto by N
+# DMA ring depth (in-flight source-chunk copies + the resident slot).
+# The kernel is DMA-count/latency-bound at large N (BENCH_DETAILS
+# "scaling cliff"): measured on v5e, depth 2 wins at 1M (2.04 vs
+# 2.29 ms) but 4 wins at 4M (2.68 vs 2.84 ms/1M) — auto picks by N.
 MAX_N = 1 << 24  # count rows ride as exact f32
+
+
+def _ring_depth(n: int) -> int:
+    return DEPTH if DEPTH else (2 if n <= 2_000_000 else 4)
 
 
 def offspring_counts(cdf, u0):
@@ -73,7 +75,7 @@ def offspring_counts(cdf, u0):
 
 
 def _expand_kernel(c_last_ref, v_ref, out_ref, cur_ref, vbuf, sem,
-                   *, num_chunks: int):
+                   *, num_chunks: int, depth: int):
     j = pl.program_id(0)
     base = j * OUT
     limit = base + OUT
@@ -103,7 +105,7 @@ def _expand_kernel(c_last_ref, v_ref, out_ref, cur_ref, vbuf, sem,
 
     def start_dma(t):
         pltpu.make_async_copy(
-            v_ref.at[t], vbuf.at[t % DEPTH], sem.at[t % DEPTH]).start()
+            v_ref.at[t], vbuf.at[t % depth], sem.at[t % depth]).start()
 
     # Loop-invariant output-row index matrix [OUT, CHUNK].  (A bf16
     # variant with tile-relative clipped counts — all integers <= OUT,
@@ -118,20 +120,20 @@ def _expand_kernel(c_last_ref, v_ref, out_ref, cur_ref, vbuf, sem,
         return needed(t)
 
     def body(carry):
-        # Invariant: DMAs for chunks t .. t+DEPTH-2 (where needed and not
+        # Invariant: DMAs for chunks t .. t+depth-2 (where needed and not
         # resident) are in flight on entry.
         t, acc = carry
 
         @pl.when(~((t == t0) & reuse0))
         def _():
             pltpu.make_async_copy(
-                v_ref.at[t], vbuf.at[t % DEPTH], sem.at[t % DEPTH]).wait()
+                v_ref.at[t], vbuf.at[t % depth], sem.at[t % depth]).wait()
 
-        @pl.when(needed(t + DEPTH - 1))
+        @pl.when(needed(t + depth - 1))
         def _():
-            start_dma(t + DEPTH - 1)
+            start_dma(t + depth - 1)
 
-        vb = vbuf[t % DEPTH]                           # [8, CHUNK]
+        vb = vbuf[t % depth]                           # [8, CHUNK]
         cprow = vb[6:7, :]                             # [1, CHUNK] c_prev
         crow = vb[7:8, :]                              # [1, CHUNK] c
         m = ((kk >= cprow) & (kk < crow)).astype(jnp.float32)
@@ -156,7 +158,7 @@ def _expand_kernel(c_last_ref, v_ref, out_ref, cur_ref, vbuf, sem,
     def _():
         start_dma(t0)
 
-    for i in range(1, DEPTH - 1):
+    for i in range(1, depth - 1):
         @pl.when(needed(t0 + i))
         def _(i=i):
             start_dma(t0 + i)
@@ -168,7 +170,7 @@ def _expand_kernel(c_last_ref, v_ref, out_ref, cur_ref, vbuf, sem,
     last = jnp.maximum(t_end - 1, 0)
     cur_ref[0] = jnp.where(c_last_ref[last] > limit, last, t_end)
     # `last` is the newest chunk whose data sits (un-overwritable until
-    # chunk last+DEPTH) in slot last % DEPTH.
+    # chunk last+depth) in slot last % depth.
     cur_ref[1] = last
 
 
@@ -200,7 +202,9 @@ def systematic_expand(particles, cdf, u0, interpret: bool = False):
     )
     v3 = vals.reshape(t_chunks, CHUNK, 8).transpose(0, 2, 1)
 
-    kernel = functools.partial(_expand_kernel, num_chunks=t_chunks)
+    depth = _ring_depth(n)
+    kernel = functools.partial(_expand_kernel, num_chunks=t_chunks,
+                               depth=depth)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(np_ // OUT,),
@@ -209,8 +213,8 @@ def systematic_expand(particles, cdf, u0, interpret: bool = False):
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.SMEM((2,), jnp.int32),    # [cursor, resident chunk]
-            pltpu.VMEM((DEPTH, 8, CHUNK), jnp.float32),  # DMA ring buffer
-            pltpu.SemaphoreType.DMA((DEPTH,)),
+            pltpu.VMEM((depth, 8, CHUNK), jnp.float32),  # DMA ring buffer
+            pltpu.SemaphoreType.DMA((depth,)),
         ],
     )
     out = pl.pallas_call(
