@@ -15,7 +15,7 @@ def main() -> None:
     ap = argparse.ArgumentParser(prog="montecarlolocalisation_tpu")
     ap.add_argument("preset", choices=["localisation", "planning",
                                        "challenge", "sweep", "moving",
-                                       "calibrate", "serve"])
+                                       "calibrate", "mapping", "serve"])
     ap.add_argument("--map", dest="map_path", default=None,
                     help="map file: reference map.txt wall list, or a ROS "
                          "map_server YAML (+PGM raster)")
@@ -106,6 +106,18 @@ def main() -> None:
                                     tick_chunk=args.tick_chunk)
         print(json.dumps({k: round(float(v), 4)
                           for k, v in metrics.items()}))
+    elif args.preset == "mapping":
+        # Explore -> occupancy-grid mapping -> localize on the LEARNED map
+        # (models/mapping; no reference counterpart — its map.txt is
+        # hand-written).  --robots wanderers explore, maps fuse by
+        # log-odds addition.
+        out = presets.run_mapping(world, seed=args.seed,
+                                  num_ticks=args.ticks or 600,
+                                  robots=args.robots if args.robots > 1
+                                  else 8)
+        print(json.dumps(dict(preset="mapping", **{
+            k: (round(float(v), 4) if isinstance(v, float) else v)
+            for k, v in out.items()})))
     elif args.preset == "calibrate":
         out = presets.run_calibrate(world, seed=args.seed,
                                     num_ticks=args.ticks or 200)

@@ -129,6 +129,33 @@ class ResampleConfig:
 
 
 @dataclasses.dataclass(frozen=True)
+class MappingConfig:
+    """Occupancy-grid mapping (models/mapping.py).
+
+    No reference counterpart — the reference consumes a hand-written
+    map.txt and has no way to produce one from sensors.  Defaults match
+    the reference raster geometry (publish_map_rviz.cpp:272-274: 49 px @
+    0.1 m/px, +0.05 m origin via pixel centering) so a map learned on the
+    default maze is pixel-comparable to the published one.
+    """
+
+    height: int = 49               # raster rows (pixels)
+    width: int = 49                # raster cols
+    resolution: float = 0.1        # m / pixel
+    origin_x: float = 0.0
+    origin_y: float = 0.0
+    l_occ: float = 0.9             # log-odds per hit observation
+    l_free: float = 0.35           # log-odds per free-space crossing
+    clamp: float = 8.0             # saturation (keeps cells revisable)
+    half_width: float = 0.055      # beam half-width, m (~pixel half-diag)
+    hit_margin: float = 0.04       # near-side hit slack, m (2x range noise)
+    hit_depth: float = 0.07        # far-side hit depth, m (~0.7 * res)
+    max_trusted_range: float = 1.02  # drop beams beyond: excludes the
+    # 1.05 NaN-replacement sentinel (monte_carlo.cpp:254-278) but keeps
+    # at-max_range no-return beams, which carve free space without a hit
+
+
+@dataclasses.dataclass(frozen=True)
 class RefineConfig:
     """Gradient-guided particle refinement (models/refine; opt-in).
 

@@ -24,8 +24,8 @@ from typing import Optional, Tuple
 import jax
 import numpy as np
 
-from .config import (FilterConfig, RefineConfig, ResampleConfig,
-                     SensorModelConfig)
+from .config import (FilterConfig, MappingConfig, RefineConfig,
+                     ResampleConfig, SensorModelConfig)
 from .maps import from_map_file
 from .maps import maze as maze_mod
 
@@ -170,6 +170,80 @@ def run_sweep(world: World, batch: int = 64, num_ticks: int = 150,
     sym = symmetry.maze_symmetries(world.maze.walls,
                                    float(world.maze.cell_meters))
     return episodes.sweep_rmse(final, truth, sym=sym)
+
+
+def run_mapping(world: World, seed: int = 0, num_ticks: int = 600,
+                robots: int = 8, relocalize: bool = True):
+    """Explore -> map -> localize on the LEARNED map (models/mapping).
+
+    `robots` wanderers explore from spread-out starts (their per-episode
+    maps fuse by log-odds addition), the fused grid snaps onto the cell
+    lattice (fit_walls), and — the closing of the loop the reference
+    cannot do (its map.txt is hand-written) — a fresh episode localizes
+    against the learned map using scans generated on the TRUE maze.
+    """
+    from .maps import grid
+    from .models import filter as mcl
+    from .models import mapping
+    from .sim import robot
+
+    m = world.maze
+    mc = MappingConfig(height=m.height, width=m.width,
+                       resolution=float(m.resolution),
+                       origin_x=float(m.origin_x),
+                       origin_y=float(m.origin_y))
+    # Spread starts over the cell lattice (cell centers, row-major stride).
+    n_r, n_c = m.n_rows, m.n_cols
+    cells = [(r, c) for r in range(n_r) for c in range(n_c)]
+    stride = max(1, len(cells) // max(robots, 1))
+    starts = [(c * m.cell_meters + m.cell_meters / 2 + 0.05,
+               r * m.cell_meters + m.cell_meters / 2 + 0.05,
+               0.8 * i)
+              for i, (r, c) in enumerate(cells[::stride][:robots])]
+
+    lo = None
+    for i, sp in enumerate(starts):
+        _, scans, poses = robot.generate_wander_episode(
+            jax.random.fold_in(jax.random.PRNGKey(seed), i), m, world.cfg,
+            world.angles, num_ticks, start_pose=sp)
+        ep = mapping.map_episode(poses, scans, world.angles, mc,
+                                 world.cfg.sensor)
+        lo = ep if lo is None else lo + ep
+    lo = np.asarray(lo)
+    learned_walls = mapping.fit_walls(
+        lo, cell_px=int(round(m.cell_meters / m.resolution)))
+    out = dict(robots=len(starts), ticks_per_robot=num_ticks,
+               explored_frac=float(np.mean(np.abs(lo) > 0.5)),
+               **mapping.wall_metrics(learned_walls, np.asarray(m.walls)))
+
+    if relocalize:
+        # Rebuild a clean raster from the fitted lattice and localize a
+        # small SWEEP of fresh episodes (scans from the true world)
+        # against it — single episodes in the aliased maze are
+        # seed-chaotic, the sweep fraction is the stable signal.
+        from .parallel import episodes
+
+        lists = [[[e for e in range(4) if learned_walls[r, c, e]]
+                  for c in range(learned_walls.shape[1])]
+                 for r in range(learned_walls.shape[0])]
+        learned_maze = grid.from_walls(lists)
+        k1, k2 = jax.random.split(jax.random.PRNGKey(seed + 1000))
+        enc, scans, truth = episodes.simulate_episode_batch(
+            k1, m, world.cfg, world.angles, max(num_ticks, 200), batch=8,
+            start_pose=(2.05, 2.05, 0.0))
+        final, _ = episodes.run_episode_batch(
+            k2, learned_maze, world.cfg, enc, scans, world.angles)
+        best = np.asarray(final.best_pose)
+        tp = np.asarray(truth)[:, -1, :]
+        conf = best[:, 0] >= 0
+        err = np.hypot(best[:, 0] - tp[:, 0], best[:, 1] - tp[:, 1])
+        hit = conf & (err < 0.4)
+        out.update(
+            reloc_converged_frac=float(np.mean(hit)),
+            reloc_median_error_m=round(
+                float(np.median(err[hit])) if hit.any() else float("nan"),
+                4))
+    return out
 
 
 def run_calibrate(world: World, seed: int = 0, num_ticks: int = 200):
