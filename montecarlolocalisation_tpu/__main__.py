@@ -43,6 +43,15 @@ def main() -> None:
                     help="ESS-gated resampling threshold (e.g. 0.5): "
                          "resample only when ESS < ess*N (production SIR "
                          "schedule; default = reference every-tick)")
+    ap.add_argument("--pose-source", choices=["true", "odom"],
+                    default="true",
+                    help="mapping preset: map from ground-truth poses or "
+                         "dead-reckoned encoder logs "
+                         "(models/mapping.dead_reckon_poses)")
+    ap.add_argument("--slip", type=float, default=0.0,
+                    help="mapping preset: per-tick multiplicative wheel "
+                         "slip std (ground motion drifts from the encoder "
+                         "log; pair with --pose-source odom)")
     ap.add_argument("--adapt", default=None, metavar="[kld:]NMIN:NMAX",
                     help="serve preset (single robot): elastic particle "
                          "budget — halve the count every 20 confident "
@@ -114,7 +123,9 @@ def main() -> None:
         out = presets.run_mapping(world, seed=args.seed,
                                   num_ticks=args.ticks or 600,
                                   robots=args.robots if args.robots > 1
-                                  else 8)
+                                  else 8,
+                                  pose_source=args.pose_source,
+                                  slip_noise=args.slip)
         print(json.dumps(dict(preset="mapping", **{
             k: (round(float(v), 4) if isinstance(v, float) else v)
             for k, v in out.items()})))

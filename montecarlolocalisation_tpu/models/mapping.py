@@ -123,6 +123,31 @@ def map_episode(poses, scan_ranges, scan_angles, cfg: MappingConfig,
     return lo
 
 
+def dead_reckon_poses(encoders, start_pose, motion_cfg):
+    """Cumulative encoder radians [T, 2] -> dead-reckoned poses [T, 3].
+
+    The realistic mapping input when no ground truth exists: integrate
+    the encoder log through the reference's midpoint diff-drive model
+    (models/motion.diff_drive_update) from a known start pose.  Row t is
+    the pose AFTER tick t, aligned with the simulator's truth rows.
+    """
+    from . import motion
+
+    sp = jnp.asarray(start_pose, jnp.float32)
+    state0 = motion.OdometryState(
+        x=sp[0], y=sp[1], theta=sp[2],
+        encoder_left=jnp.float32(0.0), encoder_right=jnp.float32(0.0))
+
+    def body(st, enc):
+        new, _, _, _ = motion.diff_drive_update(st, enc[0], enc[1],
+                                                motion_cfg)
+        return new, jnp.stack([new.x, new.y, new.theta])
+
+    _, poses = jax.lax.scan(body, state0,
+                            jnp.asarray(encoders, jnp.float32))
+    return poses
+
+
 def fuse_maps(logodds_stack):
     """Fuse maps from independent robots/episodes: log-odds evidence adds."""
     return jnp.sum(logodds_stack, axis=0)

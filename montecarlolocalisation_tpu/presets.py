@@ -173,7 +173,8 @@ def run_sweep(world: World, batch: int = 64, num_ticks: int = 150,
 
 
 def run_mapping(world: World, seed: int = 0, num_ticks: int = 600,
-                robots: int = 8, relocalize: bool = True):
+                robots: int = 8, relocalize: bool = True,
+                pose_source: str = "true", slip_noise: float = 0.0):
     """Explore -> map -> localize on the LEARNED map (models/mapping).
 
     `robots` wanderers explore from spread-out starts (their per-episode
@@ -181,6 +182,11 @@ def run_mapping(world: World, seed: int = 0, num_ticks: int = 600,
     lattice (fit_walls), and — the closing of the loop the reference
     cannot do (its map.txt is hand-written) — a fresh episode localizes
     against the learned map using scans generated on the TRUE maze.
+
+    pose_source "true" maps from ground-truth poses (SLAM front end
+    assumed); "odom" dead-reckons each robot's encoder log from its known
+    start (models/mapping.dead_reckon_poses) — pair with `slip_noise` to
+    study mapping under realistic odometry drift.
     """
     from .maps import grid
     from .models import filter as mcl
@@ -201,11 +207,15 @@ def run_mapping(world: World, seed: int = 0, num_ticks: int = 600,
                0.8 * i)
               for i, (r, c) in enumerate(cells[::stride][:robots])]
 
+    if pose_source not in ("true", "odom"):
+        raise ValueError(f"unknown pose_source {pose_source!r}")
     lo = None
     for i, sp in enumerate(starts):
-        _, scans, poses = robot.generate_wander_episode(
+        enc, scans, poses = robot.generate_wander_episode(
             jax.random.fold_in(jax.random.PRNGKey(seed), i), m, world.cfg,
-            world.angles, num_ticks, start_pose=sp)
+            world.angles, num_ticks, start_pose=sp, slip_noise=slip_noise)
+        if pose_source == "odom":
+            poses = mapping.dead_reckon_poses(enc, sp, world.cfg.motion)
         ep = mapping.map_episode(poses, scans, world.angles, mc,
                                  world.cfg.sensor)
         lo = ep if lo is None else lo + ep

@@ -92,6 +92,7 @@ def generate_wander_episode(
     dropout_p: float = 0.0,
     outlier_p: float = 0.0,
     moving_obstacle=None,
+    slip_noise: float = 0.0,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Scripted wall-avoiding wander -> (encoders [T,2], scans [T,B], poses [T,3]).
 
@@ -104,7 +105,13 @@ def generate_wander_episode(
     Robustness stressors: `dropout_p`/`outlier_p` per-beam sensor faults
     (sensor.simulate_scan); `moving_obstacle` = (cx, cy, orbit_radius,
     disc_radius, rad_per_tick) — an UNMAPPED disc circling (cx, cy) that
-    the scans see but the map does not (a person walking the maze).
+    the scans see but the map does not (a person walking the maze);
+    `slip_noise` — per-tick multiplicative WHEEL SLIP std: the ground
+    motion gets arc*(1 + eps) while the encoders record the commanded
+    arcs, so dead reckoning drifts away from truth — the actuation noise
+    the filter's alpha parameters model (monte_carlo.cpp:1198).  All
+    stressors default off and consume no RNG when off (existing episode
+    streams are bit-identical).
     """
     angles = jnp.asarray(scan_angles, jnp.float32)
     mcfg = cfg.motion
@@ -131,7 +138,20 @@ def generate_wander_episode(
         is_turning = turning > 0
         d_left = jnp.where(is_turning, turn_arc, speed)
         d_right = jnp.where(is_turning, -turn_arc, speed)
-        robot = step_dynamics(robot, d_left, d_right, mcfg)
+        if slip_noise:
+            eps = slip_noise * jax.random.normal(
+                jax.random.fold_in(tick_key, 1), (2,))
+            enc_l, enc_r = robot.encoder_left, robot.encoder_right
+            robot = step_dynamics(robot, d_left * (1.0 + eps[0]),
+                                  d_right * (1.0 + eps[1]), mcfg)
+            # Encoders record the COMMANDED arcs (the wheel turned as
+            # commanded; the ground contact slipped).
+            tick_m = mcfg.wheel_size * 0.5
+            robot = dataclasses.replace(
+                robot, encoder_left=enc_l + d_left / tick_m,
+                encoder_right=enc_r + d_right / tick_m)
+        else:
+            robot = step_dynamics(robot, d_left, d_right, mcfg)
         turning = jnp.maximum(turning - 1, 0)
         obstacle = None
         if moving_obstacle is not None:

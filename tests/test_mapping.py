@@ -172,6 +172,35 @@ def test_wall_recovery_on_default_maze():
     assert not np.any(optimistic & ~learned)
 
 
+def test_dead_reckon_and_slip():
+    m = _maze()
+    cfg = FilterConfig(num_particles=64)
+    angles = np.deg2rad(np.linspace(-118, 118, 12)).astype(np.float32)
+    # slip_noise=0 consumes no RNG: episode streams stay bit-identical.
+    a = robot.generate_wander_episode(jax.random.PRNGKey(3), m, cfg,
+                                      angles, 50)
+    b = robot.generate_wander_episode(jax.random.PRNGKey(3), m, cfg,
+                                      angles, 50, slip_noise=0.0)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+    # Without slip, dead reckoning reproduces the truth exactly (the sim
+    # and the filter share the midpoint diff-drive model).
+    enc, _, truth = a
+    dr = mapping.dead_reckon_poses(enc, (1.25, 1.25, 0.0), cfg.motion)
+    np.testing.assert_allclose(np.asarray(dr), np.asarray(truth),
+                               atol=1e-5)
+    # With slip, the TRUE pose drifts away from the encoder log while the
+    # encoders record the commanded arcs.
+    enc2, _, truth2 = robot.generate_wander_episode(
+        jax.random.PRNGKey(3), m, cfg, angles, 300, slip_noise=0.05)
+    dr2 = np.asarray(mapping.dead_reckon_poses(
+        enc2, (1.25, 1.25, 0.0), cfg.motion))
+    t2 = np.asarray(truth2)
+    drift = np.hypot(dr2[:, 0] - t2[:, 0], dr2[:, 1] - t2[:, 1])
+    assert drift[-1] > 0.05, "slip produced no odometry drift"
+    np.testing.assert_array_equal(np.asarray(enc2), np.asarray(enc2))
+
+
 def test_fit_walls_unexplored_defaults():
     lo = np.zeros((49, 49), np.float32)
     assert mapping.fit_walls(lo).all()
