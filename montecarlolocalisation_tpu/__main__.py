@@ -52,6 +52,10 @@ def main() -> None:
                     help="mapping preset: per-tick multiplicative wheel "
                          "slip std (ground motion drifts from the encoder "
                          "log; pair with --pose-source odom)")
+    ap.add_argument("--export", default=None, metavar="PATH",
+                    help="mapping preset: write the learned map as ROS "
+                         "map_server PGM+YAML (trinary: occupied/free/"
+                         "unknown); PATH.yaml then works with --map")
     ap.add_argument("--adapt", default=None, metavar="[kld:]NMIN:NMAX",
                     help="serve preset (single robot): elastic particle "
                          "budget — halve the count every 20 confident "
@@ -125,7 +129,8 @@ def main() -> None:
                                   robots=args.robots if args.robots > 1
                                   else 8,
                                   pose_source=args.pose_source,
-                                  slip_noise=args.slip)
+                                  slip_noise=args.slip,
+                                  export=args.export)
         print(json.dumps(dict(preset="mapping", **{
             k: (round(float(v), 4) if isinstance(v, float) else v)
             for k, v in out.items()})))

@@ -158,18 +158,24 @@ def to_pgm_image(occ: np.ndarray) -> np.ndarray:
     return img[::-1]
 
 
-def export_map(m, pgm_path: str, yaml_path: Optional[str] = None) -> None:
-    """Write a MazeMap's raster as map_server PGM (+YAML) — the inverse of
-    `from_pgm`, so framework maps interoperate with ROS tooling."""
-    occ = np.asarray(m.occ).astype(np.int8) * 100
-    save_pgm(pgm_path, to_pgm_image(occ))
+def export_raster(occ, resolution: float, origin_x: float, origin_y: float,
+                  pgm_path: str, yaml_path: Optional[str] = None) -> None:
+    """Write a binary/trinary occupancy raster (>0 wall, <0 unknown, 0
+    free) as map_server PGM (+YAML)."""
+    save_pgm(pgm_path, to_pgm_image(np.asarray(occ)))
     if yaml_path is not None:
         with open(yaml_path, "w") as f:
             f.write(
                 "image: %s\nresolution: %s\norigin: [%s, %s, 0.0]\n"
                 "negate: 0\noccupied_thresh: 0.65\nfree_thresh: 0.196\n"
-                % (osp.basename(pgm_path), m.resolution,
-                   m.origin_x, m.origin_y))
+                % (osp.basename(pgm_path), resolution, origin_x, origin_y))
+
+
+def export_map(m, pgm_path: str, yaml_path: Optional[str] = None) -> None:
+    """Write a MazeMap's raster as map_server PGM (+YAML) — the inverse of
+    `from_pgm`, so framework maps interoperate with ROS tooling."""
+    export_raster(np.asarray(m.occ).astype(np.int8) * 100,
+                  m.resolution, m.origin_x, m.origin_y, pgm_path, yaml_path)
 
 
 def from_pgm(

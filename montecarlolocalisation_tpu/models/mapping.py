@@ -158,6 +158,25 @@ def to_occupancy(logodds, threshold: float = 0.0):
     return logodds > threshold
 
 
+def to_trinary(logodds, occ_threshold: float = 0.5,
+               free_threshold: float = -0.5):
+    """Log-odds -> map_server trinary int8: 100 occupied, 0 free,
+    -1 unknown (in-between evidence).  Feed to maps/pgm.export_raster to
+    publish a LEARNED map in ROS map_server format."""
+    lo = np.asarray(logodds)
+    return np.where(lo > occ_threshold, 100,
+                    np.where(lo < free_threshold, 0, -1)).astype(np.int8)
+
+
+def export_learned_map(logodds, cfg: MappingConfig, pgm_path: str,
+                       yaml_path=None) -> None:
+    """Write a learned map as a ROS map_server PGM (+YAML) trinary."""
+    from ..maps import pgm
+
+    pgm.export_raster(to_trinary(logodds), cfg.resolution, cfg.origin_x,
+                      cfg.origin_y, pgm_path, yaml_path)
+
+
 def fit_walls(logodds, cell_px: int = 8, explored_abs: float = 0.5,
               min_explored_frac: float = 0.4,
               unexplored_is_wall: bool = True) -> np.ndarray:

@@ -174,7 +174,8 @@ def run_sweep(world: World, batch: int = 64, num_ticks: int = 150,
 
 def run_mapping(world: World, seed: int = 0, num_ticks: int = 600,
                 robots: int = 8, relocalize: bool = True,
-                pose_source: str = "true", slip_noise: float = 0.0):
+                pose_source: str = "true", slip_noise: float = 0.0,
+                export: Optional[str] = None):
     """Explore -> map -> localize on the LEARNED map (models/mapping).
 
     `robots` wanderers explore from spread-out starts (their per-episode
@@ -225,6 +226,12 @@ def run_mapping(world: World, seed: int = 0, num_ticks: int = 600,
     out = dict(robots=len(starts), ticks_per_robot=num_ticks,
                explored_frac=float(np.mean(np.abs(lo) > 0.5)),
                **mapping.wall_metrics(learned_walls, np.asarray(m.walls)))
+    if export:
+        # Publish the learned map in ROS map_server format (trinary PGM +
+        # YAML); `--map <export>.yaml` then runs the whole stack on it.
+        base = export[:-5] if export.endswith(".yaml") else export
+        mapping.export_learned_map(lo, mc, base + ".pgm", base + ".yaml")
+        out["exported"] = base + ".yaml"
 
     if relocalize:
         # Rebuild a clean raster from the fitted lattice and localize a

@@ -207,6 +207,31 @@ def test_fit_walls_unexplored_defaults():
     assert not mapping.fit_walls(lo, unexplored_is_wall=False).any()
 
 
+def test_export_learned_map_roundtrip(tmp_path):
+    """Learned map -> trinary map_server PGM+YAML -> from_pgm round-trip:
+    occupied pixels survive exactly; unknown pixels re-import as occupied
+    (from_pgm's conservative default) so the filter keeps particles out
+    of unexplored space."""
+    from montecarlolocalisation_tpu.maps import from_pgm
+
+    m = _maze()
+    mc = _mc(m)
+    cfg = FilterConfig(num_particles=64)
+    angles = np.deg2rad(np.linspace(-118, 118, 16)).astype(np.float32)
+    _, scans, poses = robot.generate_wander_episode(
+        jax.random.PRNGKey(0), m, cfg, angles, 150,
+        start_pose=(1.25, 1.25, 0.0))
+    lo = mapping.map_episode(poses, scans, angles, mc, cfg.sensor)
+    tri = mapping.to_trinary(lo)
+    assert set(np.unique(tri)) <= {-1, 0, 100}
+    base = str(tmp_path / "learned")
+    mapping.export_learned_map(lo, mc, base + ".pgm", base + ".yaml")
+    re = from_pgm(base + ".yaml")
+    occ = np.asarray(re.occ)
+    np.testing.assert_array_equal(occ, tri != 0)  # unknown -> occupied
+    assert occ[np.asarray(tri) == 100].all()
+
+
 def test_wall_metrics_identity():
     t = np.zeros((3, 3, 4), bool)
     t[0, 0, 1] = True
