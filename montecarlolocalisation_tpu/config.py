@@ -193,6 +193,52 @@ class KLDConfig:
 
 
 @dataclasses.dataclass(frozen=True)
+class SLAMConfig:
+    """Rao-Blackwellized particle-filter SLAM (models/slam.py; opt-in).
+
+    No reference counterpart — the reference localizes against a
+    hand-written map.txt and cannot build one online.  Each particle
+    carries a pose hypothesis AND its own occupancy grid; weights come
+    from scan-to-OWN-map endpoint consistency (a likelihood-field model
+    over the particle's learned log-odds grid), so pose and map converge
+    together from nothing but encoders + scans.
+    """
+
+    num_particles: int = 128
+    mapping: MappingConfig = MappingConfig()
+    sensor: SensorModelConfig = SensorModelConfig()
+    motion: MotionModelConfig = MotionModelConfig()
+    # AMCL-style likelihood field: per returned beam,
+    # l = z_hit * field(endpoint) + z_rand, where field is the particle's
+    # confident-wall mass Gaussian-widened by field_sigma_px (unit center
+    # weight, banded-matmul blur — models/slam.hit_field).
+    z_hit: float = 0.85
+    z_rand: float = 0.15
+    field_sigma_px: float = 1.5
+    field_radius_px: int = 4
+    # Free-space consistency: `free_samples` interior stations per beam,
+    # each confident-wall crossing multiplies the beam likelihood by
+    # (1 - z_short * field).  The heading-drift signal the endpoint term
+    # cannot see (models/slam.scan_log_likelihood).
+    z_short: float = 0.5
+    free_samples: int = 6
+    free_margin: float = 0.18
+    # Motion-noise inflation over the localization alphas: SLAM's proposal
+    # must cover actuation faults (wheel slip) the alphas were not fit to.
+    alpha_scale: float = 2.0
+    ess_threshold: float = 0.7    # resample when ESS < threshold * P
+    # Gradient scan matching (experimental, default OFF): ascend the
+    # differentiable endpoint likelihood on each particle's OWN map for
+    # `refine_iters` steps before weighting.  Measured to HURT at maze
+    # scale — deterministic uphill moves before weighting bias the
+    # importance weights (no proposal correction) and accelerate lock-in
+    # to the map's own drift; kept opt-in for larger/richer worlds.
+    refine_iters: int = 0
+    refine_step_xy: float = 0.01
+    refine_step_theta: float = 0.01
+
+
+@dataclasses.dataclass(frozen=True)
 class ClusterConfig:
     """k-means pose clustering / confidence (monte_carlo.cpp:802-949)."""
 

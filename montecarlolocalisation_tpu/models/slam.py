@@ -1,0 +1,384 @@
+"""Rao-Blackwellized particle-filter SLAM (occupancy-grid FastSLAM).
+
+No reference counterpart — the reference stack REQUIRES a hand-written
+map.txt (publish_map.py) and localizes against it (monte_carlo.cpp); it has
+no way to estimate pose and map jointly.  models/mapping.py closed half the
+loop (build a map from known/dead-reckoned poses); this module closes it
+fully: each particle carries a pose hypothesis AND its own occupancy grid,
+so the robot localizes in the map it is simultaneously building — nothing
+but encoders + scans in, (pose, map) posterior out.
+
+TPU-native design decisions:
+
+* The map posterior is P dense [H, W] log-odds grids carried as ONE
+  [P, H, W] array.  P is small (FastSLAM operates at tens of particles);
+  the per-tick map update is the existing dense inverse sensor model
+  (models/mapping.update_map) vmapped over particles — [P, H, W, B]
+  broadcast compute, zero scatter.
+* The weight model is a likelihood field over each particle's OWN map:
+  per returned beam, bilinearly sample P(occupied) at the scan endpoint
+  and score l = z_hit * P(occ) + z_rand.  The bilinear sample is a
+  GATHER-FREE einsum: tent-function weights over the row/col axes
+  (max(0, 1 - |coord - index|) is exactly linear interpolation) contract
+  the [P, H, W] occupancy stack on the MXU — TPU has no per-lane gather
+  (see CLAUDE.md), and at P*B*H*W ~ 10^7 MACs/tick the dense contraction
+  is effectively free.
+* Because the sample is bilinear, the per-particle log-likelihood is
+  DIFFERENTIABLE in the pose — `refine_iters` > 0 runs a few steps of
+  gradient ascent per particle against its own map before weighting
+  (GMapping's scan-matched proposal as autodiff, same trick as
+  models/refine.py uses against the static map).
+* Resampling is the framework's closed-form systematic expansion
+  (models/resample.systematic_indices); particle maps ride the same index
+  gather.  An ESS gate (Doucet's N_eff) keeps map copies rare: ticks that
+  skip resampling touch only weights.
+* Everything is a pure function of (state, tick inputs): episodes fold
+  under `lax.scan` (run_slam_episode) and fleets of SLAM robots vmap.
+
+Unknown cells sample P(occ) = 0.5, so before the map has evidence every
+particle scores identically and the filter coasts on odometry — the
+correct cold-start behavior, no special casing.
+"""
+from __future__ import annotations
+
+import dataclasses
+import math
+
+import jax
+import jax.numpy as jnp
+
+from ..config import SLAMConfig
+from ..utils.angles import normalize_angle
+from . import mapping, motion
+from .resample import systematic_indices
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class SLAMState:
+    """Joint (pose, map) particle posterior + shared odometry integrator."""
+
+    poses: jax.Array       # [P, 3] world (x, y, theta) hypotheses
+    logodds: jax.Array     # [P, H, W] per-particle occupancy log-odds
+    weights: jax.Array     # [P] normalized importance weights
+    odom: motion.OdometryState   # shared encoder integrator
+    key: jax.Array         # PRNG carried through ticks
+
+
+def init_slam(key, start_pose, cfg: SLAMConfig) -> SLAMState:
+    """All particles at the (known) start pose, empty maps, uniform weights.
+
+    SLAM is anchored at the start pose by convention (the map frame is
+    defined by it) — global relocalization on a learned map is the
+    existing filter's job (models/filter + maps/grid.from_raster).
+    """
+    p = cfg.num_particles
+    sp = jnp.asarray(start_pose, jnp.float32)
+    poses = jnp.broadcast_to(sp, (p, 3)).astype(jnp.float32)
+    logodds = jnp.zeros((p, cfg.mapping.height, cfg.mapping.width),
+                        jnp.float32)
+    weights = jnp.full((p,), 1.0 / p, jnp.float32)
+    odom = motion.OdometryState.zero()
+    odom = dataclasses.replace(odom, x=sp[0], y=sp[1], theta=sp[2])
+    return SLAMState(poses=poses, logodds=logodds, weights=weights,
+                     odom=odom, key=key)
+
+
+def _endpoints(poses, ranges, angles, cfg: SLAMConfig):
+    """Scan endpoints in world coords per (particle, beam): [P, B] x/y.
+
+    Same sensor geometry as the filter and the mapper: ray origin
+    `laser_offset` ahead of the pose (monte_carlo.cpp:643-645), beam angle
+    negated under the reference convention (:653).
+    """
+    theta = poses[:, 2:3]                                   # [P, 1]
+    ox = poses[:, 0:1] + cfg.sensor.laser_offset * jnp.cos(theta)
+    oy = poses[:, 1:2] + cfg.sensor.laser_offset * jnp.sin(theta)
+    sign = -1.0 if cfg.sensor.negate_beam_angle else 1.0
+    ray = theta + sign * angles[None, :]                    # [P, B]
+    # Sample at the WALL PIXEL CENTER, half a pixel past the near-face
+    # return — where update_map deposits the hit mass ([r - hit_margin,
+    # r + hit_depth]).  Sampling at exactly r would put the field peak
+    # res/2 PAST every endpoint, a systematic forward-along-beam pull on
+    # the whole cloud (measured: the bias compounds over an episode).
+    r = ranges[None, :] + 0.5 * cfg.mapping.resolution
+    return ox + r * jnp.cos(ray), oy + r * jnp.sin(ray)
+
+
+def _blur_matrix(n: int, sigma_px: float, radius: int):
+    """Banded Toeplitz 1-D Gaussian with UNIT CENTER weight, [n, n].
+
+    Unnormalized (k[0] = 1) so a learned wall keeps field value ~1 ON the
+    wall and decays as exp(-d^2 / 2 sigma^2) off it — the AMCL
+    likelihood-field shape, computed as two small matmuls instead of a
+    distance transform (no scatter, MXU-friendly at map sizes).
+    """
+    idx = jnp.arange(n, dtype=jnp.float32)
+    d = jnp.abs(idx[:, None] - idx[None, :])
+    k = jnp.exp(-0.5 * (d / sigma_px) ** 2)
+    return jnp.where(d <= radius, k, 0.0)
+
+
+def hit_field(logodds, cfg: SLAMConfig):
+    """Likelihood fields: (blurred [P, H, W], sharp [P, H, W]).
+
+    wallness = sigmoid(4 * (logodds - l_occ / 2)) keeps unknown (0) and
+    free (negative) cells near zero yet counts a SINGLE hit observation
+    as ~0.86 wall — fresh evidence must discriminate immediately or the
+    filter coasts blind through newly-entered corridors.  The blurred
+    field (separable banded-matmul Gaussian, clipped at 1 where walls
+    overlap) widens each wall into a smooth basin for the ENDPOINT model
+    and the gradient scan matcher — the blur is what gives a particle
+    2-3 pixels off a non-zero pull back toward alignment.  The SHARP
+    wallness is kept for the free-space consistency term: a 1.5 px blur
+    reaches ~0.4 m off every wall, which covers the whole corridor
+    interior — crossing detection against the blurred field punishes
+    every ray everywhere (measured to sink the filter).
+    """
+    h, w = logodds.shape[-2], logodds.shape[-1]
+    # Rebase the sigmoid so UNKNOWN (logodds 0) maps to EXACTLY zero wall
+    # mass: the unnormalized blur kernel sums to ~14, so even a 0.14
+    # sigmoid floor saturates the blurred field at 1.0 everywhere and the
+    # endpoint model degenerates to a constant (caught by
+    # test_hit_field_peak_on_wall_and_decay).
+    s = jax.nn.sigmoid(4.0 * (logodds - 0.5 * cfg.mapping.l_occ))
+    s0 = 1.0 / (1.0 + math.exp(2.0 * cfg.mapping.l_occ))
+    wall = jnp.maximum(0.0, (s - s0) / (1.0 - s0))
+    kh = _blur_matrix(h, cfg.field_sigma_px, cfg.field_radius_px)
+    kw = _blur_matrix(w, cfg.field_sigma_px, cfg.field_radius_px)
+    blurred = jnp.clip(jnp.einsum("ia,pab,bj->pij", kh, wall, kw), 0.0, 1.0)
+    return blurred, wall
+
+
+def _bilinear(field, ex, ey, mcfg):
+    """Bilinear world-point sampling of [P, H, W] fields, gather-free.
+
+    ex/ey [P, B] -> [P, B].  Tent weights max(0, 1 - |coord - index|)
+    over each axis ARE the bilinear interpolation coefficients; the
+    double contraction runs on the MXU instead of per-lane gathers (TPU
+    gathers serialize — CLAUDE.md).  Coordinates are clipped to the grid,
+    so out-of-map endpoints read the border cell rather than wrapping.
+    """
+    h, w = field.shape[-2], field.shape[-1]
+    res = mcfg.resolution
+    # Pixel-CENTER coordinates (update_map places centers at +0.5 * res).
+    u = jnp.clip((ex - mcfg.origin_x) / res - 0.5, 0.0, w - 1.0)  # cols
+    v = jnp.clip((ey - mcfg.origin_y) / res - 0.5, 0.0, h - 1.0)  # rows
+    rows = jnp.arange(h, dtype=jnp.float32)
+    cols = jnp.arange(w, dtype=jnp.float32)
+    row_w = jnp.maximum(0.0, 1.0 - jnp.abs(v[..., None] - rows))  # [P, B, H]
+    col_w = jnp.maximum(0.0, 1.0 - jnp.abs(u[..., None] - cols))  # [P, B, W]
+    return jnp.einsum("pbh,phw,pbw->pb", row_w, field, col_w)
+
+
+def scan_log_likelihood(field, poses, ranges, angles, mask,
+                        cfg: SLAMConfig):
+    """Per-particle log-likelihood of the scan on each particle's field.
+
+    Two terms per valid beam, both read off the same Gaussian-widened
+    wall field of the particle's OWN map:
+
+    * endpoint (returned beams only): l = z_hit * field(endpoint) +
+      z_rand — the AMCL likelihood-field model;
+    * free-space consistency (all valid beams): interior samples along
+      the ray must NOT sit on a confident wall — each crossing multiplies
+      the beam likelihood by (1 - z_short * field(s)).  The endpoint
+      term alone is blind to pose drift ALONG extended walls (a maze is
+      mostly axis-aligned planes); rays crossing previously-mapped walls
+      are the strongest heading-drift signal a revisit provides.
+
+    No-return beams skip the endpoint term (their endpoint is not
+    evidence of a surface) but still contribute free-space consistency
+    over their full length.  Returns [P].
+    """
+    field_hit, field_wall = field
+    ranges = jnp.asarray(ranges, jnp.float32)
+    ex, ey = _endpoints(poses, ranges, angles, cfg)
+    f = _bilinear(field_hit, ex, ey, cfg.mapping)
+    maskf = jnp.asarray(mask, jnp.float32)
+    valid = maskf * (ranges <= cfg.mapping.max_trusted_range).astype(
+        jnp.float32)
+    returned = valid * (
+        ranges < cfg.sensor.max_range - 1e-6).astype(jnp.float32)
+    per_beam = jnp.log(cfg.z_hit * f + cfg.z_rand) * returned[None, :]
+    if cfg.z_short > 0.0 and cfg.free_samples > 0:
+        theta = poses[:, 2:3]
+        ox = poses[:, 0:1] + cfg.sensor.laser_offset * jnp.cos(theta)
+        oy = poses[:, 1:2] + cfg.sensor.laser_offset * jnp.sin(theta)
+        sign = -1.0 if cfg.sensor.negate_beam_angle else 1.0
+        ray = theta + sign * angles[None, :]
+        cr, sr = jnp.cos(ray), jnp.sin(ray)
+        # Interior stations at fractions of (r - free_margin): the margin
+        # keeps the last station out of the endpoint wall's own blur
+        # basin, so a correctly-placed wall is not punished as a crossing.
+        span = jnp.maximum(ranges[None, :] - cfg.free_margin, 0.0)
+        fracs = (jnp.arange(1, cfg.free_samples + 1, dtype=jnp.float32)
+                 / cfg.free_samples)
+        for k in range(cfg.free_samples):
+            s = span * fracs[k]
+            fk = _bilinear(field_wall, ox + s * cr, oy + s * sr,
+                           cfg.mapping)
+            per_beam = per_beam + (
+                jnp.log1p(-cfg.z_short * fk) * valid[None, :])
+    return jnp.sum(per_beam, axis=-1)
+
+
+def _refine_poses(poses, field, ranges, angles, mask, cfg: SLAMConfig):
+    """Gradient scan matching against each particle's OWN likelihood field.
+
+    A few steps of sign-gradient ascent on the differentiable endpoint
+    likelihood, per-particle accept-if-better (the same safeguarded
+    hill-climb as models/refine.py, but the 'map' here is the particle's
+    learned grid, so refinement sharpens the SLAM proposal exactly where
+    GMapping applies its scan matcher).  The Gaussian-widened field gives
+    the gradient ~field_radius_px pixels of reach.  Fields are constants
+    here (stop_gradient) — only the pose moves.
+    """
+    lo = jax.lax.stop_gradient(field)
+
+    def score(p):
+        return scan_log_likelihood(lo, p, ranges, angles, mask, cfg)
+
+    def one_iter(carry, _):
+        p, s = carry
+        g = jax.grad(lambda q: jnp.sum(score(q)))(p)
+        step = jnp.array([cfg.refine_step_xy, cfg.refine_step_xy,
+                          cfg.refine_step_theta], jnp.float32)
+        cand = p + step * jnp.sign(g)
+        s_cand = score(cand)
+        better = s_cand > s
+        return (jnp.where(better[:, None], cand, p),
+                jnp.where(better, s_cand, s)), None
+
+    (refined, _), _ = jax.lax.scan(
+        one_iter, (poses, score(poses)), None, length=cfg.refine_iters)
+    return refined
+
+
+def slam_step(state: SLAMState, encoder_left, encoder_right, ranges,
+              angles, mask, cfg: SLAMConfig):
+    """One SLAM tick: propose (odometry + noise), weight (scan vs own map),
+    resample (ESS-gated, maps ride along), map-update (vmapped dense ISM).
+
+    Returns (new_state, info) with info = dict(pose [3] weighted-mean
+    estimate, best_pose [3], ess, resampled flag).
+    """
+    p_count = cfg.num_particles
+    k_noise, k_draw, k_next = jax.random.split(state.key, 3)
+
+    # 1. Motion proposal: shared encoder integration, PER-PARTICLE noise
+    # (diversity is the SLAM proposal; the reference's shared-noise quirk
+    # would collapse it).  alpha_scale inflates the localization alphas —
+    # the proposal must cover odometry error before the map can correct it.
+    new_odom, rot1, trans, rot2 = motion.diff_drive_update(
+        state.odom, encoder_left, encoder_right, cfg.motion)
+    # Guarded decomposition for in-place turns: with trans ~ 0 the
+    # reference's rot1 = atan2(~0, ~0) - theta_prev is numerical garbage
+    # of magnitude O(pi), and alpha_1 * |rot1| then injects degrees of
+    # heading noise PER TICK during every turn (the localization filter
+    # keeps the quirk for parity; SLAM cannot afford it — measured to
+    # blow up heading error at every wander turn).  With trans ~ 0 the
+    # split between rot1 and rot2 is unobservable, so rot1 = 0,
+    # rot2 = delta_theta is an equivalent decomposition.
+    turning_in_place = trans < 1e-4
+    rot2 = jnp.where(turning_in_place, rot1 + rot2, rot2)
+    rot1 = jnp.where(turning_in_place, 0.0, rot1)
+    mcfg = dataclasses.replace(
+        cfg.motion,
+        alpha_1=cfg.motion.alpha_1 * cfg.alpha_scale,
+        alpha_2=cfg.motion.alpha_2 * cfg.alpha_scale,
+        alpha_3=cfg.motion.alpha_3 * cfg.alpha_scale,
+        alpha_4=cfg.motion.alpha_4 * cfg.alpha_scale)
+    n_rot1, n_trans, n_rot2 = motion.sample_motion_noise(
+        k_noise, rot1, trans, rot2, mcfg, (p_count,))
+    poses = motion.propagate_particles(state.poses, n_rot1, n_trans, n_rot2)
+    poses = poses.at[:, 2].set(normalize_angle(poses[:, 2]))
+
+    ranges = jnp.asarray(ranges, jnp.float32)
+    angles = jnp.asarray(angles, jnp.float32)
+    mask = jnp.asarray(mask, jnp.float32)
+
+    # Likelihood field of each particle's PRE-UPDATE map, computed once
+    # per tick and shared by the scan matcher and the weighting below.
+    field = hit_field(state.logodds, cfg)
+
+    # 2. Optional gradient scan matching (sharpen the proposal).
+    if cfg.refine_iters > 0:
+        poses = _refine_poses(poses, field, ranges, angles, mask, cfg)
+
+    # 3. Weight on the PRE-UPDATE maps (measure against evidence from
+    # previous scans only — weighting against a map that already contains
+    # this scan would be circular).
+    loglik = scan_log_likelihood(field, poses, ranges, angles, mask, cfg)
+    logw = jnp.log(state.weights) + loglik
+    logw = logw - jnp.max(logw)
+    w = jnp.exp(logw)
+    w = w / jnp.sum(w)
+
+    # 4. ESS-gated systematic resampling; maps ride the same indices.
+    ess = 1.0 / jnp.sum(w * w)
+
+    def _resample(operand):
+        ps, lo, ww = operand
+        cdf = jnp.cumsum(ww)
+        u0 = jax.random.uniform(k_draw, ())
+        idx = systematic_indices(cdf, u0)
+        return (ps[idx], lo[idx],
+                jnp.full((p_count,), 1.0 / p_count, jnp.float32))
+
+    poses, logodds, w = jax.lax.cond(
+        ess < cfg.ess_threshold * p_count,
+        _resample, lambda op: op, (poses, state.logodds, w))
+
+    # 5. Map update: each surviving particle folds the scan into ITS map
+    # at ITS pose (vmapped dense inverse sensor model, zero scatter).
+    logodds = jax.vmap(
+        lambda lo, p: mapping.update_map(lo, p, ranges, angles, mask,
+                                         cfg.mapping, cfg.sensor)
+    )(logodds, poses)
+
+    # Pose estimate: weighted mean with circular mean for theta.
+    mx = jnp.sum(w * poses[:, 0])
+    my = jnp.sum(w * poses[:, 1])
+    mt = jnp.arctan2(jnp.sum(w * jnp.sin(poses[:, 2])),
+                     jnp.sum(w * jnp.cos(poses[:, 2])))
+    best = jnp.argmax(w)
+    info = dict(pose=jnp.stack([mx, my, mt]),
+                best_pose=poses[best],
+                ess=ess,
+                resampled=ess < cfg.ess_threshold * p_count)
+    new_state = SLAMState(poses=poses, logodds=logodds, weights=w,
+                          odom=new_odom, key=k_next)
+    return new_state, info
+
+
+def run_slam_episode(key, encoders, scan_ranges, scan_angles,
+                     cfg: SLAMConfig, start_pose, scan_mask=None):
+    """Fold a whole episode under `lax.scan`.
+
+    encoders [T, 2] cumulative wheel radians, scan_ranges [T, B],
+    scan_angles [B] static.  Returns (final SLAMState, per-tick pose
+    estimates [T, 3]).  vmap over a leading episode axis for parallel
+    SLAM robots.
+    """
+    angles = jnp.asarray(scan_angles, jnp.float32)
+    ranges = jnp.asarray(scan_ranges, jnp.float32)
+    if scan_mask is None:
+        scan_mask = jnp.ones(ranges.shape, jnp.float32)
+    state = init_slam(key, start_pose, cfg)
+
+    def body(st, xs):
+        enc, rng, msk = xs
+        st, info = slam_step(st, enc[0], enc[1], rng, angles, msk, cfg)
+        return st, info["pose"]
+
+    final, poses = jax.lax.scan(
+        body, state,
+        (jnp.asarray(encoders, jnp.float32), ranges,
+         jnp.asarray(scan_mask, jnp.float32)))
+    return final, poses
+
+
+def best_map(state: SLAMState):
+    """Highest-weight particle's log-odds grid (the MAP map estimate)."""
+    return state.logodds[jnp.argmax(state.weights)]

@@ -1,0 +1,238 @@
+"""RBPF SLAM (models/slam.py).
+
+No reference counterpart (the reference localizes against a hand-written
+map.txt and cannot estimate pose and map jointly); tests pin the
+likelihood-field math (banded-matmul blur, gather-free bilinear sampling),
+the SIR invariants (weights, ESS gate, map-carrying resample), jit/scan
+composition, and — at sweep level, not single pinned seeds — that SLAM
+bounds the pose drift dead reckoning accumulates under wheel slip while
+producing a usable map.
+"""
+import os.path as osp
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from montecarlolocalisation_tpu.config import (FilterConfig, MappingConfig,
+                                               SLAMConfig)
+from montecarlolocalisation_tpu.maps import from_map_file
+from montecarlolocalisation_tpu.models import mapping, slam
+from montecarlolocalisation_tpu.sim import robot
+
+MAP_PATH = osp.join(osp.dirname(__file__), "..", "montecarlolocalisation_tpu",
+                    "maps", "default_map.txt")
+
+
+def _maze():
+    return from_map_file(MAP_PATH)
+
+
+def _cfg(m, **kw):
+    mc = MappingConfig(height=m.height, width=m.width,
+                       resolution=float(m.resolution),
+                       origin_x=float(m.origin_x),
+                       origin_y=float(m.origin_y))
+    return SLAMConfig(mapping=mc, **kw)
+
+
+# ---------------------------------------------------------------------------
+# Field / sampling math
+# ---------------------------------------------------------------------------
+def test_blur_matrix_unit_center_and_band():
+    k = np.asarray(slam._blur_matrix(9, sigma_px=1.5, radius=3))
+    assert np.allclose(np.diag(k), 1.0)          # unit center weight
+    assert k[0, 4] == 0.0                        # outside radius
+    assert np.isclose(k[0, 3], np.exp(-0.5 * (3.0 / 1.5) ** 2), atol=1e-6)
+    d1 = np.exp(-0.5 * (1.0 / 1.5) ** 2)
+    assert np.isclose(k[2, 3], d1, atol=1e-6)
+    assert np.allclose(k, k.T)
+
+
+def test_hit_field_peak_on_wall_and_decay():
+    cfg = _cfg(_maze())
+    lo = jnp.zeros((1, 21, 21), jnp.float32).at[0, 10, 10].set(8.0)
+    blurred, sharp = slam.hit_field(lo, cfg)
+    blurred, sharp = np.asarray(blurred)[0], np.asarray(sharp)[0]
+    assert sharp[10, 10] > 0.99
+    assert sharp[10, 11] < 0.2                   # sharp field stays local
+    assert blurred[10, 10] > 0.99
+    d1 = np.exp(-0.5 * (1.0 / cfg.field_sigma_px) ** 2)
+    assert np.isclose(blurred[10, 11], d1, atol=1e-2)
+    assert blurred[10, 10 + cfg.field_radius_px + 1] == 0.0
+    # A single observation already counts as mostly-wall (sharp > 0.8).
+    lo1 = jnp.zeros((1, 21, 21), jnp.float32).at[0, 5, 5].set(
+        cfg.mapping.l_occ)
+    _, sharp1 = slam.hit_field(lo1, cfg)
+    assert float(sharp1[0, 5, 5]) > 0.8
+    # Unknown (0) and free (negative) cells are near zero.
+    assert float(sharp1[0, 0, 0]) < 0.2
+
+
+def test_bilinear_matches_manual_interpolation():
+    cfg = _cfg(_maze())
+    mcfg = cfg.mapping
+    rng = np.random.default_rng(0)
+    field = jnp.asarray(rng.uniform(size=(2, mcfg.height, mcfg.width)),
+                        jnp.float32)
+    # Points at exact pixel centers read the pixel value.
+    r, c = 7, 11
+    ex = jnp.full((2, 1), mcfg.origin_x + (c + 0.5) * mcfg.resolution)
+    ey = jnp.full((2, 1), mcfg.origin_y + (r + 0.5) * mcfg.resolution)
+    got = np.asarray(slam._bilinear(field, ex, ey, mcfg))
+    assert np.allclose(got[:, 0], np.asarray(field)[:, r, c], atol=1e-5)
+    # A point halfway between two pixel centers reads their average.
+    ex2 = ex + 0.5 * mcfg.resolution
+    got2 = np.asarray(slam._bilinear(field, ex2, ey, mcfg))
+    want = 0.5 * (np.asarray(field)[:, r, c] + np.asarray(field)[:, r, c + 1])
+    assert np.allclose(got2[:, 0], want, atol=1e-5)
+
+
+def test_endpoints_follow_reference_beam_geometry():
+    m = _maze()
+    cfg = _cfg(m)
+    poses = jnp.array([[1.0, 2.0, 0.3]], jnp.float32)
+    angles = jnp.array([0.4], jnp.float32)
+    ranges = jnp.array([0.6], jnp.float32)
+    ex, ey = slam._endpoints(poses, ranges, angles, cfg)
+    off = cfg.sensor.laser_offset
+    ray = 0.3 - 0.4                       # negate_beam_angle quirk
+    r = 0.6 + 0.5 * cfg.mapping.resolution  # wall pixel center
+    assert np.isclose(float(ex[0, 0]),
+                      1.0 + off * np.cos(0.3) + r * np.cos(ray), atol=1e-6)
+    assert np.isclose(float(ey[0, 0]),
+                      2.0 + off * np.sin(0.3) + r * np.sin(ray), atol=1e-6)
+
+
+def test_likelihood_prefers_the_consistent_pose():
+    """On a map with one learned wall, a particle whose beam endpoint hits
+    the wall outscores one displaced half a cell; a particle whose ray
+    CROSSES the wall (free-space violation) scores worst of all."""
+    m = _maze()
+    cfg = _cfg(m)
+    mcfg = cfg.mapping
+    # Wall pixel at world (2.05, 1.25) -> row 12, col 20.
+    lo = jnp.zeros((3, mcfg.height, mcfg.width), jnp.float32)
+    lo = lo.at[:, 12, 20].set(8.0)
+    angles = jnp.array([0.0], jnp.float32)
+    off = cfg.sensor.laser_offset
+    # Particle 0: endpoint exactly on the wall pixel center.
+    x_hit = 2.05 - 0.5 * mcfg.resolution - off - 0.5
+    # Particle 1: endpoint 0.4 m short of the wall.  Particle 2: same
+    # pose as 0 but its beam RETURNS past the wall, so interior stations
+    # cross the learned wall (free-space violation).
+    poses = jnp.array([[x_hit, 1.25, 0.0],
+                       [x_hit - 0.4, 1.25, 0.0],
+                       [x_hit, 1.25, 0.0]], jnp.float32)
+    ranges = jnp.array([0.5], jnp.float32)
+    field = slam.hit_field(lo, cfg)
+    ll_hit = slam.scan_log_likelihood(
+        jax.tree_util.tree_map(lambda f: f[:1], field), poses[:1],
+        ranges, angles, jnp.ones((1,)), cfg)
+    ll_short = slam.scan_log_likelihood(
+        jax.tree_util.tree_map(lambda f: f[1:2], field), poses[1:2],
+        ranges, angles, jnp.ones((1,)), cfg)
+    ll_cross = slam.scan_log_likelihood(
+        jax.tree_util.tree_map(lambda f: f[2:3], field), poses[2:3],
+        jnp.array([0.9], jnp.float32), angles, jnp.ones((1,)), cfg)
+    assert float(ll_hit[0]) > float(ll_short[0]) > float(ll_cross[0])
+
+
+# ---------------------------------------------------------------------------
+# Filter mechanics
+# ---------------------------------------------------------------------------
+def test_slam_step_shapes_weights_and_jit():
+    m = _maze()
+    cfg = _cfg(m, num_particles=16)
+    angles = jnp.asarray(np.deg2rad(np.linspace(-118, 118, 8)), jnp.float32)
+    st = slam.init_slam(jax.random.PRNGKey(0), (1.25, 1.25, 0.0), cfg)
+    ranges = jnp.full((8,), 0.4, jnp.float32)
+    step = jax.jit(lambda s: slam.slam_step(
+        s, jnp.float32(0.3), jnp.float32(0.3), ranges, angles,
+        jnp.ones((8,)), cfg))
+    st2, info = step(st)
+    assert st2.poses.shape == (16, 3)
+    assert st2.logodds.shape == (16, cfg.mapping.height, cfg.mapping.width)
+    assert np.isclose(float(jnp.sum(st2.weights)), 1.0, atol=1e-5)
+    assert info["pose"].shape == (3,)
+    assert np.isfinite(np.asarray(info["pose"])).all()
+    assert 0.0 < float(info["ess"]) <= 16.0 + 1e-4
+    # Maps actually accumulate evidence.
+    assert float(jnp.abs(st2.logodds).sum()) > 0.0
+
+
+def test_resample_carries_maps_with_poses():
+    """Force a degenerate weight distribution: after the gated resample
+    every survivor must carry the dominant particle's pose AND map."""
+    m = _maze()
+    cfg = _cfg(m, num_particles=8, ess_threshold=0.99)
+    angles = jnp.asarray([0.0], jnp.float32)
+    st = slam.init_slam(jax.random.PRNGKey(1), (1.25, 1.25, 0.0), cfg)
+    # Particle 3 gets a distinctive map wall and a huge weight.
+    lo = st.logodds.at[3, 10, 10].set(8.0)
+    w = jnp.full((8,), 1e-6, jnp.float32).at[3].set(1.0)
+    st = slam.SLAMState(poses=st.poses, logodds=lo,
+                        weights=w / jnp.sum(w), odom=st.odom, key=st.key)
+    st2, info = slam.slam_step(
+        st, jnp.float32(0.0), jnp.float32(0.0),
+        jnp.asarray([1.0], jnp.float32), angles, jnp.ones((1,)), cfg)
+    assert bool(info["resampled"])
+    assert np.allclose(np.asarray(st2.weights), 1.0 / 8)
+    # Every survivor's map contains particle 3's wall.
+    assert np.all(np.asarray(st2.logodds[:, 10, 10]) > 1.0)
+
+
+def test_run_slam_episode_scan_and_vmap():
+    m = _maze()
+    fcfg = FilterConfig()
+    cfg = _cfg(m, num_particles=16)
+    angles = np.deg2rad(np.linspace(-118, 118, 8)).astype(np.float32)
+    enc, scans, _ = robot.generate_wander_episode(
+        jax.random.PRNGKey(0), m, fcfg, angles, 12)
+    final, est = slam.run_slam_episode(
+        jax.random.PRNGKey(1), enc, scans, angles, cfg, (1.25, 1.25, 0.0))
+    assert est.shape == (12, 3)
+    assert np.isfinite(np.asarray(est)).all()
+    # Fleet of SLAM robots: vmap over (key, episode).
+    keys = jax.random.split(jax.random.PRNGKey(2), 2)
+    encs = jnp.stack([enc, enc])
+    scs = jnp.stack([scans, scans])
+    _, est_b = jax.vmap(lambda k, e, s: slam.run_slam_episode(
+        k, e, s, angles, cfg, (1.25, 1.25, 0.0)))(keys, encs, scs)
+    assert est_b.shape == (2, 12, 3)
+
+
+# ---------------------------------------------------------------------------
+# End-to-end value: bounded drift + usable map (sweep-level, not one seed)
+# ---------------------------------------------------------------------------
+def test_slam_bounds_drift_under_wheel_slip():
+    """4-episode sweep at 8% wheel slip: SLAM's worst-case final-stretch
+    error stays bounded, its mean beats raw dead reckoning, and the
+    best-particle map stays usable.  Sweep-level assertions (mean / max
+    across seeds), not a hand-picked converging seed."""
+    m = _maze()
+    fcfg = FilterConfig()
+    cfg = _cfg(m, num_particles=64)
+    angles = np.deg2rad(np.linspace(-118, 118, 16)).astype(np.float32)
+    T = 300
+    run = jax.jit(lambda k, e, s: slam.run_slam_episode(
+        k, e, s, angles, cfg, (1.25, 1.25, 0.0)))
+    slam_err, dead_err, f1s = [], [], []
+    for seed in (3, 7, 13, 17):
+        enc, scans, truth = robot.generate_wander_episode(
+            jax.random.PRNGKey(seed), m, fcfg, angles, T, slip_noise=0.08)
+        tn = np.asarray(truth)
+        dr = np.asarray(mapping.dead_reckon_poses(
+            enc, (1.25, 1.25, 0.0), fcfg.motion))
+        final, est = run(jax.random.PRNGKey(0), enc, scans)
+        est = np.asarray(est)
+        slam_err.append(float(np.hypot(est[:, 0] - tn[:, 0],
+                                       est[:, 1] - tn[:, 1])[-75:].mean()))
+        dead_err.append(float(np.hypot(dr[:, 0] - tn[:, 0],
+                                       dr[:, 1] - tn[:, 1])[-75:].mean()))
+        walls = mapping.fit_walls(np.asarray(slam.best_map(final)))
+        f1s.append(mapping.wall_metrics(walls, np.asarray(m.walls))["f1"])
+    assert max(slam_err) < 1.0, (slam_err, dead_err)
+    assert np.mean(slam_err) < max(0.45, np.mean(dead_err)), (
+        slam_err, dead_err)
+    assert min(f1s) > 0.55, f1s
