@@ -89,6 +89,67 @@ def render_filter(occ: np.ndarray, particles=None, weights=None,
     return img
 
 
+C_SCAN = (150, 150, 150)
+C_INLIER = (70, 130, 220)
+C_LINE = (220, 60, 60)
+C_PERP = (40, 170, 90)
+C_INTERSECT = (150, 60, 200)
+C_ORIGIN = (40, 40, 40)
+
+
+def render_align(px, py, mask, lines, intersection=None,
+                 extent_m: float = 1.6, resolution: float = 0.02,
+                 scale: int = 1) -> np.ndarray:
+    """Align-pipeline debug frame — the RANSAC marker surface the
+    reference publishes to RViz (`ransac_lines`, `perpenducular_line`,
+    `intersect_line`, align_server.cpp:806-810).
+
+    Robot-frame view centered on the laser: scan points (grey), each
+    line's inliers (blue) + fitted segment (red), the origin→foot
+    perpendicular (green, perpendicular_foot), and the wall intersection
+    (purple).  `lines` are control.align.Line; `intersection` defaults to
+    intersect_lines(lines[0], lines[1]) when two lines are present.
+    """
+    from ..control import align as align_mod
+
+    side = int(round(2 * extent_m / resolution)) + 1
+    img = np.empty((side, side, 3), dtype=np.uint8)
+    img[...] = C_BG
+
+    def shift(x, y):
+        return np.asarray(x) + extent_m, np.asarray(y) + extent_m
+
+    px = np.asarray(px)
+    py = np.asarray(py)
+    mask = np.asarray(mask, bool)
+    draw_points(img, *shift(px[mask], py[mask]), C_SCAN, resolution, scale,
+                size=0)
+    for ln in lines:
+        inl = np.asarray(ln.inlier_mask, bool)
+        if inl.any():
+            draw_points(img, *shift(px[inl], py[inl]), C_INLIER,
+                        resolution, scale, size=0)
+        (x0, y0), (x1, y1) = ln.first_inlier, ln.last_inlier
+        sx0, sy0 = shift(x0, y0)
+        sx1, sy1 = shift(x1, y1)
+        draw_segment(img, sx0, sy0, sx1, sy1, C_LINE, resolution, scale,
+                     n=256)
+        fx, fy = align_mod.perpendicular_foot(ln)
+        sfx, sfy = shift(fx, fy)
+        sox, soy = shift(0.0, 0.0)
+        draw_segment(img, sox, soy, sfx, sfy, C_PERP, resolution, scale,
+                     n=128)
+        draw_points(img, [sfx], [sfy], C_PERP, resolution, scale, size=2)
+    if intersection is None and len(lines) >= 2:
+        intersection = align_mod.intersect_lines(lines[0], lines[1])
+    if intersection is not None:
+        ix, iy = shift(intersection[0], intersection[1])
+        draw_points(img, [ix], [iy], C_INTERSECT, resolution, scale, size=3)
+    ox, oy = shift(0.0, 0.0)
+    draw_points(img, [ox], [oy], C_ORIGIN, resolution, scale, size=2)
+    return img
+
+
 def save_ppm(img: np.ndarray, path: str) -> None:
     """Write RGB uint8 image as binary PPM (no imaging dependency)."""
     h, w = img.shape[:2]

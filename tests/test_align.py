@@ -106,6 +106,66 @@ def test_ransac_no_lines_in_noise():
     assert len(lines) == 0  # below min_inliers=50
 
 
+def test_align_explores_from_open_space():
+    """<2 RANSAC lines must NOT abort the service: the reference explores
+    (forward at 5/5, avoidObstacle(0.18) when blocked) until two walls
+    lock, then aligns (align_server.cpp:779-793).  From the center of an
+    open 3x3-cell room every wall is beyond the 1.0 m laser range, so the
+    one-shot flow would return an empty plan."""
+    import jax as _jax
+
+    from montecarlolocalisation_tpu.config import (
+        WALL_BOTTOM, WALL_LEFT, WALL_RIGHT, WALL_TOP, FilterConfig,
+        SensorModelConfig)
+    from montecarlolocalisation_tpu.maps import from_walls
+    from montecarlolocalisation_tpu.sim import align_sim
+
+    room = [[[e for e, on in ((WALL_TOP, r == 0), (WALL_BOTTOM, r == 2),
+                              (WALL_LEFT, c == 0), (WALL_RIGHT, c == 2))
+              if on]
+             for c in range(3)] for r in range(3)]
+    box = from_walls(room)
+    cfg = FilterConfig(sensor=SensorModelConfig(ray_mode="dda"))
+    start = (1.2, 1.2, 0.4)      # room center: nearest wall ~1.2 m away
+    px, py, mask = align_sim.full_circle_scan(box, jnp.asarray(start),
+                                              cfg)
+    assert len(align.ransac_extract(jax.random.PRNGKey(0),
+                                    jnp.asarray(px), jnp.asarray(py),
+                                    mask, AlignConfig())) < 2
+    rb, plan = align_sim.run_align(_jax.random.PRNGKey(0), box, cfg, start)
+    assert len(plan) == 4, "explore loop failed to lock two walls"
+    assert abs(abs(plan[2].value) - 90.0) < 1e-6
+    # Ends inside the room, pulled toward the two locked walls' standoff.
+    assert 0.0 < float(rb.x) < 2.4 and 0.0 < float(rb.y) < 2.4
+
+
+def test_render_align_draws_all_marker_layers():
+    """viz.render_align is the stand-in for the reference's RViz RANSAC
+    markers (ransac_lines / perpenducular_line / intersect_line,
+    align_server.cpp:806-810): lines, perpendicular feet, and the corner
+    intersection must all land in the frame."""
+    import jax as _jax
+
+    from montecarlolocalisation_tpu.config import (FilterConfig,
+                                                   SensorModelConfig)
+    from montecarlolocalisation_tpu.maps import from_walls
+    from montecarlolocalisation_tpu.sim import align_sim
+    from montecarlolocalisation_tpu.utils import viz
+
+    box = from_walls([[[0, 1, 2, 3]]])
+    cfg = FilterConfig(sensor=SensorModelConfig(ray_mode="dda"))
+    px, py, mask = align_sim.full_circle_scan(
+        box, jnp.asarray((0.3, 0.5, 0.2)), cfg)
+    lines = align.ransac_extract(_jax.random.PRNGKey(0), jnp.asarray(px),
+                                 jnp.asarray(py), mask, AlignConfig())
+    assert len(lines) >= 2
+    img = viz.render_align(px, py, mask, lines)
+    assert img.ndim == 3 and img.shape[2] == 3
+    for color in (viz.C_SCAN, viz.C_INLIER, viz.C_LINE, viz.C_PERP,
+                  viz.C_INTERSECT):
+        assert (img == np.array(color, np.uint8)).all(-1).any(), color
+
+
 def test_align_sim_end_to_end_roughly_centers():
     """Full align_call flow through the simulator: scan -> RANSAC ->
     plan -> timed execution.  The reference's standoff corrections were
