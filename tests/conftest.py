@@ -17,6 +17,16 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent XLA compilation cache: the suite is compile-bound on this
+# 1-CPU box (hundreds of small jit episodes), and identical HLO recurs
+# both across test files within one run and across runs — warm runs skip
+# most of that work.  Keyed by backend+flags, so the forced 8-device CPU
+# platform gets its own entries; safe to delete the directory any time.
+_CACHE_DIR = os.path.join(os.path.dirname(__file__), "..", ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
 import pytest  # noqa: E402
 
 

@@ -16,6 +16,7 @@ from montecarlolocalisation_tpu.io.server import MCLServer
 from montecarlolocalisation_tpu.maps import from_map_file
 from montecarlolocalisation_tpu.models import resample, sensor
 from montecarlolocalisation_tpu.sim import robot
+import pytest
 
 MAP_PATH = osp.join(osp.dirname(__file__), "..", "montecarlolocalisation_tpu",
                     "maps", "default_map.txt")
@@ -47,6 +48,7 @@ def test_resize_zero_weights_uniform_fallback():
     assert len(np.unique(np.asarray(out[:, 0]))) > 32
 
 
+@pytest.mark.slow
 def test_server_budget_shrinks_then_recovers_on_kidnap():
     m = from_map_file(MAP_PATH)
     cfg = FilterConfig(num_particles=1024)

@@ -15,6 +15,7 @@ from montecarlolocalisation_tpu.config import (FilterConfig,
                                                SensorModelConfig)
 from montecarlolocalisation_tpu.models import calibrate, sensor
 from montecarlolocalisation_tpu.sim import robot
+import pytest
 
 
 def _episode(m, cfg, ticks=200, seed=0, start=(2.05, 2.05, 0.0)):
@@ -52,6 +53,7 @@ def test_fit_motion_params_recovers_truth(default_map):
     assert abs(wsp - cfg.motion.wheel_space) / cfg.motion.wheel_space < 0.05, wsp
 
 
+@pytest.mark.slow
 def test_fit_sensor_sigma_recovers_truth(default_map):
     cfg = FilterConfig(num_particles=8,
                        sensor=SensorModelConfig(lookup_mode="gather"))

@@ -144,6 +144,7 @@ def test_fleet_raw_scans(default_map, cfg):
         fl.tick_raw([0.1, 0.1], [0.1, 0.1], [raw])
 
 
+@pytest.mark.slow
 def test_fleet_pipelined_matches_sync(default_map, cfg):
     """pipeline=True outputs are the sync outputs offset by one tick,
     bit-exact (same jit program, dispatch order unchanged)."""
@@ -174,6 +175,7 @@ def test_fleet_pipelined_matches_sync(default_map, cfg):
     assert replies[ticks]["n_robots"] == N_ROBOTS
 
 
+@pytest.mark.slow
 def test_fleet_sharded_over_mesh(default_map, cfg):
     """Robot axis sharded over the 8-device virtual mesh (pure DP)."""
     from jax.sharding import Mesh

@@ -43,6 +43,7 @@ def test_generated_maze_rasterizes():
     assert np.asarray(m.occ).any()
 
 
+@pytest.mark.slow
 def test_multimap_sweep_runs():
     maps = generator.generate_map_batch(2, rows=4, cols=4, seed=0)
     cfg = FilterConfig(num_particles=128,

@@ -131,6 +131,7 @@ def test_viz_render(tmp_path):
         assert f.read(2) == b"P6"
 
 
+@pytest.mark.slow
 def test_profiling_stage_times():
     from montecarlolocalisation_tpu.utils import profiling
 

@@ -18,6 +18,7 @@ from montecarlolocalisation_tpu.io.server import MCLServer
 from montecarlolocalisation_tpu.maps import from_map_file
 from montecarlolocalisation_tpu.models import kld, sensor
 from montecarlolocalisation_tpu.sim import robot
+import pytest
 
 MAP_PATH = osp.join(osp.dirname(__file__), "..", "montecarlolocalisation_tpu",
                     "maps", "default_map.txt")
@@ -118,6 +119,7 @@ def test_kld_policy_grows_immediately_shrinks_with_patience():
     assert srv.num_particles == 1024
 
 
+@pytest.mark.slow
 def test_server_kld_live_shrink_and_kidnap_recovery():
     m = from_map_file(MAP_PATH)
     cfg = FilterConfig(num_particles=1024)

@@ -73,6 +73,7 @@ def test_multihost_episode_batch_runs(default_map):
     assert np.isfinite(multihost.all_processes_value(final.particles)).all()
 
 
+@pytest.mark.slow
 def test_two_process_distributed_integration():
     """REAL jax.distributed 2-process run (local CPU, DCN-style topology):
     both processes must produce the same gathered results, bit-identical

@@ -107,6 +107,7 @@ def test_valid_pos_dilated_matches_stencil():
     assert (fast == exact).mean() > 0.999
 
 
+@pytest.mark.slow
 def test_stage_knockout_times_smoke():
     # Tiny config on CPU: all marginals finite, stand-ins preserve shapes.
     import os.path as osp

@@ -39,6 +39,7 @@ def test_sweep_preset(world):
     assert 0.0 <= float(metrics["alias_converged_frac"]) <= 1.0
 
 
+@pytest.mark.slow
 def test_tick_chunked_sweep_bit_identical(world):
     """tick_chunk segments must reproduce the single-scan run exactly
     (the per-tick RNG rides in the carried MCLState), including a ragged

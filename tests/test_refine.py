@@ -101,6 +101,7 @@ def test_iters_zero_is_identity(maze, scan):
     assert out is parts  # not even a copy: the reference path is untouched
 
 
+@pytest.mark.slow
 def test_mcl_step_with_refinement_runs_and_helps(maze, scan):
     base = FilterConfig(num_particles=256)
     refcfg = dataclasses.replace(base, refine=RefineConfig(iters=2))
@@ -126,6 +127,7 @@ def mcl_step_once(st, scan, maze, cfg):
                         maze, cfg)
 
 
+@pytest.mark.slow
 def test_refinement_under_vmap(maze, scan):
     cfg = FilterConfig(refine=RefineConfig(iters=2))
     parts = jnp.stack([_displaced(n=32, seed=s) for s in range(3)])  # [3,32,3]

@@ -58,6 +58,7 @@ def sweep(maze, sim_batch):
     return final, outs, poses
 
 
+@pytest.mark.slow
 def test_sweep_convergence_fraction(sweep, sym):
     final, _, poses = sweep
     m = episodes.sweep_rmse(final, poses, sym=sym)
@@ -92,6 +93,7 @@ def test_sweep_emits_recovery_events(sweep):
         assert int(wcmd[e, rec]) == mcl.WANDERER_STOP
 
 
+@pytest.mark.slow
 def test_sweep_systematic_resampling(maze, sim_batch, sym):
     """The production (systematic) resampler must match multinomial's
     sweep-level convergence, not just one seed's."""

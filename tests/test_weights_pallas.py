@@ -4,6 +4,12 @@ Runs in interpret mode on the CPU test mesh (the real-TPU dispatch is
 exercised by bench.py / the graft entry); asserts the kernel matches the
 dense XLA path for every (ray_mode, beam_combine, quantize) combination the
 dispatch in sensor.beam_weights routes to it.
+
+Interpret mode executes the kernel grid as a Python loop, so cost scales
+with tiles x beams x march steps and the XLA compile cache cannot help —
+the single-launch parity tests run at ONE-tile shapes in the default
+(fast) tier, and the batched/packed launch-geometry sweeps are marked
+`slow` (same assertions, generous shapes; run with -m slow).
 """
 import os.path as osp
 
@@ -22,7 +28,7 @@ MAP_PATH = osp.join(osp.dirname(__file__), "..", "montecarlolocalisation_tpu",
                     "maps", "default_map.txt")
 
 
-def _fixture(n=2048, beams=12, seed=0):
+def _fixture(n=1024, beams=8, seed=0):
     m = from_map_file(MAP_PATH)
     cfg0 = SensorModelConfig()
     angles = np.deg2rad(np.linspace(-118, 118, beams)).astype(np.float32)
@@ -89,7 +95,7 @@ def test_kernel_rejects_dda():
 
 def test_kernel_pads_to_tile():
     # N not a multiple of the 1024-lane tile: padding must not leak.
-    m, parts, scan = _fixture(n=1500)
+    m, parts, scan = _fixture(n=500)
     cfg = SensorModelConfig()
     want = np.asarray(_beam_weights_dense(m, parts, scan, cfg,
                                           m.resolution, "bits"))
@@ -113,6 +119,7 @@ def _batch_fixture(n_ep=3, n=1500, beams=12):
     return m, parts, jnp.asarray(angles), ranges, mask
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("ray_mode", ["fixed", "analytic"])
 @pytest.mark.parametrize("combine", ["sum", "log"])
 def test_batched_kernel_matches_per_episode(ray_mode, combine, monkeypatch):
@@ -146,6 +153,7 @@ def test_batched_kernel_matches_per_episode(ray_mode, combine, monkeypatch):
     np.testing.assert_array_equal(got, want)
 
 
+@pytest.mark.slow
 def test_batched_dispatch_under_vmap_matches_dense():
     # The custom_vmap rule on TPU routes a vmapped beam_weights call to the
     # batched kernel; on CPU it takes the dense fallback.  Pin that the
@@ -170,6 +178,7 @@ def test_batched_dispatch_under_vmap_matches_dense():
         np.testing.assert_allclose(got, want, rtol=rtol, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_batched_kernel_nested_vmap_folds():
     # A second vmap level folds into the episode axis by reshape.
     from montecarlolocalisation_tpu.models.sensor import (
@@ -190,6 +199,7 @@ def test_batched_kernel_nested_vmap_folds():
                                   np.asarray(flat))
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("n,n_ep", [
     (500, 3),    # rows=4, pack=2, one dangling episode in the last group
     (100, 9),    # rows=1, pack=8
@@ -237,7 +247,7 @@ def test_kernel_on_wide_map(ray_mode):
     m = from_walls(generator.generate_maze(9, 12, seed=4))
     cfg0 = SensorModelConfig()
     angles = np.deg2rad(np.linspace(-118, 118, 8)).astype(np.float32)
-    parts = resample.sample_uniform_particles(jax.random.PRNGKey(2), m, 2048)
+    parts = resample.sample_uniform_particles(jax.random.PRNGKey(2), m, 1024)
     scan = sensor.simulate_scan(m, jnp.array([2.0, 2.0, 0.3]), angles, cfg0)
     cfg = SensorModelConfig(ray_mode=ray_mode)
     want = np.asarray(_beam_weights_dense(m, parts, scan, cfg,
@@ -255,6 +265,7 @@ def test_kernel_on_wide_map(ray_mode):
         assert close.mean() > 0.99
 
 
+@pytest.mark.slow
 def test_fixed_march_prepared_matches_chain(monkeypatch):
     """march_prepared (default) is bit-exact with the legacy bitlookup
     chain march (MCL_FIXED_MARCH=loop) on a gridline map."""
@@ -287,7 +298,7 @@ def test_fixed_kernel_nongridline_chain_march():
     assert AnalyticCasterCache.get(m) is None  # really non-gridline
 
     cfg = SensorModelConfig(ray_mode="fixed")
-    angles = np.deg2rad(np.linspace(-118, 118, 10)).astype(np.float32)
+    angles = np.deg2rad(np.linspace(-118, 118, 6)).astype(np.float32)
     parts = resample.sample_uniform_particles(jax.random.PRNGKey(3), m, 1024)
     scan = sensor.simulate_scan(m, jnp.array([1.6, 1.6, 0.7]), angles, cfg)
     want = np.asarray(_beam_weights_dense(m, parts, scan, cfg,
