@@ -15,11 +15,14 @@ def main() -> None:
     ap = argparse.ArgumentParser(prog="montecarlolocalisation_tpu")
     ap.add_argument("preset", choices=["localisation", "planning",
                                        "challenge", "sweep", "moving",
-                                       "calibrate", "mapping", "serve"])
+                                       "calibrate", "mapping", "slam",
+                                       "serve"])
     ap.add_argument("--map", dest="map_path", default=None,
                     help="map file: reference map.txt wall list, or a ROS "
                          "map_server YAML (+PGM raster)")
-    ap.add_argument("--particles", type=int, default=1500)
+    ap.add_argument("--particles", type=int, default=None,
+                    help="particle count (default 1500; slam preset: 64 "
+                         "FastSLAM particles, each carrying its own map)")
     ap.add_argument("--beams", type=int, default=24)
     ap.add_argument("--ticks", type=int, default=None)
     ap.add_argument("--seed", type=int, default=0)
@@ -48,14 +51,20 @@ def main() -> None:
                     help="mapping preset: map from ground-truth poses or "
                          "dead-reckoned encoder logs "
                          "(models/mapping.dead_reckon_poses)")
-    ap.add_argument("--slip", type=float, default=0.0,
-                    help="mapping preset: per-tick multiplicative wheel "
-                         "slip std (ground motion drifts from the encoder "
-                         "log; pair with --pose-source odom)")
+    ap.add_argument("--slip", type=float, default=None,
+                    help="mapping/slam presets: per-tick multiplicative "
+                         "wheel slip std (ground motion drifts from the "
+                         "encoder log; mapping default 0, slam default "
+                         "0.03 — SLAM exists to survive lying encoders)")
     ap.add_argument("--export", default=None, metavar="PATH",
-                    help="mapping preset: write the learned map as ROS "
-                         "map_server PGM+YAML (trinary: occupied/free/"
+                    help="mapping/slam presets: write the learned map as "
+                         "ROS map_server PGM+YAML (trinary: occupied/free/"
                          "unknown); PATH.yaml then works with --map")
+    ap.add_argument("--mission", action="store_true",
+                    help="slam preset: after mapping, plan the gold/pickup "
+                         "TSP challenge ON the learned map and drive it "
+                         "closed-loop (sensing the true maze) — the full "
+                         "explore→SLAM→plan autonomy loop")
     ap.add_argument("--adapt", default=None, metavar="[kld:]NMIN:NMAX",
                     help="serve preset (single robot): elastic particle "
                          "budget — halve the count every 20 confident "
@@ -64,6 +73,14 @@ def main() -> None:
                          "sizes the budget by Fox's KLD-sampling bound "
                          "instead (models/kld.py, AMCL-style)")
     args = ap.parse_args()
+    # --particles means SLAM particles (each carrying its own map) for the
+    # slam preset; the relocalization filter inside it keeps the full
+    # default cloud.
+    slam_particles = args.particles if args.preset == "slam" else None
+    if args.particles is None or args.preset == "slam":
+        args.particles = 1500
+    if args.slip is None:
+        args.slip = 0.03 if args.preset == "slam" else 0.0
     for name in ("particles", "beams", "batch"):
         if getattr(args, name) < 1:
             ap.error(f"--{name} must be >= 1")
@@ -132,6 +149,20 @@ def main() -> None:
                                   slip_noise=args.slip,
                                   export=args.export)
         print(json.dumps(dict(preset="mapping", **{
+            k: (round(float(v), 4) if isinstance(v, float) else v)
+            for k, v in out.items()})))
+    elif args.preset == "slam":
+        # Full autonomy loop (no reference counterpart — its map.txt is
+        # hand-written): explore with lying encoders (wheel slip) -> RBPF
+        # SLAM -> fit_walls -> relocalize on the learned map ->
+        # --mission: TSP challenge planned ON the learned map.
+        out = presets.run_slam(world, seed=args.seed,
+                               num_ticks=args.ticks or 1000,
+                               num_particles=slam_particles or 64,
+                               slip_noise=args.slip,
+                               mission=args.mission,
+                               export=args.export)
+        print(json.dumps(dict(preset="slam", **{
             k: (round(float(v), 4) if isinstance(v, float) else v)
             for k, v in out.items()})))
     elif args.preset == "calibrate":

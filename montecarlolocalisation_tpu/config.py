@@ -114,6 +114,15 @@ class ResampleConfig:
     # "multinomial" matches the reference CDF + lower_bound draw (:513-555);
     # "systematic" is the low-variance production path.
     method: str = "multinomial"
+    # Multinomial draw backend.  "exact": per-slot searchsorted, the
+    # bit-faithful reference semantics incl. the draw↔injection coupling
+    # (the SAME uniform decides both, monte_carlo.cpp:513-528) — but
+    # searchsorted is N binary-search gather chains (~133 ms/1M on v5e).
+    # "sorted": order-statistics draw (resample.multinomial_indices_sorted)
+    # — the identical multinomial MULTISET via one bitonic-sort cross-rank,
+    # no gathers; injection uses an independent uniform (QUIRKS.md
+    # fast-path row).  "auto": sorted on TPU at n >= 8192, exact elsewhere.
+    multinomial_impl: str = "auto"
     # Systematic-draw expansion backend: "auto" picks the Pallas streamed
     # kernel (ops/expand_pallas) on TPU at n >= 2048, else the XLA
     # scatter+cummax+gather path; "pallas"/"xla" force one.
@@ -214,7 +223,12 @@ class SLAMConfig:
     # weight, banded-matmul blur — models/slam.hit_field).
     z_hit: float = 0.85
     z_rand: float = 0.15
-    field_sigma_px: float = 1.5
+    # sigma 1.0 px: tuned on 4-seed x {3%, 8%} slip wander sweeps (1000
+    # ticks, P=64) — the 1.5 px field was soft enough to let the filter
+    # wander off its own walls (tail drift 0.61 m mean at 3% slip vs
+    # 0.25 m at sigma 1.0); the sharper basin locks revisits without
+    # losing the pull radius (field_radius_px unchanged).
+    field_sigma_px: float = 1.0
     field_radius_px: int = 4
     # Free-space consistency: `free_samples` interior stations per beam,
     # each confident-wall crossing multiplies the beam likelihood by
@@ -223,9 +237,14 @@ class SLAMConfig:
     z_short: float = 0.5
     free_samples: int = 6
     free_margin: float = 0.18
-    # Motion-noise inflation over the localization alphas: SLAM's proposal
-    # must cover actuation faults (wheel slip) the alphas were not fit to.
-    alpha_scale: float = 2.0
+    # Motion-noise inflation over the localization alphas.  1.0 measured
+    # best across {3%, 8%} wheel-slip sweeps: the per-particle draw (the
+    # shared-noise quirk is dropped here, see QUIRKS.md) already supplies
+    # the proposal diversity, and inflating it further just adds random
+    # walk the likelihood field must fight (2.0 doubled the 3%-slip tail
+    # drift).  Raise for platforms whose odometry faults exceed what the
+    # localization alphas model.
+    alpha_scale: float = 1.0
     ess_threshold: float = 0.7    # resample when ESS < threshold * P
     # Gradient scan matching (experimental, default OFF): ascend the
     # differentiable endpoint likelihood on each particle's OWN map for

@@ -202,6 +202,12 @@ class MCLFleetServer:
             tick=tick,
             exact_pose=np.round(o.exact_pose.astype(np.float64),
                                 6).tolist(),
+            # ExactPose.thetaQuaternion analog per robot (msg/ExactPose.msg;
+            # the reference declares but never assigns it,
+            # monte_carlo.cpp:995-1004).
+            theta_quaternion=np.round(
+                np.sin(0.5 * o.exact_pose.astype(np.float64)[..., 2]),
+                6).tolist(),
             cell_pose=np.asarray(o.cell_pose).tolist(),
             confidence=np.round(o.confidence.astype(np.float64),
                                 6).tolist(),

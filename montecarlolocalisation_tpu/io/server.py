@@ -257,6 +257,11 @@ class MCLServer:
         return dict(
             tick=self.tick_count,
             exact_pose=[round(float(v), 6) for v in o.exact_pose],
+            # ExactPose.thetaQuaternion analog (msg/ExactPose.msg) —
+            # populated here; the reference declares but never assigns it
+            # (monte_carlo.cpp:995-1004).  utils/angles.yaw_to_quaternion_z.
+            theta_quaternion=round(
+                float(np.sin(0.5 * float(o.exact_pose[2]))), 6),
             cell_pose=[int(v) for v in o.cell_pose],
             confidence=round(float(o.confidence), 6),
             song=int(o.song),

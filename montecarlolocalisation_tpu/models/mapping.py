@@ -33,6 +33,8 @@ array.
 """
 from __future__ import annotations
 
+import math
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -45,40 +47,39 @@ def init_map(cfg: MappingConfig):
     return jnp.zeros((cfg.height, cfg.width), jnp.float32)
 
 
-def update_map(logodds, pose, ranges, angles, mask, cfg: MappingConfig,
-               sensor_cfg: SensorModelConfig):
-    """One scan's dense inverse-sensor-model update.  jit/scan/vmap-safe.
+def sensor_window_px(cfg: MappingConfig) -> int:
+    """Static window side (pixels) covering one scan's full reach.
 
-    pose [3] world (x, y, theta); ranges/angles/mask [B].  Beams whose
-    return is at/right of max_range carve free space but deposit no hit
-    (no-return); masked-out beams contribute nothing.
-    """
+    A scan touches pixels whose centers lie within max_trusted_range +
+    hit_depth (along-ray) + half_width (across-ray) of the ray origin;
+    +1 px absorbs the origin's sub-pixel offset.  Odd side, origin pixel
+    centered."""
+    reach = cfg.max_trusted_range + cfg.hit_depth + cfg.half_width
+    return 2 * (int(math.ceil(reach / cfg.resolution)) + 1) + 1
+
+
+def _ism_delta(window, rows, cols, ox, oy, ray, ranges, valid, returned,
+               cfg: MappingConfig):
+    """Inverse-sensor-model log-odds update of `window` [h, w] whose pixel
+    (i, j) sits at raster row rows[i], col cols[j].  The dense [h, w, B]
+    classification: closed-form ray geometry per (pixel, beam), zero
+    scatter (module docstring)."""
     res = cfg.resolution
-    x, y, theta = pose[0], pose[1], pose[2]
-    ox = x + sensor_cfg.laser_offset * jnp.cos(theta)
-    oy = y + sensor_cfg.laser_offset * jnp.sin(theta)
-    sign = -1.0 if sensor_cfg.negate_beam_angle else 1.0
-    ray = theta + sign * angles                       # [B]
     cb = jnp.cos(ray)
     sb = jnp.sin(ray)
+    # Pixel-center world coords (identical arithmetic to the full-grid
+    # form: origin + (index + 0.5) * res — windowed runs are bit-exact).
+    pxx = cfg.origin_x + (cols.astype(jnp.float32) + 0.5) * res
+    pxy = cfg.origin_y + (rows.astype(jnp.float32) + 0.5) * res
+    dxp = (pxx[None, :] - ox)[..., None]              # [1, w, 1]
+    dyp = (pxy[:, None] - oy)[..., None]              # [h, 1, 1]
 
-    # Pixel-center world coords.
-    pxx = cfg.origin_x + (jnp.arange(cfg.width, dtype=jnp.float32) + 0.5) * res
-    pxy = cfg.origin_y + (jnp.arange(cfg.height, dtype=jnp.float32) + 0.5) * res
-    dxp = (pxx[None, :] - ox)[..., None]              # [1, W, 1]
-    dyp = (pxy[:, None] - oy)[..., None]              # [H, 1, 1]
-
-    proj = dxp * cb + dyp * sb                        # [H, W, B]
+    proj = dxp * cb + dyp * sb                        # [h, w, B]
     perp = jnp.abs(dyp * cb - dxp * sb)
-
-    r = jnp.asarray(ranges, jnp.float32)
-    valid = jnp.asarray(mask, jnp.float32) * (
-        r <= cfg.max_trusted_range).astype(jnp.float32)
-    returned = (r < sensor_cfg.max_range - 1e-6).astype(jnp.float32)
 
     on_ray = (perp <= cfg.half_width).astype(jnp.float32) * valid
     free = on_ray * ((proj >= 0.0)
-                     & (proj < r - cfg.hit_margin)).astype(jnp.float32)
+                     & (proj < ranges - cfg.hit_margin)).astype(jnp.float32)
     # The wall pixel CENTER sits ~res/2 past the near-face return, so the
     # hit window is [r - hit_margin, r + hit_depth] with hit_depth ~
     # 0.7*res: deep enough to cover the wall pixel center under range
@@ -87,12 +88,60 @@ def update_map(logodds, pose, ranges, angles, mask, cfg: MappingConfig,
     # diagonally behind the wall (measured: a full-res far side painted
     # phantom walls on corridor bands next to corners).
     hit = on_ray * returned * (
-        (proj >= r - cfg.hit_margin)
-        & (proj <= r + cfg.hit_depth)).astype(jnp.float32)
+        (proj >= ranges - cfg.hit_margin)
+        & (proj <= ranges + cfg.hit_depth)).astype(jnp.float32)
 
     delta = cfg.l_occ * jnp.sum(hit, axis=-1) - cfg.l_free * jnp.sum(
         free, axis=-1)
-    return jnp.clip(logodds + delta, -cfg.clamp, cfg.clamp)
+    return jnp.clip(window + delta, -cfg.clamp, cfg.clamp)
+
+
+def update_map(logodds, pose, ranges, angles, mask, cfg: MappingConfig,
+               sensor_cfg: SensorModelConfig):
+    """One scan's dense inverse-sensor-model update.  jit/scan/vmap-safe.
+
+    pose [3] world (x, y, theta); ranges/angles/mask [B].  Beams whose
+    return is at/right of max_range carve free space but deposit no hit
+    (no-return); masked-out beams contribute nothing.
+
+    Cost is windowed to the SENSOR's reach, not the map area: on maps
+    larger than `sensor_window_px` the [h, w, B] classification runs on a
+    `dynamic_slice` window around the ray origin (clamped at borders, so
+    it always covers the in-map reach) and is written back with
+    `dynamic_update_slice` — per-tick cost stays ~constant as maps grow
+    (a 1 m sensor touches <2% of a 25 m map).  Bit-exact with the
+    full-grid path: pixels outside the window get delta 0 and clip is an
+    identity on already-clamped values.
+    """
+    res = cfg.resolution
+    x, y, theta = pose[0], pose[1], pose[2]
+    ox = x + sensor_cfg.laser_offset * jnp.cos(theta)
+    oy = y + sensor_cfg.laser_offset * jnp.sin(theta)
+    sign = -1.0 if sensor_cfg.negate_beam_angle else 1.0
+    ray = theta + sign * angles                       # [B]
+
+    r = jnp.asarray(ranges, jnp.float32)
+    valid = jnp.asarray(mask, jnp.float32) * (
+        r <= cfg.max_trusted_range).astype(jnp.float32)
+    returned = (r < sensor_cfg.max_range - 1e-6).astype(jnp.float32)
+
+    h, w = logodds.shape[-2], logodds.shape[-1]
+    s = sensor_window_px(cfg)
+    if 2 * s > min(h, w):
+        # Small maps (window > half the side): the dense classification
+        # is cheaper than the dynamic_slice round trip — and the default
+        # 49 px maze keeps its original single-fusion program.
+        return _ism_delta(logodds, jnp.arange(h), jnp.arange(w),
+                          ox, oy, ray, r, valid, returned, cfg)
+    sh, sw = min(s, h), min(s, w)
+    ri = jnp.floor((oy - cfg.origin_y) / res).astype(jnp.int32)
+    ci = jnp.floor((ox - cfg.origin_x) / res).astype(jnp.int32)
+    r0 = jnp.clip(ri - sh // 2, 0, h - sh)
+    c0 = jnp.clip(ci - sw // 2, 0, w - sw)
+    win = jax.lax.dynamic_slice(logodds, (r0, c0), (sh, sw))
+    new = _ism_delta(win, r0 + jnp.arange(sh), c0 + jnp.arange(sw),
+                     ox, oy, ray, r, valid, returned, cfg)
+    return jax.lax.dynamic_update_slice(logodds, new, (r0, c0))
 
 
 def map_episode(poses, scan_ranges, scan_angles, cfg: MappingConfig,
@@ -179,7 +228,8 @@ def export_learned_map(logodds, cfg: MappingConfig, pgm_path: str,
 
 def fit_walls(logodds, cell_px: int = 8, explored_abs: float = 0.5,
               min_explored_frac: float = 0.4,
-              unexplored_is_wall: bool = True) -> np.ndarray:
+              unexplored_is_wall: bool = True,
+              return_explored: bool = False) -> np.ndarray:
     """Snap a learned map onto the reference's cell lattice -> [R, C, 4].
 
     For each lattice edge, pools the log-odds over the edge's OPEN band
@@ -192,42 +242,65 @@ def fit_walls(logodds, cell_px: int = 8, explored_abs: float = 0.5,
     never route through unknown space).  Pooling makes the decision
     robust to per-pixel speckle of a partially explored map.  (Host-side
     NumPy: this is an offline analysis/export step, not filter-path code.)
+
+    `return_explored=True` additionally returns the [R, C, 4] bool mask of
+    edges whose band WAS observed — partial explorations can then be scored
+    over evidence only (`wall_metrics(..., mask=explored)`), separating map
+    QUALITY from map COVERAGE (the planner-conservative default turns every
+    unexplored edge into a wall, which reads as a false positive).
     """
     lo = np.asarray(logodds)
     h, w = lo.shape
     n_rows = max(1, (h - 1) // cell_px)
     n_cols = max(1, (w - 1) // cell_px)
     walls = np.zeros((n_rows, n_cols, 4), dtype=bool)
+    seen = np.zeros((n_rows, n_cols, 4), dtype=bool)
 
     def band_vote(r0, r1, c0, c1):
         if r0 >= h or c0 >= w or r1 > h or c1 > w:
-            return True  # off-raster edges are walls (synthesize_walls rule)
+            # Off-raster edges are walls (synthesize_walls rule).
+            return True, False
         band = lo[r0:r1, c0:c1]
         if band.size == 0:
-            return True
+            return True, False
         explored = np.abs(band) > explored_abs
         if np.mean(explored) < min_explored_frac:
-            return unexplored_is_wall
-        return float(np.sum(band[explored])) > 0.0
+            return unexplored_is_wall, False
+        return float(np.sum(band[explored])) > 0.0, True
 
     from ..config import WALL_RIGHT, WALL_TOP, WALL_LEFT, WALL_BOTTOM
 
     for r in range(n_rows):
         for c in range(n_cols):
             r0, c0 = r * cell_px, c * cell_px
-            walls[r, c, WALL_TOP] = band_vote(r0, r0 + 1, c0 + 1, c0 + cell_px)
-            walls[r, c, WALL_BOTTOM] = band_vote(
-                r0 + cell_px, r0 + cell_px + 1, c0 + 1, c0 + cell_px)
-            walls[r, c, WALL_LEFT] = band_vote(r0 + 1, r0 + cell_px, c0, c0 + 1)
-            walls[r, c, WALL_RIGHT] = band_vote(
-                r0 + 1, r0 + cell_px, c0 + cell_px, c0 + cell_px + 1)
+            for edge, (rr0, rr1, cc0, cc1) in (
+                (WALL_TOP, (r0, r0 + 1, c0 + 1, c0 + cell_px)),
+                (WALL_BOTTOM, (r0 + cell_px, r0 + cell_px + 1,
+                               c0 + 1, c0 + cell_px)),
+                (WALL_LEFT, (r0 + 1, r0 + cell_px, c0, c0 + 1)),
+                (WALL_RIGHT, (r0 + 1, r0 + cell_px,
+                              c0 + cell_px, c0 + cell_px + 1)),
+            ):
+                walls[r, c, edge], seen[r, c, edge] = band_vote(
+                    rr0, rr1, cc0, cc1)
+    if return_explored:
+        return walls, seen
     return walls
 
 
-def wall_metrics(learned: np.ndarray, truth: np.ndarray) -> dict:
-    """Precision/recall/F1 of a learned wall tensor against the truth."""
+def wall_metrics(learned: np.ndarray, truth: np.ndarray,
+                 mask: np.ndarray = None) -> dict:
+    """Precision/recall/F1 of a learned wall tensor against the truth.
+
+    `mask` restricts scoring to edges where it is True (e.g. fit_walls'
+    explored mask — map quality over evidence, excluding the
+    planner-conservative unexplored=wall default).
+    """
     learned = np.asarray(learned, bool)
     truth = np.asarray(truth, bool)
+    if mask is not None:
+        mask = np.asarray(mask, bool)
+        learned, truth = learned[mask], truth[mask]
     tp = float(np.sum(learned & truth))
     fp = float(np.sum(learned & ~truth))
     fn = float(np.sum(~learned & truth))

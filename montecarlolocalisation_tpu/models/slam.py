@@ -61,6 +61,11 @@ class SLAMState:
     poses: jax.Array       # [P, 3] world (x, y, theta) hypotheses
     logodds: jax.Array     # [P, H, W] per-particle occupancy log-odds
     weights: jax.Array     # [P] normalized importance weights
+    scores: jax.Array      # [P] last PRE-resample weights, permuted along
+    #                        with the particles: on a resampled tick the
+    #                        post-resample weights are uniform, so argmax
+    #                        over them degenerates to particle 0 — the MAP
+    #                        estimate (best_map/best_pose) selects on these
     odom: motion.OdometryState   # shared encoder integrator
     key: jax.Array         # PRNG carried through ticks
 
@@ -81,7 +86,7 @@ def init_slam(key, start_pose, cfg: SLAMConfig) -> SLAMState:
     odom = motion.OdometryState.zero()
     odom = dataclasses.replace(odom, x=sp[0], y=sp[1], theta=sp[2])
     return SLAMState(poses=poses, logodds=logodds, weights=weights,
-                     odom=odom, key=key)
+                     scores=weights, odom=odom, key=key)
 
 
 def _endpoints(poses, ranges, angles, cfg: SLAMConfig):
@@ -103,6 +108,63 @@ def _endpoints(poses, ranges, angles, cfg: SLAMConfig):
     # the whole cloud (measured: the bias compounds over an episode).
     r = ranges[None, :] + 0.5 * cfg.mapping.resolution
     return ox + r * jnp.cos(ray), oy + r * jnp.sin(ray)
+
+
+def field_window_px(cfg: SLAMConfig) -> int:
+    """Static per-particle window side (pixels) for the likelihood field.
+
+    Must cover every point the scan model samples on a particle's map —
+    endpoints at laser_offset + max_trusted_range + res/2 from the pose,
+    free-space stations inside that — PLUS the blur kernel's reach
+    (field_radius_px: a wall just outside the sampled hull still bleeds
+    field mass onto it) and a 2 px margin for the refine hill-climb's
+    pose motion (refine_iters * refine_step_xy << 1 px per default).
+    """
+    reach = (cfg.sensor.laser_offset + cfg.mapping.max_trusted_range
+             + cfg.mapping.resolution)
+    half = (int(math.ceil(reach / cfg.mapping.resolution))
+            + cfg.field_radius_px + 2)
+    return 2 * half + 1
+
+
+def _window_origins(poses, cfg: SLAMConfig, sh: int, sw: int):
+    """Top-left (row, col) of each particle's sh x sw window,
+    border-clamped so the window always lies inside the [H, W] grid."""
+    mcfg = cfg.mapping
+    ci = jnp.floor((poses[:, 0] - mcfg.origin_x)
+                   / mcfg.resolution).astype(jnp.int32)
+    ri = jnp.floor((poses[:, 1] - mcfg.origin_y)
+                   / mcfg.resolution).astype(jnp.int32)
+    r0 = jnp.clip(ri - sh // 2, 0, mcfg.height - sh)
+    c0 = jnp.clip(ci - sw // 2, 0, mcfg.width - sw)
+    return r0, c0
+
+
+def field_windows(logodds, poses, cfg: SLAMConfig):
+    """Per-particle likelihood-field windows: ([P, s, s] log-odds slices,
+    (r0 [P], c0 [P]) offsets), or (logodds, None) when the map is small
+    enough that the window IS the map.
+
+    THE map-scaling move (pairs with mapping.update_map's sensor window):
+    the blur + bilinear contractions then run on s x s windows around
+    each particle instead of the full [H, W] grid, so the per-tick SLAM
+    cost stays ~flat in map AREA.  Every sample the scan model takes lies
+    within the window by construction (field_window_px), so windowed
+    log-likelihoods match the full-grid computation.
+    """
+    s = field_window_px(cfg)
+    h, w = logodds.shape[-2], logodds.shape[-1]
+    # Window only when it saves real work (≤ half the map side): on maps
+    # near the window size the full-grid einsums are cheaper AND compile
+    # faster than P vmapped dynamic_slices (the default 49 px maze stays
+    # on the original path bit-for-bit).
+    if 2 * s > min(h, w):
+        return logodds, None
+    sh, sw = min(s, h), min(s, w)
+    r0, c0 = _window_origins(poses, cfg, sh, sw)
+    win = jax.vmap(lambda lo, r, c: jax.lax.dynamic_slice(
+        lo, (r, c), (sh, sw)))(logodds, r0, c0)
+    return win, (r0, c0)
 
 
 def _blur_matrix(n: int, sigma_px: float, radius: int):
@@ -150,29 +212,48 @@ def hit_field(logodds, cfg: SLAMConfig):
     return blurred, wall
 
 
-def _bilinear(field, ex, ey, mcfg):
-    """Bilinear world-point sampling of [P, H, W] fields, gather-free.
+def _bilinear(field, ex, ey, mcfg, offsets=None):
+    """Bilinear world-point sampling of [P, h, w] fields, gather-free.
 
     ex/ey [P, B] -> [P, B].  Tent weights max(0, 1 - |coord - index|)
     over each axis ARE the bilinear interpolation coefficients; the
     double contraction runs on the MXU instead of per-lane gathers (TPU
-    gathers serialize — CLAUDE.md).  Coordinates are clipped to the grid,
-    so out-of-map endpoints read the border cell rather than wrapping.
+    gathers serialize — CLAUDE.md).  Samples outside the pixel-center hull
+    read ZERO field mass (z_rand-only scoring), not the border cell: a
+    particle drifting off the map must not be rewarded by the outer
+    wall's own likelihood basin pulling its endpoints "onto" the border.
+
+    `offsets` = (r0 [P], c0 [P]) when `field` holds per-particle WINDOWS
+    of the full grid (field_windows): coordinates rebase into each
+    particle's window; the out-of-hull gate still tests the FULL map
+    bounds, so windowed and full-grid sampling agree wherever the window
+    covers the sample (guaranteed by field_window_px for every point the
+    scan model uses).
     """
     h, w = field.shape[-2], field.shape[-1]
     res = mcfg.resolution
     # Pixel-CENTER coordinates (update_map places centers at +0.5 * res).
-    u = jnp.clip((ex - mcfg.origin_x) / res - 0.5, 0.0, w - 1.0)  # cols
-    v = jnp.clip((ey - mcfg.origin_y) / res - 0.5, 0.0, h - 1.0)  # rows
+    u = (ex - mcfg.origin_x) / res - 0.5                          # cols
+    v = (ey - mcfg.origin_y) / res - 0.5                          # rows
+    fh = mcfg.height if offsets is not None else h
+    fw = mcfg.width if offsets is not None else w
+    in_bounds = ((u >= 0.0) & (u <= fw - 1.0)
+                 & (v >= 0.0) & (v <= fh - 1.0)).astype(field.dtype)
+    if offsets is not None:
+        r0, c0 = offsets
+        u = u - c0[:, None].astype(u.dtype)
+        v = v - r0[:, None].astype(v.dtype)
+    u = jnp.clip(u, 0.0, w - 1.0)
+    v = jnp.clip(v, 0.0, h - 1.0)
     rows = jnp.arange(h, dtype=jnp.float32)
     cols = jnp.arange(w, dtype=jnp.float32)
-    row_w = jnp.maximum(0.0, 1.0 - jnp.abs(v[..., None] - rows))  # [P, B, H]
-    col_w = jnp.maximum(0.0, 1.0 - jnp.abs(u[..., None] - cols))  # [P, B, W]
-    return jnp.einsum("pbh,phw,pbw->pb", row_w, field, col_w)
+    row_w = jnp.maximum(0.0, 1.0 - jnp.abs(v[..., None] - rows))  # [P, B, h]
+    col_w = jnp.maximum(0.0, 1.0 - jnp.abs(u[..., None] - cols))  # [P, B, w]
+    return in_bounds * jnp.einsum("pbh,phw,pbw->pb", row_w, field, col_w)
 
 
 def scan_log_likelihood(field, poses, ranges, angles, mask,
-                        cfg: SLAMConfig):
+                        cfg: SLAMConfig, offsets=None):
     """Per-particle log-likelihood of the scan on each particle's field.
 
     Two terms per valid beam, both read off the same Gaussian-widened
@@ -194,7 +275,7 @@ def scan_log_likelihood(field, poses, ranges, angles, mask,
     field_hit, field_wall = field
     ranges = jnp.asarray(ranges, jnp.float32)
     ex, ey = _endpoints(poses, ranges, angles, cfg)
-    f = _bilinear(field_hit, ex, ey, cfg.mapping)
+    f = _bilinear(field_hit, ex, ey, cfg.mapping, offsets)
     maskf = jnp.asarray(mask, jnp.float32)
     valid = maskf * (ranges <= cfg.mapping.max_trusted_range).astype(
         jnp.float32)
@@ -211,19 +292,28 @@ def scan_log_likelihood(field, poses, ranges, angles, mask,
         # Interior stations at fractions of (r - free_margin): the margin
         # keeps the last station out of the endpoint wall's own blur
         # basin, so a correctly-placed wall is not punished as a crossing.
+        # All K stations fold into the beam axis ([P, B*K]) so the whole
+        # free-space term is ONE bilinear contraction, not K sequential
+        # einsums.
         span = jnp.maximum(ranges[None, :] - cfg.free_margin, 0.0)
         fracs = (jnp.arange(1, cfg.free_samples + 1, dtype=jnp.float32)
                  / cfg.free_samples)
-        for k in range(cfg.free_samples):
-            s = span * fracs[k]
-            fk = _bilinear(field_wall, ox + s * cr, oy + s * sr,
-                           cfg.mapping)
-            per_beam = per_beam + (
-                jnp.log1p(-cfg.z_short * fk) * valid[None, :])
+        s = span[..., None] * fracs                         # [1, B, K]
+        p_n, b_n, k_n = poses.shape[0], ranges.shape[-1], cfg.free_samples
+        sx = jnp.broadcast_to(ox[..., None] + s * cr[..., None],
+                              (p_n, b_n, k_n)).reshape(p_n, b_n * k_n)
+        sy = jnp.broadcast_to(oy[..., None] + s * sr[..., None],
+                              (p_n, b_n, k_n)).reshape(p_n, b_n * k_n)
+        fk = _bilinear(field_wall, sx, sy, cfg.mapping, offsets).reshape(
+            p_n, b_n, k_n)
+        per_beam = per_beam + (
+            jnp.sum(jnp.log1p(-cfg.z_short * fk), axis=-1)
+            * valid[None, :])
     return jnp.sum(per_beam, axis=-1)
 
 
-def _refine_poses(poses, field, ranges, angles, mask, cfg: SLAMConfig):
+def _refine_poses(poses, field, ranges, angles, mask, cfg: SLAMConfig,
+                  offsets=None):
     """Gradient scan matching against each particle's OWN likelihood field.
 
     A few steps of sign-gradient ascent on the differentiable endpoint
@@ -237,7 +327,8 @@ def _refine_poses(poses, field, ranges, angles, mask, cfg: SLAMConfig):
     lo = jax.lax.stop_gradient(field)
 
     def score(p):
-        return scan_log_likelihood(lo, p, ranges, angles, mask, cfg)
+        return scan_log_likelihood(lo, p, ranges, angles, mask, cfg,
+                                   offsets)
 
     def one_iter(carry, _):
         p, s = carry
@@ -300,35 +391,44 @@ def slam_step(state: SLAMState, encoder_left, encoder_right, ranges,
 
     # Likelihood field of each particle's PRE-UPDATE map, computed once
     # per tick and shared by the scan matcher and the weighting below.
-    field = hit_field(state.logodds, cfg)
+    # On maps larger than field_window_px the field is a per-particle
+    # window around the (pre-refine) proposal pose — per-tick cost stays
+    # flat in map AREA (field_windows).
+    win, offsets = field_windows(state.logodds, poses, cfg)
+    field = hit_field(win, cfg)
 
     # 2. Optional gradient scan matching (sharpen the proposal).
     if cfg.refine_iters > 0:
-        poses = _refine_poses(poses, field, ranges, angles, mask, cfg)
+        poses = _refine_poses(poses, field, ranges, angles, mask, cfg,
+                              offsets)
 
     # 3. Weight on the PRE-UPDATE maps (measure against evidence from
     # previous scans only — weighting against a map that already contains
     # this scan would be circular).
-    loglik = scan_log_likelihood(field, poses, ranges, angles, mask, cfg)
+    loglik = scan_log_likelihood(field, poses, ranges, angles, mask, cfg,
+                                 offsets)
     logw = jnp.log(state.weights) + loglik
     logw = logw - jnp.max(logw)
     w = jnp.exp(logw)
     w = w / jnp.sum(w)
 
-    # 4. ESS-gated systematic resampling; maps ride the same indices.
+    # 4. ESS-gated systematic resampling; maps AND the pre-resample
+    # scores ride the same indices (scores keep the MAP-estimate argmax
+    # meaningful on ticks where w collapses to uniform).
     ess = 1.0 / jnp.sum(w * w)
 
     def _resample(operand):
-        ps, lo, ww = operand
+        ps, lo, ww, sc = operand
         cdf = jnp.cumsum(ww)
         u0 = jax.random.uniform(k_draw, ())
         idx = systematic_indices(cdf, u0)
         return (ps[idx], lo[idx],
-                jnp.full((p_count,), 1.0 / p_count, jnp.float32))
+                jnp.full((p_count,), 1.0 / p_count, jnp.float32),
+                sc[idx])
 
-    poses, logodds, w = jax.lax.cond(
+    poses, logodds, w, scores = jax.lax.cond(
         ess < cfg.ess_threshold * p_count,
-        _resample, lambda op: op, (poses, state.logodds, w))
+        _resample, lambda op: op, (poses, state.logodds, w, w))
 
     # 5. Map update: each surviving particle folds the scan into ITS map
     # at ITS pose (vmapped dense inverse sensor model, zero scatter).
@@ -342,13 +442,13 @@ def slam_step(state: SLAMState, encoder_left, encoder_right, ranges,
     my = jnp.sum(w * poses[:, 1])
     mt = jnp.arctan2(jnp.sum(w * jnp.sin(poses[:, 2])),
                      jnp.sum(w * jnp.cos(poses[:, 2])))
-    best = jnp.argmax(w)
+    best = jnp.argmax(scores)
     info = dict(pose=jnp.stack([mx, my, mt]),
                 best_pose=poses[best],
                 ess=ess,
                 resampled=ess < cfg.ess_threshold * p_count)
     new_state = SLAMState(poses=poses, logodds=logodds, weights=w,
-                          odom=new_odom, key=k_next)
+                          scores=scores, odom=new_odom, key=k_next)
     return new_state, info
 
 
@@ -380,5 +480,15 @@ def run_slam_episode(key, encoders, scan_ranges, scan_angles,
 
 
 def best_map(state: SLAMState):
-    """Highest-weight particle's log-odds grid (the MAP map estimate)."""
-    return state.logodds[jnp.argmax(state.weights)]
+    """Highest-SCORE particle's log-odds grid (the MAP map estimate).
+
+    Selects on the last pre-resample weights (SLAMState.scores), not the
+    current weights: immediately after a resample the weights are uniform
+    and argmax over them degenerates to particle 0.
+    """
+    return state.logodds[jnp.argmax(state.scores)]
+
+
+def best_pose(state: SLAMState):
+    """Highest-score particle's pose (pairs with best_map)."""
+    return state.poses[jnp.argmax(state.scores)]

@@ -214,7 +214,8 @@ def run_mapping(world: World, seed: int = 0, num_ticks: int = 600,
     for i, sp in enumerate(starts):
         enc, scans, poses = robot.generate_wander_episode(
             jax.random.fold_in(jax.random.PRNGKey(seed), i), m, world.cfg,
-            world.angles, num_ticks, start_pose=sp, slip_noise=slip_noise)
+            world.angles, num_ticks, start_pose=sp, slip_noise=slip_noise,
+            explore=True)
         if pose_source == "odom":
             poses = mapping.dead_reckon_poses(enc, sp, world.cfg.motion)
         ep = mapping.map_episode(poses, scans, world.angles, mc,
@@ -234,32 +235,157 @@ def run_mapping(world: World, seed: int = 0, num_ticks: int = 600,
         out["exported"] = base + ".yaml"
 
     if relocalize:
-        # Rebuild a clean raster from the fitted lattice and localize a
-        # small SWEEP of fresh episodes (scans from the true world)
-        # against it — single episodes in the aliased maze are
-        # seed-chaotic, the sweep fraction is the stable signal.
-        from .parallel import episodes
+        out.update(_relocalize_on(
+            _maze_from_wall_tensor(learned_walls), m, world,
+            max(num_ticks, 200), seed + 1000))
+    return out
 
-        lists = [[[e for e in range(4) if learned_walls[r, c, e]]
-                  for c in range(learned_walls.shape[1])]
-                 for r in range(learned_walls.shape[0])]
-        learned_maze = grid.from_walls(lists)
-        k1, k2 = jax.random.split(jax.random.PRNGKey(seed + 1000))
-        enc, scans, truth = episodes.simulate_episode_batch(
-            k1, m, world.cfg, world.angles, max(num_ticks, 200), batch=8,
-            start_pose=(2.05, 2.05, 0.0))
-        final, _ = episodes.run_episode_batch(
-            k2, learned_maze, world.cfg, enc, scans, world.angles)
-        best = np.asarray(final.best_pose)
-        tp = np.asarray(truth)[:, -1, :]
-        conf = best[:, 0] >= 0
-        err = np.hypot(best[:, 0] - tp[:, 0], best[:, 1] - tp[:, 1])
-        hit = conf & (err < 0.4)
-        out.update(
-            reloc_converged_frac=float(np.mean(hit)),
-            reloc_median_error_m=round(
-                float(np.median(err[hit])) if hit.any() else float("nan"),
-                4))
+
+def _maze_from_wall_tensor(learned_walls) -> "object":
+    """Fitted [R, C, 4] wall tensor -> MazeMap (clean lattice raster)."""
+    from .maps import grid
+
+    lists = [[[e for e in range(4) if learned_walls[r, c, e]]
+              for c in range(learned_walls.shape[1])]
+             for r in range(learned_walls.shape[0])]
+    return grid.from_walls(lists)
+
+
+def _relocalize_on(learned_maze, true_maze, world: World, num_ticks: int,
+                   seed: int, batch: int = 8,
+                   start_pose=(2.05, 2.05, 0.0)) -> dict:
+    """Localize a fresh episode SWEEP against a learned map.
+
+    Scans are generated on the TRUE maze (the world the robot actually
+    senses); the filter runs on the LEARNED one.  Sweep fractions, not
+    single episodes — the aliased maze is seed-chaotic per episode.
+    """
+    from .parallel import episodes
+
+    k1, k2 = jax.random.split(jax.random.PRNGKey(seed))
+    enc, scans, truth = episodes.simulate_episode_batch(
+        k1, true_maze, world.cfg, world.angles, num_ticks, batch=batch,
+        start_pose=start_pose)
+    final, _ = episodes.run_episode_batch(
+        k2, learned_maze, world.cfg, enc, scans, world.angles)
+    best = np.asarray(final.best_pose)
+    tp = np.asarray(truth)[:, -1, :]
+    conf = best[:, 0] >= 0
+    err = np.hypot(best[:, 0] - tp[:, 0], best[:, 1] - tp[:, 1])
+    hit = conf & (err < 0.4)
+    return dict(
+        reloc_converged_frac=float(np.mean(hit)),
+        reloc_median_error_m=round(
+            float(np.median(err[hit])) if hit.any() else float("nan"), 4))
+
+
+def run_slam(world: World, seed: int = 0, num_ticks: int = 600,
+             num_particles: int = 64, slip_noise: float = 0.03,
+             relocalize: bool = True, mission: bool = False,
+             mission_ticks: int = 2000,
+             gold_path: str = DEFAULT_GOLD,
+             pickup_path: str = DEFAULT_PICKUP,
+             export: Optional[str] = None):
+    """The full SLAM autonomy loop the reference cannot close.
+
+    The reference stack REQUIRES a hand-written map.txt (publish_map.py:
+    14-33) before monte_carlo.cpp can localize (its map arrives once at
+    startup, monte_carlo.cpp:82-84).  This preset starts from NOTHING but
+    encoders + scans:
+
+      1. explore — scripted wanderer with wheel slip ON (encoders lie);
+      2. RBPF SLAM (models/slam): joint (pose, map) posterior online;
+      3. fit_walls — snap the best particle's log-odds grid onto the
+         0.8 m cell lattice;
+      4. relocalize — a fresh episode sweep localizes on the LEARNED map
+         (scans still come from the true world);
+      5. --mission: plan the gold/pickup TSP challenge ON the learned
+         map and drive it closed-loop — sensing the true maze, the MCL
+         filter running against the map the robot built itself.
+    """
+    from .config import SLAMConfig
+    from .models import mapping, slam
+    from .sim import robot
+
+    m = world.maze
+    mc = MappingConfig(height=m.height, width=m.width,
+                       resolution=float(m.resolution),
+                       origin_x=float(m.origin_x),
+                       origin_y=float(m.origin_y))
+    scfg = SLAMConfig(num_particles=num_particles, mapping=mc,
+                      sensor=world.cfg.sensor, motion=world.cfg.motion)
+    start = (1.25, 1.25, 0.0)
+    enc, scans, truth = robot.generate_wander_episode(
+        jax.random.PRNGKey(seed), m, world.cfg, world.angles, num_ticks,
+        start_pose=start, slip_noise=slip_noise, explore=True)
+    final, est = jax.jit(lambda k, e, s: slam.run_slam_episode(
+        k, e, s, world.angles, scfg, start))(
+        jax.random.PRNGKey(seed + 1), enc, scans)
+
+    tn, est = np.asarray(truth), np.asarray(est)
+    dr = np.asarray(mapping.dead_reckon_poses(enc, start, world.cfg.motion))
+    tail = max(num_ticks // 4, 1)   # final-stretch mean (test_slam metric)
+    slam_err = float(np.hypot(est[:, 0] - tn[:, 0],
+                              est[:, 1] - tn[:, 1])[-tail:].mean())
+    dr_err = float(np.hypot(dr[:, 0] - tn[:, 0],
+                            dr[:, 1] - tn[:, 1])[-tail:].mean())
+    lo = np.asarray(slam.best_map(final))
+    cell_px = int(round(m.cell_meters / m.resolution))
+    learned_walls, seen = mapping.fit_walls(lo, cell_px=cell_px,
+                                            return_explored=True)
+    # Quality (explored edges only) separated from coverage: the
+    # planner-conservative unexplored=wall default otherwise reads as
+    # false positives on any partial exploration.
+    expl = mapping.wall_metrics(learned_walls, np.asarray(m.walls),
+                                mask=seen)
+    out = dict(particles=num_particles, ticks=num_ticks,
+               slip_noise=slip_noise,
+               slam_final_err_m=round(slam_err, 4),
+               dead_reckon_final_err_m=round(dr_err, 4),
+               explored_edge_frac=round(float(np.mean(seen)), 4),
+               **{k + "_explored": v for k, v in expl.items()},
+               **mapping.wall_metrics(learned_walls, np.asarray(m.walls)))
+    if export:
+        base = export[:-5] if export.endswith(".yaml") else export
+        mapping.export_learned_map(lo, mc, base + ".pgm", base + ".yaml")
+        out["exported"] = base + ".yaml"
+
+    learned_maze = _maze_from_wall_tensor(learned_walls)
+    if relocalize:
+        # Fresh episodes start at the SLAM anchor — guaranteed-mapped
+        # territory; a partial learned map cannot support relocalization
+        # from cells the robot never visited.
+        out.update(_relocalize_on(learned_maze, m, world,
+                                  min(max(num_ticks // 2, 150), 300),
+                                  seed + 1000, start_pose=start))
+    if mission:
+        # Challenge mission on the robot-built map: TSP + BFS legs planned
+        # over the LEARNED wall graph, driven closed-loop with the filter
+        # on the learned map and the LIDAR seeing the TRUE maze.
+        from .planning import mission as mission_mod
+        from .sim import closed_loop
+
+        gold = mission_mod.load_waypoints(gold_path)
+        pickup = mission_mod.load_waypoints(pickup_path)
+        walls_t = np.asarray(learned_walls, np.uint8)
+        plan = mission_mod.plan_mission(walls_t, (1, 1), gold, pickup)
+        if plan.legs and plan.legs[0].path:
+            cells = [plan.legs[0].path[0]]
+            for leg in plan.legs:
+                cells.extend(leg.path[1:])
+            wps = closed_loop.mission_waypoints(cells)
+            sx, sy = wps[0]
+            drive_wps = wps[1:] if len(wps) > 1 else wps
+            mfinal, _ = jax.jit(lambda k: closed_loop.run_closed_loop(
+                k, learned_maze, world.cfg, drive_wps, mission_ticks,
+                world.angles, start_pose=(float(sx), float(sy), 0.0),
+                sense_m=m))(jax.random.PRNGKey(seed + 2))
+            out.update(mission_waypoints_reached=int(mfinal.wp_idx),
+                       mission_waypoints_total=len(drive_wps),
+                       mission_legs=[list(leg.goal) for leg in plan.legs])
+        else:
+            out.update(mission_waypoints_reached=0,
+                       mission_waypoints_total=0, mission_legs=[])
     return out
 
 

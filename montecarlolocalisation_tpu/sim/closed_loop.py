@@ -58,13 +58,17 @@ def closed_loop_step(
     state: ClosedLoopState, tick_key, waypoints, m: MazeMap,
     cfg: FilterConfig, scan_angles, wcfg: WandererConfig = WandererConfig(),
     base_speed: float = 10.0, arrival_tol: float = 0.2,
-    scan_noise: float = 0.02,
+    scan_noise: float = 0.02, sense_m: MazeMap = None,
 ) -> Tuple[ClosedLoopState, ClosedLoopOutput]:
     angles = jnp.asarray(scan_angles, jnp.float32)
     n_wp = waypoints.shape[0]
 
-    # 1. Sense.
-    scan = sensor.simulate_scan(m, state.robot.pose, angles, cfg.sensor,
+    # 1. Sense.  `sense_m` (default: the filter map `m`) is the TRUE world
+    # the LIDAR sees — pass a different map to drive on a LEARNED map
+    # (mapping/SLAM autonomy loop: plan+localize on the robot's own map,
+    # sense the real maze).
+    scan = sensor.simulate_scan(m if sense_m is None else sense_m,
+                                state.robot.pose, angles, cfg.sensor,
                                 key=tick_key, noise_sigma=scan_noise)
 
     # 2. Localize.

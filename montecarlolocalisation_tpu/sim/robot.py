@@ -93,6 +93,7 @@ def generate_wander_episode(
     outlier_p: float = 0.0,
     moving_obstacle=None,
     slip_noise: float = 0.0,
+    explore: bool = False,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Scripted wall-avoiding wander -> (encoders [T,2], scans [T,B], poses [T,3]).
 
@@ -112,13 +113,21 @@ def generate_wander_episode(
     the filter's alpha parameters model (monte_carlo.cpp:1198).  All
     stressors default off and consume no RNG when off (existing episode
     streams are bit-identical).
+
+    `explore=True` replaces the fixed same-direction 90° turn with the
+    reference wanderer's freer-side rule (turn toward whichever ±60°
+    probe ray reports more open space, wanderer_try_final.cpp's halves
+    compare) plus a randomized turn duration — the fixed-turn walk is a
+    LIMIT CYCLE (measured: it saturates at ~10 cells by tick 300 and
+    orbits a 1 m pocket forever), which starves mapping/SLAM coverage.
+    Off by default: existing episode streams stay bit-identical.
     """
     angles = jnp.asarray(scan_angles, jnp.float32)
     mcfg = cfg.motion
     turn_arc = (jnp.pi / 2) * mcfg.wheel_space / (2.0 * turn_ticks)
 
     def body(carry, xs):
-        robot, turning = carry
+        robot, turning, tsign = carry
         tick, tick_key = xs
         if kidnap_tick is not None:
             # Kidnapped-robot event: teleport the TRUE pose while encoders
@@ -134,10 +143,29 @@ def generate_wander_episode(
                 encoder_right=robot.encoder_right)
         ahead = raycast(m, robot.x, robot.y, robot.theta, cfg.sensor)
         start_turn = (ahead < obstacle_stop) & (turning == 0)
-        turning = jnp.where(start_turn, turn_ticks, turning)
+        if explore:
+            # Freer-side turn direction (±60° probe rays) + randomized
+            # duration in [turn_ticks/2, 2*turn_ticks] — breaks the
+            # fixed-turn limit cycle so coverage keeps growing.
+            free_l = raycast(m, robot.x, robot.y,
+                             robot.theta + jnp.pi / 3, cfg.sensor)
+            free_r = raycast(m, robot.x, robot.y,
+                             robot.theta - jnp.pi / 3, cfg.sensor)
+            tie = 0.05 * jax.random.normal(jax.random.fold_in(tick_key, 2))
+            # tsign +1 raises theta (step_dynamics: (d_l - d_r)/wheel_space)
+            # = toward the +60° probe.
+            new_sign = jnp.where(free_l + tie > free_r, 1.0, -1.0)
+            dur = jax.random.randint(
+                jax.random.fold_in(tick_key, 3), (),
+                max(turn_ticks // 2, 1), 2 * turn_ticks + 1)
+        else:
+            new_sign = jnp.float32(1.0)
+            dur = jnp.int32(turn_ticks)
+        tsign = jnp.where(start_turn, new_sign, tsign)
+        turning = jnp.where(start_turn, dur, turning)
         is_turning = turning > 0
-        d_left = jnp.where(is_turning, turn_arc, speed)
-        d_right = jnp.where(is_turning, -turn_arc, speed)
+        d_left = jnp.where(is_turning, tsign * turn_arc, speed)
+        d_right = jnp.where(is_turning, -tsign * turn_arc, speed)
         if slip_noise:
             eps = slip_noise * jax.random.normal(
                 jax.random.fold_in(tick_key, 1), (2,))
@@ -164,11 +192,11 @@ def generate_wander_episode(
             noise_sigma=scan_noise, dropout_p=dropout_p,
             outlier_p=outlier_p, obstacle=obstacle)
         enc = jnp.stack([robot.encoder_left, robot.encoder_right])
-        return (robot, turning), (enc, scan.ranges, robot.pose)
+        return (robot, turning, tsign), (enc, scan.ranges, robot.pose)
 
     robot0 = make_robot(*start_pose)
     keys = jax.random.split(key, num_ticks)
     ticks = jnp.arange(num_ticks, dtype=jnp.int32)
-    (_, _), (encoders, ranges, poses) = jax.lax.scan(
-        body, (robot0, jnp.int32(0)), (ticks, keys))
+    (_, _, _), (encoders, ranges, poses) = jax.lax.scan(
+        body, (robot0, jnp.int32(0), jnp.float32(1.0)), (ticks, keys))
     return encoders, ranges, poses

@@ -30,6 +30,20 @@ def quantize_orientation(theta):
     return jnp.where(down, 3, jnp.where(left, 2, jnp.where(up, 1, 0))).astype(jnp.int32)
 
 
+def yaw_to_quaternion_z(theta):
+    """Yaw -> quaternion z-component, sin(theta / 2).
+
+    Analog of the ExactPose.thetaQuaternion field (msg/ExactPose.msg): a
+    single float carrying the yaw in quaternion form (the z component of
+    the pure-yaw quaternion [0, 0, sin(t/2), cos(t/2)]; w is recoverable
+    as cos(t/2) up to the sign convention).  Note the reference DECLARES
+    the field but never assigns it (publishExactPose,
+    monte_carlo.cpp:995-1004 — "In quaternion sollte radiants sein"), so
+    it is always 0.0 on the wire there; here it is actually populated.
+    """
+    return jnp.sin(0.5 * theta)
+
+
 def circular_mean(theta, weights=None, axis=None):
     """Mean angle via sin/cos sums (reference: monte_carlo.cpp:925-934)."""
     s = jnp.sin(theta)

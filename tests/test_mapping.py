@@ -201,6 +201,57 @@ def test_dead_reckon_and_slip():
     np.testing.assert_array_equal(np.asarray(enc2), np.asarray(enc2))
 
 
+def _dense_full_grid_update(logodds, pose, ranges, angles, mask, cfg,
+                            sensor_cfg):
+    """Whole-grid inverse-sensor-model oracle (the pre-windowing form):
+    _ism_delta over every pixel, no dynamic_slice."""
+    res = cfg.resolution
+    x, y, theta = pose[0], pose[1], pose[2]
+    ox = x + sensor_cfg.laser_offset * jnp.cos(theta)
+    oy = y + sensor_cfg.laser_offset * jnp.sin(theta)
+    sign = -1.0 if sensor_cfg.negate_beam_angle else 1.0
+    ray = theta + sign * angles
+    r = jnp.asarray(ranges, jnp.float32)
+    valid = jnp.asarray(mask, jnp.float32) * (
+        r <= cfg.max_trusted_range).astype(jnp.float32)
+    returned = (r < sensor_cfg.max_range - 1e-6).astype(jnp.float32)
+    h, w = logodds.shape
+    return mapping._ism_delta(logodds, jnp.arange(h), jnp.arange(w),
+                              ox, oy, ray, r, valid, returned, cfg)
+
+
+def test_windowed_update_bit_exact_with_full_grid():
+    """update_map runs on a sensor-reach dynamic_slice window (cost ~flat
+    in map AREA); it must be BIT-exact with the full-grid classification —
+    on the default 6x6 maze raster AND a 12x10-cell (97x81 px) maze,
+    including poses near borders and outside the map."""
+    from montecarlolocalisation_tpu.maps import from_walls, generator
+
+    scfg = FilterConfig().sensor
+    rng = np.random.RandomState(7)
+    for m in (_maze(), from_walls(generator.generate_maze(12, 10, seed=3))):
+        mc = _mc(m)
+        assert mapping.sensor_window_px(mc) < max(mc.height, mc.width)
+        angles = jnp.asarray(
+            np.deg2rad(np.linspace(-118, 118, 16)).astype(np.float32))
+        lo = jnp.asarray(
+            rng.uniform(-3, 3, (mc.height, mc.width)).astype(np.float32))
+        w_m, h_m = mc.width * mc.resolution, mc.height * mc.resolution
+        poses = [(0.45, 0.45, 0.3), (w_m / 2, h_m / 2, -2.0),
+                 (w_m - 0.05, h_m - 0.05, 2.8), (-0.4, h_m / 2, 0.0),
+                 (w_m + 0.6, -0.2, 1.0)]
+        for p in poses:
+            pose = jnp.asarray(p, jnp.float32)
+            ranges = jnp.asarray(
+                rng.uniform(0.1, 1.2, 16).astype(np.float32))
+            mask = jnp.ones(16, jnp.float32).at[2].set(0.0)
+            got = np.asarray(mapping.update_map(
+                lo, pose, ranges, angles, mask, mc, scfg))
+            want = np.asarray(_dense_full_grid_update(
+                lo, pose, ranges, angles, mask, mc, scfg))
+            np.testing.assert_array_equal(got, want)
+
+
 def test_fit_walls_unexplored_defaults():
     lo = np.zeros((49, 49), np.float32)
     assert mapping.fit_walls(lo).all()

@@ -19,6 +19,7 @@ from montecarlolocalisation_tpu.config import (FilterConfig, MappingConfig,
 from montecarlolocalisation_tpu.maps import from_map_file
 from montecarlolocalisation_tpu.models import mapping, slam
 from montecarlolocalisation_tpu.sim import robot
+import pytest
 
 MAP_PATH = osp.join(osp.dirname(__file__), "..", "montecarlolocalisation_tpu",
                     "maps", "default_map.txt")
@@ -86,6 +87,76 @@ def test_bilinear_matches_manual_interpolation():
     got2 = np.asarray(slam._bilinear(field, ex2, ey, mcfg))
     want = 0.5 * (np.asarray(field)[:, r, c] + np.asarray(field)[:, r, c + 1])
     assert np.allclose(got2[:, 0], want, atol=1e-5)
+
+
+def test_bilinear_out_of_map_reads_zero():
+    """Samples outside the pixel-center hull read ZERO field mass (the
+    endpoint scores z_rand only) instead of clamping onto the border cell
+    — a particle drifting off the map must not be rewarded by the outer
+    wall's own likelihood basin (ADVICE r2)."""
+    cfg = _cfg(_maze())
+    mcfg = cfg.mapping
+    field = jnp.ones((1, mcfg.height, mcfg.width), jnp.float32)
+    far = mcfg.origin_x + (mcfg.width + 5.0) * mcfg.resolution
+    inside = mcfg.origin_x + 3.5 * mcfg.resolution
+    ex = jnp.array([[far, inside]], jnp.float32)
+    ey = jnp.array([[inside, -1.0]], jnp.float32)
+    got = np.asarray(slam._bilinear(field, ex, ey, mcfg))
+    assert np.allclose(got, 0.0)
+    # Exactly ON the border pixel center still reads the border value.
+    bx = mcfg.origin_x + (mcfg.width - 0.5) * mcfg.resolution
+    by = mcfg.origin_y + 0.5 * mcfg.resolution
+    got_b = np.asarray(slam._bilinear(
+        field, jnp.array([[bx]], jnp.float32),
+        jnp.array([[by]], jnp.float32), mcfg))
+    assert np.allclose(got_b, 1.0, atol=1e-5)
+
+
+def test_windowed_field_matches_full_grid_likelihood():
+    """On maps larger than field_window_px the likelihood field runs on
+    per-particle dynamic_slice windows (cost ~flat in map area).  The
+    windowed log-likelihood — endpoint AND free-space terms, near borders
+    included — must match the full-grid computation."""
+    from montecarlolocalisation_tpu.maps import from_walls, generator
+
+    m = from_walls(generator.generate_maze(12, 10, seed=3))
+    cfg = _cfg(m, num_particles=8)
+    assert slam.field_window_px(cfg) < min(m.height, m.width)
+    angles = jnp.asarray(
+        np.deg2rad(np.linspace(-118, 118, 12)).astype(np.float32))
+    rng = np.random.RandomState(0)
+    # Build non-trivial per-particle maps: a few scans from spread poses.
+    key = jax.random.PRNGKey(1)
+    st = slam.init_slam(key, (1.25, 1.25, 0.0), cfg)
+    lo = st.logodds
+    w_m, h_m = m.width * m.resolution, m.height * m.resolution
+    poses = np.stack([
+        rng.uniform(0.3, w_m - 0.3, 8),
+        rng.uniform(0.3, h_m - 0.3, 8),
+        rng.uniform(-np.pi, np.pi, 8)], axis=-1).astype(np.float32)
+    # Border poses too: window clamping must not change results.
+    poses[0] = (0.35, 0.35, 2.5)
+    poses[1] = (w_m - 0.35, h_m - 0.35, -0.7)
+    from montecarlolocalisation_tpu.models import sensor as sensor_mod
+
+    scans = np.stack([np.asarray(sensor_mod.simulate_scan(
+        m, jnp.asarray(p), angles, cfg.sensor).ranges) for p in poses])
+    for i in range(8):
+        lo = lo.at[i].set(mapping.update_map(
+            lo[i], jnp.asarray(poses[i]), jnp.asarray(scans[i]), angles,
+            jnp.ones_like(angles), cfg.mapping, cfg.sensor))
+    pj = jnp.asarray(poses)
+    ranges = jnp.asarray(scans[3])
+    mask = jnp.ones_like(angles)
+
+    full = slam.scan_log_likelihood(
+        slam.hit_field(lo, cfg), pj, ranges, angles, mask, cfg)
+    win, offs = slam.field_windows(lo, pj, cfg)
+    assert offs is not None and win.shape[1] == slam.field_window_px(cfg)
+    got = slam.scan_log_likelihood(
+        slam.hit_field(win, cfg), pj, ranges, angles, mask, cfg, offs)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(full),
+                               rtol=2e-4, atol=2e-4)
 
 
 def test_endpoints_follow_reference_beam_geometry():
@@ -172,7 +243,8 @@ def test_resample_carries_maps_with_poses():
     lo = st.logodds.at[3, 10, 10].set(8.0)
     w = jnp.full((8,), 1e-6, jnp.float32).at[3].set(1.0)
     st = slam.SLAMState(poses=st.poses, logodds=lo,
-                        weights=w / jnp.sum(w), odom=st.odom, key=st.key)
+                        weights=w / jnp.sum(w), scores=w / jnp.sum(w),
+                        odom=st.odom, key=st.key)
     st2, info = slam.slam_step(
         st, jnp.float32(0.0), jnp.float32(0.0),
         jnp.asarray([1.0], jnp.float32), angles, jnp.ones((1,)), cfg)
@@ -180,6 +252,40 @@ def test_resample_carries_maps_with_poses():
     assert np.allclose(np.asarray(st2.weights), 1.0 / 8)
     # Every survivor's map contains particle 3's wall.
     assert np.all(np.asarray(st2.logodds[:, 10, 10]) > 1.0)
+    # The MAP estimate selects on the permuted PRE-resample scores, not
+    # the now-uniform weights (ADVICE r2): best_map must be a descendant
+    # of particle 3 even though argmax(weights) would return particle 0.
+    assert not np.allclose(np.asarray(st2.scores), np.asarray(st2.weights))
+    assert float(slam.best_map(st2)[10, 10]) > 1.0
+
+
+def test_slam_motion_guard_inplace_turn():
+    """QUIRKS: the reference's rot1 = atan2(~0, ~0) - theta_prev is O(pi)
+    garbage during in-place turns, and alpha_1*|rot1| then injects degrees
+    of heading noise per tick.  SLAM rebases to rot1 = 0, rot2 = dtheta
+    (equivalent when trans ~ 0), so a pure rotation leaves the cloud's
+    heading spread at the alpha_1*|dtheta| level, not the alpha_1*pi level.
+    The localization filter PRESERVES the quirk (tests/test_parity pins it).
+    """
+    m = _maze()
+    cfg = _cfg(m, num_particles=256, alpha_scale=1.0)
+    angles = jnp.asarray([0.0], jnp.float32)
+    st = slam.init_slam(jax.random.PRNGKey(0), (1.25, 1.25, 0.0), cfg)
+    # Pure in-place turn: wheels move oppositely by the same amount.
+    # dtheta = (d_left - d_right)/wheel_space; pick ~0.2 rad of turn.
+    dw = 0.1 * cfg.motion.wheel_space / cfg.motion.wheel_size
+    st2, _ = slam.slam_step(st, jnp.float32(dw), jnp.float32(-dw),
+                            jnp.asarray([1.0], jnp.float32), angles,
+                            jnp.ones((1,)), cfg)
+    dtheta = 2 * dw * cfg.motion.wheel_size * 0.5 / cfg.motion.wheel_space
+    spread = float(jnp.std(st2.poses[:, 2]))
+    # Quirked variance would be ~alpha_1 * pi; the guard caps it at
+    # ~2 * alpha_1 * |dtheta|.  Assert we are well under the quirk level.
+    a1 = cfg.motion.alpha_1 * cfg.alpha_scale
+    assert spread < 3.0 * np.sqrt(2 * a1 * abs(dtheta)) + 1e-3
+    assert spread < 0.5 * np.sqrt(a1 * np.pi)
+    # And the cloud did turn by ~dtheta.
+    assert np.isclose(float(jnp.mean(st2.poses[:, 2])), dtheta, atol=0.05)
 
 
 def test_run_slam_episode_scan_and_vmap():
@@ -205,6 +311,7 @@ def test_run_slam_episode_scan_and_vmap():
 # ---------------------------------------------------------------------------
 # End-to-end value: bounded drift + usable map (sweep-level, not one seed)
 # ---------------------------------------------------------------------------
+@pytest.mark.slow
 def test_slam_bounds_drift_under_wheel_slip():
     """4-episode sweep at 8% wheel slip: SLAM's worst-case final-stretch
     error stays bounded, its mean beats raw dead reckoning, and the

@@ -24,6 +24,12 @@ def main():
     ap.add_argument("--ticks", type=int, default=600)
     ap.add_argument("--beams", type=int, default=34)
     ap.add_argument("--iters", type=int, default=3)
+    ap.add_argument("--map-px", type=int, nargs=2, default=None,
+                    metavar=("H", "W"),
+                    help="oversize the mapping grid (the maze sits in its "
+                         "corner) — the sensor-window scaling check: "
+                         "per-tick cost should stay ~flat in map area "
+                         "(mapping.update_map dynamic_slice window)")
     args = ap.parse_args()
 
     from montecarlolocalisation_tpu.config import FilterConfig, MappingConfig
@@ -36,7 +42,10 @@ def main():
                                "default_map.txt"))
     cfg = FilterConfig(num_particles=64)
     angles = np.deg2rad(np.linspace(-118, 118, args.beams)).astype(np.float32)
-    mc = MappingConfig()
+    if args.map_px:
+        mc = MappingConfig(height=args.map_px[0], width=args.map_px[1])
+    else:
+        mc = MappingConfig()
 
     t0 = time.perf_counter()
     enc, scans, poses = episodes.simulate_episode_batch(
