@@ -88,6 +88,51 @@ def systematic_indices(cdf, u0):
     return jax.lax.cummax(out)
 
 
+def sorted_uniforms(key, n: int):
+    """n ascending U(0,1) order statistics WITHOUT a sort.
+
+    Exponential-spacings construction (Devroye 1986, ch. V): normalized
+    partial sums of n+1 iid Exp(1) variables are jointly distributed as
+    the order statistics of n iid uniforms — one RNG sweep + one cumsum,
+    no O(n log^2 n) sort network.
+    """
+    u = jax.random.uniform(key, (n + 1,), minval=jnp.float32(1e-37),
+                           maxval=1.0)
+    s = jnp.cumsum(-jnp.log(u))
+    return s[:-1] / s[-1]
+
+
+def multinomial_indices_sorted(key, cdf):
+    """Monotone multinomial draw: sort(searchsorted(cdf, U^N, 'left')).
+
+    The TPU-shaped form of the reference's per-draw CDF inversion
+    (monte_carlo.cpp:497-555): `searchsorted` lowers to N binary-search
+    GATHER chains (~133 ms/1M on v5e — CLAUDE.md), so instead
+      1. draw the uniforms ALREADY SORTED (sorted_uniforms — the
+         resampled multiset is permutation-invariant, so only the order
+         statistics matter; the multiset distribution is IDENTICAL to
+         iid draws);
+      2. cross-rank the two sorted sequences with ONE merged
+         `lax.sort` (a bitonic network — vector compare-exchanges, no
+         gathers): tag draws 0 / CDF entries 1, sort by (value, tag) so
+         a draw ties BEFORE the equal CDF entry (side='left'), then the
+         inclusive cumsum of tags AT a draw's position is exactly
+         #{cdf_i < r} — its lower_bound index;
+      3. compact the draw positions with a stable sort on the tag.
+
+    Returns int32 [N], ascending, in [0, N-1].
+    """
+    n = cdf.shape[0]
+    rs = sorted_uniforms(key, n)
+    v = jnp.concatenate([rs, cdf])
+    tag = jnp.concatenate([jnp.zeros((n,), jnp.int32),
+                           jnp.ones((n,), jnp.int32)])
+    _, st = jax.lax.sort((v, tag), num_keys=2)
+    cum = jnp.cumsum(st)
+    _, idx = jax.lax.sort((st, cum), num_keys=1, is_stable=True)
+    return jnp.clip(idx[:n].astype(jnp.int32), 0, n - 1)
+
+
 def resize_particles(key, particles, weights, n_new: int):
     """Systematic redraw of `n_new` particles from a weighted set.
 
@@ -267,11 +312,24 @@ def resample(
 
     k_draw, k_inj, k_jx, k_jy, k_jt, k_fresh = jax.random.split(key, 6)
     if rcfg.method == "multinomial":
-        r = jax.random.uniform(k_draw, (n,))
-        inject_r = r
-        # CDF draw (lower_bound == side='left'), clipped for fp round-off.
-        idx = jnp.clip(jnp.searchsorted(cdf, r, side="left"), 0, n - 1)
-        drawn = particles[idx]
+        impl = rcfg.multinomial_impl
+        if impl == "auto":
+            impl = ("sorted" if jax.default_backend() == "tpu"
+                    and n >= 8192 else "exact")
+        if impl == "sorted":
+            # TPU-shaped multinomial: same multiset distribution, no
+            # searchsorted gathers; injection decoupled (QUIRKS.md).
+            inject_r = jax.random.uniform(k_inj, (n,))
+            drawn = particles[multinomial_indices_sorted(k_draw, cdf)]
+        elif impl == "exact":
+            r = jax.random.uniform(k_draw, (n,))
+            inject_r = r
+            # CDF draw (lower_bound == side='left'), clipped for fp
+            # round-off.
+            idx = jnp.clip(jnp.searchsorted(cdf, r, side="left"), 0, n - 1)
+            drawn = particles[idx]
+        else:
+            raise ValueError(f"unknown multinomial_impl {impl!r}")
     elif rcfg.method == "systematic":
         u0 = jax.random.uniform(k_draw, ())
         inject_r = jax.random.uniform(k_inj, (n,))

@@ -121,6 +121,50 @@ def test_multinomial_preserves_distribution():
     np.testing.assert_allclose(freq, [0.1, 0.2, 0.3, 0.4], atol=0.03)
 
 
+def test_sorted_multinomial_matches_searchsorted_exactly():
+    """multinomial_indices_sorted must equal searchsorted(cdf, rs, 'left')
+    on the SAME sorted draws — the cross-rank (merged bitonic sort) is an
+    exact reformulation, not an approximation.  Zero-weight runs included
+    (empty CDF intervals)."""
+    rng = np.random.RandomState(0)
+    for n in (64, 1000, 4096):
+        w = rng.exponential(size=n).astype(np.float32)
+        w[rng.randint(n, size=n // 8)] = 0.0
+        cdf = jnp.cumsum(jnp.asarray(w / w.sum()))
+        key = jax.random.PRNGKey(3)
+        idx = np.asarray(resample.multinomial_indices_sorted(key, cdf))
+        rs = np.asarray(resample.sorted_uniforms(key, n))
+        want = np.clip(np.searchsorted(np.asarray(cdf), rs, side="left"),
+                       0, n - 1)
+        assert (np.diff(idx) >= 0).all()
+        np.testing.assert_array_equal(idx, want)
+    # Order statistics: rs ascending in (0, 1).
+    assert (np.diff(rs) >= 0).all() and rs[0] > 0.0 and rs[-1] < 1.0
+
+
+def test_sorted_multinomial_mode_preserves_distribution():
+    """resample(multinomial_impl='sorted') draws the same multinomial
+    multiset as the exact searchsorted path (population frequencies track
+    the weights)."""
+    n = 4096
+    parts = jnp.stack([
+        jnp.arange(n, dtype=jnp.float32),
+        jnp.zeros((n,)), jnp.zeros((n,))], axis=-1)
+    scale = float(n) / 10.0
+    weights = jnp.where(jnp.arange(n) < 4, scale * jnp.array(
+        [1.0, 2.0, 3.0, 4.0])[jnp.clip(jnp.arange(n), 0, 3)], 0.0)
+    inj = resample.InjectionState(w_slow=jnp.float32(1.0),
+                                  w_fast=jnp.float32(1.0))
+    cfg = FilterConfig(num_particles=n, resample=ResampleConfig(
+        multinomial_impl="sorted"))
+    new_p, _, _, _ = resample.resample(
+        jax.random.PRNGKey(9), parts, weights, inj, FALSE, MAP, cfg)
+    ids = np.round(np.asarray(new_p[:, 0])).astype(int)
+    counts = np.bincount(ids, minlength=4)[:4]
+    freq = counts / counts.sum()
+    np.testing.assert_allclose(freq, [0.1, 0.2, 0.3, 0.4], atol=0.03)
+
+
 def test_systematic_mode():
     n = 4096
     cfg = FilterConfig(
