@@ -237,7 +237,8 @@ def run_mapping(world: World, seed: int = 0, num_ticks: int = 600,
     if relocalize:
         out.update(_relocalize_on(
             _maze_from_wall_tensor(learned_walls), m, world,
-            max(num_ticks, 200), seed + 1000))
+            max(num_ticks, 200), seed + 1000,
+            explored_px=np.abs(lo) > 0.5))
     return out
 
 
@@ -253,12 +254,23 @@ def _maze_from_wall_tensor(learned_walls) -> "object":
 
 def _relocalize_on(learned_maze, true_maze, world: World, num_ticks: int,
                    seed: int, batch: int = 8,
-                   start_pose=(2.05, 2.05, 0.0)) -> dict:
+                   start_pose=(2.05, 2.05, 0.0), explored_px=None,
+                   coverage_thresh: float = 0.8) -> dict:
     """Localize a fresh episode SWEEP against a learned map.
 
     Scans are generated on the TRUE maze (the world the robot actually
     senses); the filter runs on the LEARNED one.  Sweep fractions, not
     single episodes — the aliased maze is seed-chaotic per episode.
+
+    `explored_px` ([H, W] bool, pixels with map evidence) makes the
+    metric coverage-aware: a PARTIAL map cannot support localization
+    from territory the mapper never visited (the conservative
+    unexplored=wall fit walls it off), so the reloc episodes are also
+    scored restricted to those whose TRUE trajectory stayed within
+    explored pixels >= `coverage_thresh` of its ticks —
+    `reloc_in_coverage_frac` over `reloc_in_coverage_n` episodes.  The
+    unrestricted fraction stays reported: the gap between the two IS the
+    coverage gap.
     """
     from .parallel import episodes
 
@@ -269,14 +281,32 @@ def _relocalize_on(learned_maze, true_maze, world: World, num_ticks: int,
     final, _ = episodes.run_episode_batch(
         k2, learned_maze, world.cfg, enc, scans, world.angles)
     best = np.asarray(final.best_pose)
-    tp = np.asarray(truth)[:, -1, :]
+    tpa = np.asarray(truth)                       # [B, T, 3]
+    tp = tpa[:, -1, :]
     conf = best[:, 0] >= 0
     err = np.hypot(best[:, 0] - tp[:, 0], best[:, 1] - tp[:, 1])
     hit = conf & (err < 0.4)
-    return dict(
+    out = dict(
         reloc_converged_frac=float(np.mean(hit)),
         reloc_median_error_m=round(
             float(np.median(err[hit])) if hit.any() else float("nan"), 4))
+    if explored_px is not None:
+        ex = np.asarray(explored_px, bool)
+        m = true_maze
+        rows = np.clip((tpa[..., 1] - float(m.origin_y))
+                       / float(m.resolution), 0, ex.shape[0] - 1
+                       ).astype(int)
+        cols = np.clip((tpa[..., 0] - float(m.origin_x))
+                       / float(m.resolution), 0, ex.shape[1] - 1
+                       ).astype(int)
+        in_cov = ex[rows, cols].mean(axis=1)      # [B] per-episode frac
+        covered = in_cov >= coverage_thresh
+        out.update(
+            reloc_in_coverage_n=int(covered.sum()),
+            reloc_in_coverage_frac=round(
+                float(np.mean(hit[covered])) if covered.any()
+                else float("nan"), 4))
+    return out
 
 
 def run_slam(world: World, seed: int = 0, num_ticks: int = 600,
@@ -354,10 +384,13 @@ def run_slam(world: World, seed: int = 0, num_ticks: int = 600,
     if relocalize:
         # Fresh episodes start at the SLAM anchor — guaranteed-mapped
         # territory; a partial learned map cannot support relocalization
-        # from cells the robot never visited.
+        # from cells the robot never visited, so the coverage-aware
+        # fraction (episodes that STAYED in explored pixels) is the map
+        # QUALITY signal and the unrestricted one the COVERAGE signal.
         out.update(_relocalize_on(learned_maze, m, world,
                                   min(max(num_ticks // 2, 150), 300),
-                                  seed + 1000, start_pose=start))
+                                  seed + 1000, start_pose=start,
+                                  explored_px=np.abs(lo) > 0.5))
     if mission:
         # Challenge mission on the robot-built map: TSP + BFS legs planned
         # over the LEARNED wall graph, driven closed-loop with the filter
