@@ -290,6 +290,14 @@ class InitConfig:
     cell_offset: float = 0.2      # uniform in-cell offset +-0.2 m (:434)
     global_offset: float = 0.05   # +0.05 m map offset on x and y (:444-445)
     init_weight: float = 1.0      # :446
+    # Fresh-draw RNG backend for the HOT path (resample injection):
+    # "reference" = 5 threefry sweeps (randint x2 + uniform x3);
+    # "packed" = the same distribution from one 2-word bits() call
+    # (resample.sample_uniform_particles_packed — 16-bit offset/yaw
+    # granularity, modulo-idiom cells; QUIRKS fast-path table);
+    # "auto" = packed on TPU, reference elsewhere.  init_state always
+    # uses the reference sampler (one-time cost).
+    sampler: str = "auto"
 
 
 @dataclasses.dataclass(frozen=True)

@@ -65,6 +65,40 @@ def sample_uniform_particles(key, m: MazeMap, n: int,
     ).astype(jnp.float32)
 
 
+def sample_uniform_particles_packed(key, m: MazeMap, n: int,
+                                    cfg: InitConfig = InitConfig()):
+    """Bit-packed fresh sampler: the SAME distribution as
+    sample_uniform_particles from 2 RNG words/particle instead of 5.
+
+    The five quantities need ≈56 random bits (cell row/col, two in-cell
+    offsets, yaw); five threefry sweeps generate 160.  One [2, n] bits
+    call packs them: row/col from 8-bit lanes (same modulo idiom
+    jax.random.randint uses — bias < 2^-5 of a cell, the C++ rand()%
+    sampler shares it), offsets/yaw from 16/32-bit lanes (granularity
+    0.05 m / 2^16 ≈ 1.5e-6 m and 2π/2^32 — below sensor noise by 4+
+    orders).  Same support and independence; a DIFFERENT stream (any
+    TPU stream already differs from the C++ rand()), so this is the
+    injection fast path on TPU (QUIRKS fast-path table), opt-out via
+    InitConfig.sampler='reference'.
+    """
+    w = jax.random.bits(key, (2, n), jnp.uint32)
+    w1, w2 = w[0], w[1]
+    rows = (((w1 >> 24) & 0xFF) % jnp.uint32(m.n_rows)).astype(jnp.int32)
+    cols = (((w1 >> 16) & 0xFF) % jnp.uint32(m.n_cols)).astype(jnp.int32)
+    cx, cy = cell_center(rows.astype(jnp.float32), cols.astype(jnp.float32),
+                         m.cell_meters)
+    off = cfg.cell_offset
+    scale16 = jnp.float32(1.0 / 65536.0)
+    ox = ((w1 & 0xFFFF).astype(jnp.float32) * scale16 * 2.0 - 1.0) * off
+    oy = (((w2 >> 16) & 0xFFFF).astype(jnp.float32) * scale16 * 2.0
+          - 1.0) * off
+    yaw = ((w2 & 0xFFFF).astype(jnp.float32) * scale16 * 2.0
+           - 1.0) * jnp.float32(jnp.pi)
+    return jnp.stack(
+        [cx + ox + cfg.global_offset, cy + oy + cfg.global_offset, yaw],
+        axis=-1).astype(jnp.float32)
+
+
 def systematic_indices(cdf, u0):
     """Low-variance resampling WITHOUT searchsorted.
 
@@ -352,12 +386,20 @@ def resample(
 
     # Fresh-particle sampling only runs when it can matter: p_inject == 0
     # makes `inject` provably all-false (inject_r is uniform in [0, 1)),
-    # so the cond's zero branch is bit-identical and skips ~5 RNG sweeps
-    # over N on most converged-tracking steps.  Under vmap the cond
-    # lowers to a select (both branches run) — same semantics, no win.
+    # so the cond's zero branch is bit-identical and skips the RNG
+    # sweeps over N on most converged-tracking steps.  Under vmap the
+    # cond lowers to a select (both branches run) — same semantics, no
+    # win.  The packed sampler (2 RNG words/particle instead of 5
+    # sweeps) is the TPU hot-path default (InitConfig.sampler).
+    sampler = cfg.init.sampler
+    if sampler == "auto":
+        sampler = ("packed" if jax.default_backend() == "tpu"
+                   else "reference")
+    sample_fn = (sample_uniform_particles_packed if sampler == "packed"
+                 else sample_uniform_particles)
     fresh = jax.lax.cond(
         p_inject > 0.0,
-        lambda: sample_uniform_particles(k_fresh, m, n, cfg.init),
+        lambda: sample_fn(k_fresh, m, n, cfg.init),
         lambda: jnp.zeros((n, 3), jnp.float32))
     new_particles = jnp.where(inject[:, None], fresh, drawn)
     new_weights = jnp.full((n,), 1.0 / n, dtype=jnp.float32)

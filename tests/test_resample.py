@@ -34,6 +34,30 @@ def test_uniform_sampler_bounds():
     assert set(zip(rows, cols)) == {(r, c) for r in range(2) for c in range(3)}
 
 
+def test_packed_sampler_same_distribution():
+    """The 2-word bit-packed fresh sampler must match the reference
+    sampler's support and (coarsely) its distribution: same bounds, all
+    cells hit ~uniformly, yaw uniform over [-pi, pi)."""
+    from montecarlolocalisation_tpu.config import InitConfig
+
+    n = 8192
+    parts = np.asarray(resample.sample_uniform_particles_packed(
+        jax.random.PRNGKey(0), MAP, n, InitConfig()))
+    assert parts[:, 0].min() >= 0.4 - 0.2 + 0.05 - 1e-5
+    assert parts[:, 0].max() <= 2.0 + 0.2 + 0.05 + 1e-5
+    assert parts[:, 1].max() <= 1.2 + 0.2 + 0.05 + 1e-5
+    assert (parts[:, 2] >= -np.pi).all() and (parts[:, 2] < np.pi).all()
+    rows = np.round((parts[:, 1] - 0.05 - 0.4) / 0.8).astype(int)
+    cols = np.round((parts[:, 0] - 0.05 - 0.4) / 0.8).astype(int)
+    counts = np.bincount(rows * 3 + cols, minlength=6)
+    np.testing.assert_allclose(counts / n, 1.0 / 6, atol=0.02)
+    # Offsets and yaw roughly uniform (mean ~center, spread ~range/sqrt12).
+    offx = parts[:, 0] - 0.05 - (cols * 0.8 + 0.4)
+    assert abs(offx.mean()) < 0.01 and abs(offx.std() - 0.4 / 12**0.5) < 0.01
+    assert abs(parts[:, 2].mean()) < 0.1
+    assert abs(parts[:, 2].std() - 2 * np.pi / 12**0.5) < 0.1
+
+
 def test_resample_concentrates_on_high_weight():
     key = jax.random.PRNGKey(1)
     n = CFG.num_particles
