@@ -229,7 +229,8 @@ def export_learned_map(logodds, cfg: MappingConfig, pgm_path: str,
 def fit_walls(logodds, cell_px: int = 8, explored_abs: float = 0.5,
               min_explored_frac: float = 0.4,
               unexplored_is_wall: bool = True,
-              return_explored: bool = False) -> np.ndarray:
+              return_explored: bool = False,
+              offset_tol: int = 1) -> np.ndarray:
     """Snap a learned map onto the reference's cell lattice -> [R, C, 4].
 
     For each lattice edge, pools the log-odds over the edge's OPEN band
@@ -248,6 +249,20 @@ def fit_walls(logodds, cell_px: int = 8, explored_abs: float = 0.5,
     over evidence only (`wall_metrics(..., mask=explored)`), separating map
     QUALITY from map COVERAGE (the planner-conservative default turns every
     unexplored edge into a wall, which reads as a false positive).
+
+    `offset_tol` makes the vote robust to the SMOOTH part of SLAM/odometry
+    drift: when the lattice band itself does not vote wall, the edge is
+    also evaluated shifted ±k px perpendicular to its line
+    (k <= offset_tol) and flips to WALL when a shifted band is
+    well-observed AND nearly pure positive evidence (purity >= 0.8 of
+    total |log-odds| mass) — the signature of a wall deposited ~1 px off
+    its line by ~0.1 m of pose drift (free-space carving cannot cross a
+    wall, so a displaced wall's band saturates positive, while the
+    grazing-incidence phantom paint found next to corners rides
+    mixed-sign bands and the purity is fusion-scale-invariant).  Walls
+    are 1 px thin and parallel structure is cell_px (8) px away, so
+    ±1 px shifts cannot read a NEIGHBORING edge's wall.  offset_tol=0
+    restores the strict lattice vote.
     """
     lo = np.asarray(logodds)
     h, w = lo.shape
@@ -256,33 +271,67 @@ def fit_walls(logodds, cell_px: int = 8, explored_abs: float = 0.5,
     walls = np.zeros((n_rows, n_cols, 4), dtype=bool)
     seen = np.zeros((n_rows, n_cols, 4), dtype=bool)
 
-    def band_vote(r0, r1, c0, c1):
+    def band_sum(rr0, rr1, cc0, cc1):
+        """(net evidence, explored frac, evidence purity) of one band;
+        None off-grid.  Purity = net / total |evidence| — a genuinely
+        displaced wall band is almost ALL positive (free-space carving
+        cannot cross the wall), while grazing-incidence phantom paint
+        next to corners rides on mixed-sign bands, and the ratio is
+        invariant to how many episodes were fused into the map."""
+        if rr0 < 0 or cc0 < 0 or rr0 >= h or cc0 >= w or rr1 > h \
+                or cc1 > w:
+            return None
+        band = lo[rr0:rr1, cc0:cc1]
+        if band.size == 0:
+            return None
+        explored = np.abs(band) > explored_abs
+        net = float(np.sum(band[explored]))
+        tot = float(np.sum(np.abs(band[explored])))
+        return net, float(np.mean(explored)), net / max(tot, 1e-9)
+
+    def band_vote(r0, r1, c0, c1, drow, dcol):
         if r0 >= h or c0 >= w or r1 > h or c1 > w:
             # Off-raster edges are walls (synthesize_walls rule).
             return True, False
-        band = lo[r0:r1, c0:c1]
-        if band.size == 0:
-            return True, False
-        explored = np.abs(band) > explored_abs
-        if np.mean(explored) < min_explored_frac:
+        base = band_sum(r0, r1, c0, c1)
+        base_ok = base is not None and base[1] >= min_explored_frac
+        # The lattice band itself decides by evidence SIGN (the strict
+        # vote).  A drift-shifted band may only FLIP the decision to
+        # wall on strong, well-observed positive mass — phantom corner
+        # paint on a sparse off-line band must not invent walls.
+        wall = base_ok and base[0] > 0.0
+        seen_any = base_ok
+        if not wall:
+            for k in range(-offset_tol, offset_tol + 1):
+                if k == 0:
+                    continue
+                s = band_sum(r0 + k * drow, r1 + k * drow,
+                             c0 + k * dcol, c1 + k * dcol)
+                if s is None or s[1] < max(min_explored_frac, 0.6):
+                    continue
+                seen_any = True
+                if s[2] >= 0.8 and s[0] >= 5.0 * explored_abs:
+                    wall = True
+                    break
+        if not seen_any:
             return unexplored_is_wall, False
-        return float(np.sum(band[explored])) > 0.0, True
+        return wall, True
 
     from ..config import WALL_RIGHT, WALL_TOP, WALL_LEFT, WALL_BOTTOM
 
     for r in range(n_rows):
         for c in range(n_cols):
             r0, c0 = r * cell_px, c * cell_px
-            for edge, (rr0, rr1, cc0, cc1) in (
-                (WALL_TOP, (r0, r0 + 1, c0 + 1, c0 + cell_px)),
+            for edge, (rr0, rr1, cc0, cc1, drow, dcol) in (
+                (WALL_TOP, (r0, r0 + 1, c0 + 1, c0 + cell_px, 1, 0)),
                 (WALL_BOTTOM, (r0 + cell_px, r0 + cell_px + 1,
-                               c0 + 1, c0 + cell_px)),
-                (WALL_LEFT, (r0 + 1, r0 + cell_px, c0, c0 + 1)),
+                               c0 + 1, c0 + cell_px, 1, 0)),
+                (WALL_LEFT, (r0 + 1, r0 + cell_px, c0, c0 + 1, 0, 1)),
                 (WALL_RIGHT, (r0 + 1, r0 + cell_px,
-                              c0 + cell_px, c0 + cell_px + 1)),
+                              c0 + cell_px, c0 + cell_px + 1, 0, 1)),
             ):
                 walls[r, c, edge], seen[r, c, edge] = band_vote(
-                    rr0, rr1, cc0, cc1)
+                    rr0, rr1, cc0, cc1, drow, dcol)
     if return_explored:
         return walls, seen
     return walls
