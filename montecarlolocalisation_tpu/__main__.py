@@ -60,6 +60,13 @@ def main() -> None:
                     help="mapping/slam presets: write the learned map as "
                          "ROS map_server PGM+YAML (trinary: occupied/free/"
                          "unknown); PATH.yaml then works with --map")
+    ap.add_argument("--explore", default="frontier",
+                    choices=["frontier", "wander"],
+                    help="slam preset explorer: 'frontier' (default) "
+                         "plans toward unexplored edges on the robot's "
+                         "OWN growing map (sim/frontier, closed loop "
+                         "through the SLAM pose estimate); 'wander' is "
+                         "the open-loop scripted wanderer")
     ap.add_argument("--mission", action="store_true",
                     help="slam preset: after mapping, plan the gold/pickup "
                          "TSP challenge ON the learned map and drive it "
@@ -161,6 +168,7 @@ def main() -> None:
                                num_particles=slam_particles or 64,
                                slip_noise=args.slip,
                                mission=args.mission,
+                               explore_mode=args.explore,
                                export=args.export)
         print(json.dumps(dict(preset="slam", **{
             k: (round(float(v), 4) if isinstance(v, float) else v)

@@ -87,6 +87,31 @@ def init_state(key, m: MazeMap, cfg: FilterConfig) -> MCLState:
     )
 
 
+def init_tracking_state(key, m: MazeMap, cfg: FilterConfig, pose,
+                        sigma_xy: float = 0.03,
+                        sigma_theta: float = 0.05) -> MCLState:
+    """Known-pose (tracking) startup: a tight Gaussian cloud at `pose`,
+    confident-side thresholds — the post-SLAM deployment mode (the robot
+    finished mapping and KNOWS where it is; global relocalization on a
+    partial learned map is needlessly brittle).  The reference has no
+    analog (its filter always cold-starts uniform, monte_carlo.cpp:1198)."""
+    st = init_state(key, m, cfg)
+    k1, k2, k3 = jax.random.split(st.key, 3)
+    p = jnp.asarray(pose, jnp.float32)
+    n = cfg.num_particles
+    parts = jnp.stack([
+        p[0] + sigma_xy * jax.random.normal(k1, (n,)),
+        p[1] + sigma_xy * jax.random.normal(k2, (n,)),
+        p[2] + sigma_theta * jax.random.normal(k3, (n,))], axis=-1)
+    h = cfg.hysteresis
+    return dataclasses.replace(
+        st, particles=parts.astype(jnp.float32),
+        confidence=jnp.float32(1.0),
+        cluster_threshold=jnp.float32(h.conf_cluster_threshold),
+        confident_threshold=jnp.float32(h.conf_confident_threshold),
+        best_pose=p)
+
+
 def _hysteresis(state: MCLState, m: MazeMap, cfg: FilterConfig):
     """Lost/recovered state machine (monte_carlo.cpp:1030-1081).
 

@@ -309,13 +309,45 @@ def _relocalize_on(learned_maze, true_maze, world: World, num_ticks: int,
     return out
 
 
+def _track_on(learned_maze, true_maze, world: World, num_ticks: int,
+              seed: int, batch: int = 8,
+              start_pose=(1.25, 1.25, 0.0)) -> dict:
+    """Pose TRACKING on a learned map from a KNOWN start (the post-SLAM
+    deployment mode: the robot knows where it finished mapping).  Fresh
+    wander episodes sense the TRUE maze; each filter starts as a tight
+    cloud at the start pose (mcl.init_tracking_state) on the LEARNED
+    map.  Reports the fraction of episodes still within 0.4 m at the end
+    and the median final error — the map-quality signal that global
+    relocalization (brittle on any partial map) cannot give.
+    """
+    from .models import filter as mcl
+    from .parallel import episodes
+
+    k1, k2 = jax.random.split(jax.random.PRNGKey(seed))
+    enc, scans, truth = episodes.simulate_episode_batch(
+        k1, true_maze, world.cfg, world.angles, num_ticks, batch=batch,
+        start_pose=start_pose)
+    keys = jax.random.split(k2, batch)
+    final, _ = jax.jit(jax.vmap(lambda k, e, s: mcl.run_episode(
+        mcl.init_tracking_state(k, learned_maze, world.cfg, start_pose),
+        e, s, world.angles, learned_maze, world.cfg)))(keys, enc, scans)
+    best = np.asarray(final.best_pose)
+    tp = np.asarray(truth)[:, -1, :]
+    err = np.hypot(best[:, 0] - tp[:, 0], best[:, 1] - tp[:, 1])
+    ok = (best[:, 0] >= 0) & (err < 0.4)
+    return dict(
+        track_on_learned_frac=float(np.mean(ok)),
+        track_median_error_m=round(float(np.median(err)), 4))
+
+
 def run_slam(world: World, seed: int = 0, num_ticks: int = 600,
              num_particles: int = 64, slip_noise: float = 0.03,
              relocalize: bool = True, mission: bool = False,
              mission_ticks: int = 2000,
              gold_path: str = DEFAULT_GOLD,
              pickup_path: str = DEFAULT_PICKUP,
-             export: Optional[str] = None):
+             export: Optional[str] = None,
+             explore_mode: str = "frontier"):
     """The full SLAM autonomy loop the reference cannot close.
 
     The reference stack REQUIRES a hand-written map.txt (publish_map.py:
@@ -323,15 +355,19 @@ def run_slam(world: World, seed: int = 0, num_ticks: int = 600,
     startup, monte_carlo.cpp:82-84).  This preset starts from NOTHING but
     encoders + scans:
 
-      1. explore — scripted wanderer with wheel slip ON (encoders lie);
+      1. explore with wheel slip ON (encoders lie) — "frontier"
+         (default): closed-loop frontier-driven exploration steered by
+         the SLAM posterior itself (sim/frontier); "wander": the
+         open-loop scripted wanderer;
       2. RBPF SLAM (models/slam): joint (pose, map) posterior online;
       3. fit_walls — snap the best particle's log-odds grid onto the
          0.8 m cell lattice;
-      4. relocalize — a fresh episode sweep localizes on the LEARNED map
-         (scans still come from the true world);
+      4. relocalize/track — fresh episode sweeps localize (global) and
+         track (known-pose) on the LEARNED map, scans from the true
+         world;
       5. --mission: plan the gold/pickup TSP challenge ON the learned
          map and drive it closed-loop — sensing the true maze, the MCL
-         filter running against the map the robot built itself.
+         filter tracking against the map the robot built itself.
     """
     from .config import SLAMConfig
     from .models import mapping, slam
@@ -345,20 +381,38 @@ def run_slam(world: World, seed: int = 0, num_ticks: int = 600,
     scfg = SLAMConfig(num_particles=num_particles, mapping=mc,
                       sensor=world.cfg.sensor, motion=world.cfg.motion)
     start = (1.25, 1.25, 0.0)
-    enc, scans, truth = robot.generate_wander_episode(
-        jax.random.PRNGKey(seed), m, world.cfg, world.angles, num_ticks,
-        start_pose=start, slip_noise=slip_noise, explore=True)
-    final, est = jax.jit(lambda k, e, s: slam.run_slam_episode(
-        k, e, s, world.angles, scfg, start))(
-        jax.random.PRNGKey(seed + 1), enc, scans)
+    if explore_mode == "frontier":
+        from .sim import frontier
 
-    tn, est = np.asarray(truth), np.asarray(est)
-    dr = np.asarray(mapping.dead_reckon_poses(enc, start, world.cfg.motion))
+        phase_ticks = 120
+        fst, finfo = frontier.run_frontier_slam(
+            jax.random.PRNGKey(seed), m, scfg, world.angles,
+            start_pose=start, phases=max(num_ticks // phase_ticks, 1),
+            phase_ticks=phase_ticks, slip_noise=slip_noise)
+        final = fst.slam
+        tn, est = finfo["truth"], finfo["est"]
+        dr_err = None
+        num_ticks = len(tn)
+    elif explore_mode == "wander":
+        enc, scans, truth = robot.generate_wander_episode(
+            jax.random.PRNGKey(seed), m, world.cfg, world.angles,
+            num_ticks, start_pose=start, slip_noise=slip_noise,
+            explore=True)
+        final, est = jax.jit(lambda k, e, s: slam.run_slam_episode(
+            k, e, s, world.angles, scfg, start))(
+            jax.random.PRNGKey(seed + 1), enc, scans)
+        tn, est = np.asarray(truth), np.asarray(est)
+        dr = np.asarray(mapping.dead_reckon_poses(enc, start,
+                                                  world.cfg.motion))
+        tail = max(num_ticks // 4, 1)
+        dr_err = float(np.hypot(dr[:, 0] - tn[:, 0],
+                                dr[:, 1] - tn[:, 1])[-tail:].mean())
+    else:
+        raise ValueError(f"unknown explore_mode {explore_mode!r}")
+
     tail = max(num_ticks // 4, 1)   # final-stretch mean (test_slam metric)
     slam_err = float(np.hypot(est[:, 0] - tn[:, 0],
                               est[:, 1] - tn[:, 1])[-tail:].mean())
-    dr_err = float(np.hypot(dr[:, 0] - tn[:, 0],
-                            dr[:, 1] - tn[:, 1])[-tail:].mean())
     lo = np.asarray(slam.best_map(final))
     cell_px = int(round(m.cell_meters / m.resolution))
     learned_walls, seen = mapping.fit_walls(lo, cell_px=cell_px,
@@ -369,12 +423,13 @@ def run_slam(world: World, seed: int = 0, num_ticks: int = 600,
     expl = mapping.wall_metrics(learned_walls, np.asarray(m.walls),
                                 mask=seen)
     out = dict(particles=num_particles, ticks=num_ticks,
-               slip_noise=slip_noise,
+               slip_noise=slip_noise, explore_mode=explore_mode,
                slam_final_err_m=round(slam_err, 4),
-               dead_reckon_final_err_m=round(dr_err, 4),
                explored_edge_frac=round(float(np.mean(seen)), 4),
                **{k + "_explored": v for k, v in expl.items()},
                **mapping.wall_metrics(learned_walls, np.asarray(m.walls)))
+    if dr_err is not None:
+        out["dead_reckon_final_err_m"] = round(dr_err, 4)
     if export:
         base = export[:-5] if export.endswith(".yaml") else export
         mapping.export_learned_map(lo, mc, base + ".pgm", base + ".yaml")
@@ -391,6 +446,9 @@ def run_slam(world: World, seed: int = 0, num_ticks: int = 600,
                                   min(max(num_ticks // 2, 150), 300),
                                   seed + 1000, start_pose=start,
                                   explored_px=np.abs(lo) > 0.5))
+        out.update(_track_on(learned_maze, m, world,
+                             min(max(num_ticks // 2, 150), 300),
+                             seed + 2000, start_pose=start))
     if mission:
         # Challenge mission on the robot-built map: TSP + BFS legs planned
         # over the LEARNED wall graph, driven closed-loop with the filter
@@ -409,10 +467,13 @@ def run_slam(world: World, seed: int = 0, num_ticks: int = 600,
             wps = closed_loop.mission_waypoints(cells)
             sx, sy = wps[0]
             drive_wps = wps[1:] if len(wps) > 1 else wps
+            # known_start: the robot ENDED SLAM knowing its pose; the
+            # mission tracks from the plan's first cell instead of
+            # re-running brittle global localization on a partial map.
             mfinal, _ = jax.jit(lambda k: closed_loop.run_closed_loop(
                 k, learned_maze, world.cfg, drive_wps, mission_ticks,
                 world.angles, start_pose=(float(sx), float(sy), 0.0),
-                sense_m=m))(jax.random.PRNGKey(seed + 2))
+                known_start=True, sense_m=m))(jax.random.PRNGKey(seed + 2))
             out.update(mission_waypoints_reached=int(mfinal.wp_idx),
                        mission_waypoints_total=len(drive_wps),
                        mission_legs=[list(leg.goal) for leg in plan.legs])

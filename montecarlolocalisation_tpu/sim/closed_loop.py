@@ -116,15 +116,23 @@ def closed_loop_step(
 
 def run_closed_loop(
     key, m: MazeMap, cfg: FilterConfig, waypoints, num_ticks: int,
-    scan_angles, start_pose=(1.25, 1.25, 0.0), **kw,
+    scan_angles, start_pose=(1.25, 1.25, 0.0), known_start: bool = False,
+    **kw,
 ) -> Tuple[ClosedLoopState, ClosedLoopOutput]:
-    """Full closed-loop episode under lax.scan (jit/vmap-able)."""
+    """Full closed-loop episode under lax.scan (jit/vmap-able).
+
+    `known_start=True` initializes the filter TRACKING at start_pose
+    (mcl.init_tracking_state) instead of the global uniform cloud — the
+    post-SLAM deployment mode (the robot knows where it finished
+    mapping); wanderer starts off since the filter is born confident.
+    """
     k_init, k_run = jax.random.split(key)
     state = ClosedLoopState(
         robot=R.make_robot(*start_pose),
-        filt=mcl.init_state(k_init, m, cfg),
+        filt=(mcl.init_tracking_state(k_init, m, cfg, start_pose)
+              if known_start else mcl.init_state(k_init, m, cfg)),
         wanderer=C.wanderer_init(),
-        wanderer_on=jnp.bool_(True),
+        wanderer_on=jnp.bool_(not known_start),
         wp_idx=jnp.int32(0))
     wps = jnp.asarray(waypoints, jnp.float32)
     step = functools.partial(closed_loop_step, waypoints=wps, m=m, cfg=cfg,

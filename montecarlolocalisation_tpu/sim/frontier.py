@@ -1,0 +1,276 @@
+"""Frontier-driven autonomous exploration under SLAM (closed loop).
+
+The scripted explore wanderer saturates near ~50% maze coverage (its
+walk is geometry-biased), which starves everything downstream of the
+SLAM map: relocalization episodes wander off the mapped region and the
+mission planner finds the gold/pickup cells walled off behind
+conservative unexplored=wall edges.  Real autonomy plans its
+exploration: drive toward the NEAREST cell that still has unobserved
+edges, planned by BFS over the robot's OWN current map with OPTIMISTIC
+unknown=open semantics, localized by the SLAM posterior itself.  No
+reference counterpart — the reference's exploration is the blind
+wanderer and its map is hand-written (publish_map.py).
+
+Two layers:
+
+* `explore_phase` — one jit-compiled `lax.scan` over ticks: simulate
+  the LIDAR from the TRUE pose, run `slam.slam_step` (joint pose+map),
+  P-drive toward the current waypoint using the SLAM pose estimate
+  (`control.controllers.global_p_drive` — the same goToTargetGlobal
+  controller the mission executor uses), with the wanderer's
+  halves-compare avoidance taking over whenever the forward sector
+  blocks; commanded wheel arcs integrate the true dynamics WITH slip
+  while the encoders record the commanded arcs (lying odometry — the
+  SLAM input).  Waypoint slots are padded to a static count so every
+  phase reuses one compilation.
+* `run_frontier_slam` — the host loop: after each phase, snap the best
+  particle's map to the lattice (`mapping.fit_walls`), list frontier
+  cells (any unobserved edge), BFS from the SLAM-estimated cell over
+  the optimistic wall graph to the nearest one, and hand the next
+  waypoint list to the next phase.  Ends when no frontier remains
+  (full coverage) or the phase budget runs out.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import FilterConfig, SLAMConfig
+from ..control import controllers as C
+from ..maps.grid import MazeMap
+from ..models import mapping, sensor, slam
+from . import robot as R
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class ExploreState:
+    robot: R.RobotState      # ground truth (+ cumulative encoders)
+    slam: slam.SLAMState     # joint (pose, map) posterior
+    est: jax.Array           # [3] SLAM pose estimate driving the control
+    wp_idx: jax.Array        # int32 into the padded waypoint slots
+    turn_left: jax.Array     # int32 avoidance-turn ticks remaining
+    turn_sign: jax.Array     # f32 +-1
+
+
+def init_explore(key, start_pose, scfg: SLAMConfig) -> ExploreState:
+    sp = jnp.asarray(start_pose, jnp.float32)
+    return ExploreState(
+        robot=R.make_robot(*start_pose),
+        slam=slam.init_slam(key, start_pose, scfg),
+        est=sp, wp_idx=jnp.int32(0),
+        turn_left=jnp.int32(0), turn_sign=jnp.float32(1.0))
+
+
+def _explore_tick(state: ExploreState, tick_key, waypoints, n_wp,
+                  m_true: MazeMap, scfg: SLAMConfig, angles,
+                  slip_noise: float, scan_noise: float,
+                  base_speed: float, turn_speed: float,
+                  avoid_thresh: float, arrival_tol: float, dt: float):
+    # 1. Sense the TRUE world.
+    scan = sensor.simulate_scan(m_true, state.robot.pose, angles,
+                                scfg.sensor, key=tick_key,
+                                noise_sigma=scan_noise)
+
+    # 2. SLAM tick (lying encoders in, joint posterior out).
+    new_slam, info = slam.slam_step(
+        state.slam, state.robot.encoder_left, state.robot.encoder_right,
+        scan.ranges, angles, jnp.ones_like(scan.ranges), scfg)
+    est = info["pose"]
+
+    # 3. Behave: waypoint P-drive on the SLAM estimate; wanderer-style
+    # halves-compare avoidance when the forward sector blocks (the
+    # optimistic planner routes through unknown edges that may turn out
+    # to be real walls — bumping into one OBSERVES it, and the next
+    # replan routes around).
+    slots = waypoints.shape[0]
+    wp = waypoints[jnp.clip(state.wp_idx, 0, slots - 1)]
+    arrived = ((jnp.abs(est[0] - wp[0]) <= arrival_tol)
+               & (jnp.abs(est[1] - wp[1]) <= arrival_tol))
+    wp_idx = jnp.where(arrived & (state.wp_idx < n_wp),
+                       state.wp_idx + 1, state.wp_idx)
+    wp_active = wp_idx < n_wp
+    wp_next = waypoints[jnp.clip(wp_idx, 0, slots - 1)]
+
+    r = jnp.where(scan.mask, scan.ranges, 9.99)
+    blocked = jnp.min(r) <= avoid_thresh
+    half = r.shape[-1] // 2
+    sum1 = jnp.sum(jnp.where(scan.mask, scan.ranges, 0.0)[:half])
+    sum2 = jnp.sum(jnp.where(scan.mask, scan.ranges, 0.0)[half:])
+    start_turn = blocked & (state.turn_left == 0)
+    # pi/3 timed turn at turn_speed (wanderer_try_final.cpp:167-191).
+    omega = turn_speed * (scfg.motion.wheel_size / 2.0) / (
+        scfg.motion.wheel_space / 2.0)
+    turn_ticks = jnp.int32(jnp.ceil((jnp.pi / 3.0) / (omega * dt)))
+    turn_sign = jnp.where(start_turn,
+                          jnp.where(sum1 >= sum2, 1.0, -1.0),
+                          state.turn_sign)
+    turn_left = jnp.where(start_turn, turn_ticks, state.turn_left)
+    turning = turn_left > 0
+
+    gl, gr, _ = C.global_p_drive(est, wp_next, base_speed)
+    # Waypoints exhausted: SPIN in place — the laser covers ±118°, so a
+    # frontier cell reached facing away from its unobserved edge would
+    # never observe it (coverage was measured to saturate ~0.5 without
+    # this); a full turn observes every edge of the reached cell.  A
+    # phase with NO waypoints at all (n_wp == 0: no reachable frontier)
+    # wanders forward instead.
+    spin = ~wp_active & (n_wp > 0)
+    fwd_l = jnp.where(spin, turn_speed, base_speed)
+    fwd_r = jnp.where(spin, -turn_speed, base_speed)
+    left = jnp.where(turning, turn_speed * turn_sign,
+                     jnp.where(wp_active, gl, fwd_l))
+    right = jnp.where(turning, -turn_speed * turn_sign,
+                      jnp.where(wp_active, gr, fwd_r))
+    left, right = C.clamp_wheels(left, right)
+    turn_left = jnp.maximum(turn_left - 1, 0)
+
+    # 4. Act: truth integrates SLIPPED arcs, encoders record COMMANDED
+    # (sim/robot.generate_wander_episode's fault model).
+    dl, dr = R.wheel_arcs_from_speeds(left, right, dt, scfg.motion)
+    if slip_noise:
+        eps = slip_noise * jax.random.normal(
+            jax.random.fold_in(tick_key, 1), (2,))
+        enc_l, enc_r = state.robot.encoder_left, state.robot.encoder_right
+        rb = R.step_dynamics(state.robot, dl * (1.0 + eps[0]),
+                             dr * (1.0 + eps[1]), scfg.motion)
+        tick_m = scfg.motion.wheel_size * 0.5
+        rb = dataclasses.replace(
+            rb, encoder_left=enc_l + dl / tick_m,
+            encoder_right=enc_r + dr / tick_m)
+    else:
+        rb = R.step_dynamics(state.robot, dl, dr, scfg.motion)
+
+    new_state = ExploreState(robot=rb, slam=new_slam, est=est,
+                             wp_idx=wp_idx, turn_left=turn_left,
+                             turn_sign=turn_sign)
+    return new_state, (rb.pose, est)
+
+
+def explore_phase(state: ExploreState, key, waypoints, n_wp,
+                  m_true: MazeMap, scfg: SLAMConfig, angles,
+                  num_ticks: int, slip_noise: float = 0.03,
+                  scan_noise: float = 0.02, base_speed: float = 8.0,
+                  turn_speed: float = 5.0, avoid_thresh: float = 0.25,
+                  arrival_tol: float = 0.25, dt: float = 0.1):
+    """One exploration phase under lax.scan; returns (state, (true_poses
+    [T, 3], est_poses [T, 3])).  jit with static num_ticks + slot count;
+    padded waypoint slots keep one compilation across phases."""
+    keys = jax.random.split(key, num_ticks)
+
+    def body(st, k):
+        return _explore_tick(st, k, waypoints, n_wp, m_true, scfg,
+                             angles, slip_noise, scan_noise, base_speed,
+                             turn_speed, avoid_thresh, arrival_tol, dt)
+
+    return jax.lax.scan(body, state, keys)
+
+
+def frontier_cells(seen: np.ndarray) -> list:
+    """Cells with at least one unobserved edge, as (row, col) tuples."""
+    unseen = ~np.asarray(seen, bool)
+    rs, cs = np.nonzero(unseen.any(axis=-1))
+    return list(zip(rs.tolist(), cs.tolist()))
+
+
+def plan_to_nearest_frontier(walls: np.ndarray, seen: np.ndarray,
+                             cur_cell: Tuple[int, int],
+                             rng: Optional[np.random.Generator] = None,
+                             k_nearest: int = 3) -> list:
+    """BFS path over `walls` from cur_cell to a frontier cell; [] when
+    none is reachable.
+
+    Pass the CONSERVATIVE wall graph (unexplored=wall) for the primary
+    plan: the robot then routes only through KNOWN-open edges to a cell
+    that still has an unobserved edge and OBSERVES the unknown from
+    there (the laser out-ranges a cell) — routing never bets on an
+    unexplored edge being open, which otherwise has the explorer
+    bumping against real walls behind optimistic paths for whole phases.
+    The caller falls back to the optimistic graph only when nothing is
+    conservatively reachable (e.g. a mis-estimated current cell).
+
+    Picks randomly among the `k_nearest` shortest reachable frontiers
+    (when `rng` given) so a target that fails (arrival is judged on the
+    SLAM estimate) rotates instead of being re-picked forever."""
+    from ..planning import bfs
+
+    targets = [f for f in frontier_cells(seen) if f != tuple(cur_cell)]
+    paths = [p for f in targets
+             if (p := bfs.bfs_path(walls, cur_cell, f))]
+    if not paths:
+        return []
+    paths.sort(key=len)
+    top = paths[:max(1, k_nearest)]
+    if rng is None:
+        return top[0]
+    return top[int(rng.integers(len(top)))]
+
+
+def run_frontier_slam(key, m_true: MazeMap, scfg: SLAMConfig, angles,
+                      start_pose=(1.25, 1.25, 0.0), phases: int = 12,
+                      phase_ticks: int = 120, wp_slots: int = 12,
+                      slip_noise: float = 0.03, **phase_kw):
+    """The full frontier-exploration loop.  Returns (final ExploreState,
+    dict with per-phase coverage history and the tick logs)."""
+    k_init, key = jax.random.split(jax.random.PRNGKey(key)
+                                   if isinstance(key, int) else key)
+    state = init_explore(k_init, start_pose, scfg)
+    cell_m = float(m_true.cell_meters)
+    cell_px = int(round(cell_m / float(m_true.resolution)))
+    host_rng = np.random.default_rng(int(np.asarray(
+        jax.random.key_data(k_init))[-1]))
+
+    phase_fn = jax.jit(lambda st, k, wps, n: explore_phase(
+        st, k, wps, n, m_true, scfg, jnp.asarray(angles, jnp.float32),
+        phase_ticks, slip_noise=slip_noise, **phase_kw))
+
+    truth_log, est_log, coverage = [], [], []
+    for _ in range(phases):
+        lo = np.asarray(slam.best_map(state.slam))
+        walls_cons, seen = mapping.fit_walls(
+            lo, cell_px=cell_px, return_explored=True)
+        coverage.append(float(np.mean(seen)))
+        if not frontier_cells(seen):
+            break                     # full coverage: exploration done
+        est = np.asarray(state.est)
+        cur = (int(np.clip(est[1] // cell_m, 0, seen.shape[0] - 1)),
+               int(np.clip(est[0] // cell_m, 0, seen.shape[1] - 1)))
+        # Conservative first (route through KNOWN-open edges only);
+        # optimistic fallback covers a mis-estimated current cell or a
+        # frontier pocket behind unobserved edges; a plain wander phase
+        # (no waypoints — forward + avoidance) is the last resort and
+        # still gathers scans.
+        path = plan_to_nearest_frontier(walls_cons, seen, cur, host_rng)
+        if not path:
+            walls_opt = mapping.fit_walls(lo, cell_px=cell_px,
+                                          unexplored_is_wall=False)
+            path = plan_to_nearest_frontier(walls_opt, seen, cur,
+                                            host_rng)
+        from .closed_loop import mission_waypoints
+
+        if path:
+            wps = mission_waypoints(path, cell_m)[1:][:wp_slots]
+        else:
+            wps = np.zeros((0, 2), np.float32)
+        n_wp = jnp.int32(len(wps))
+        pad = np.zeros((wp_slots, 2), np.float32)
+        pad[:len(wps)] = wps
+        key, sub = jax.random.split(key)
+        # Fresh waypoint list -> fresh slot cursor (a carried-over index
+        # from the previous phase would mark the new path as already
+        # exhausted and leave the robot spinning for the whole phase).
+        state = dataclasses.replace(state, wp_idx=jnp.int32(0))
+        state, (tp, ep) = phase_fn(state, sub, jnp.asarray(pad), n_wp)
+        truth_log.append(np.asarray(tp))
+        est_log.append(np.asarray(ep))
+    lo = np.asarray(slam.best_map(state.slam))
+    _, seen = mapping.fit_walls(lo, cell_px=cell_px, return_explored=True)
+    coverage.append(float(np.mean(seen)))
+    return state, dict(
+        coverage=coverage,
+        truth=np.concatenate(truth_log) if truth_log else np.zeros((0, 3)),
+        est=np.concatenate(est_log) if est_log else np.zeros((0, 3)))

@@ -60,6 +60,20 @@ def test_step_shapes_and_finiteness(maze):
     assert int(out.wanderer_cmd) == mcl.WANDERER_START
 
 
+def test_init_tracking_state(maze):
+    """Known-pose startup (the post-SLAM deployment mode): tight cloud at
+    the pose, confident-side thresholds, valid best_pose from tick 0."""
+    pose = (1.25, 2.05, 0.7)
+    st = mcl.init_tracking_state(jax.random.PRNGKey(0), maze, CFG, pose)
+    p = np.asarray(st.particles)
+    assert p.shape == (CFG.num_particles, 3)
+    assert np.allclose(p.mean(axis=0), pose, atol=0.02)
+    assert p[:, 0].std() < 0.06 and p[:, 2].std() < 0.1
+    assert float(st.confidence) == 1.0
+    assert float(st.confident_threshold) == CFG.hysteresis.conf_confident_threshold
+    assert np.allclose(np.asarray(st.best_pose), pose)
+
+
 def test_tracking_from_known_pose(maze, episode):
     """Pose-tracking parity: initialized at the truth, the filter must stay
     locked with low RMSE (the BASELINE.md parity metric)."""
