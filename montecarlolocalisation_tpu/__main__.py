@@ -60,13 +60,14 @@ def main() -> None:
                     help="mapping/slam presets: write the learned map as "
                          "ROS map_server PGM+YAML (trinary: occupied/free/"
                          "unknown); PATH.yaml then works with --map")
-    ap.add_argument("--explore", default="frontier",
-                    choices=["frontier", "wander"],
-                    help="slam preset explorer: 'frontier' (default) "
-                         "plans toward unexplored edges on the robot's "
-                         "OWN growing map (sim/frontier, closed loop "
-                         "through the SLAM pose estimate); 'wander' is "
-                         "the open-loop scripted wanderer")
+    ap.add_argument("--explore", default="wander",
+                    choices=["wander", "frontier"],
+                    help="slam preset explorer: 'wander' (default) is "
+                         "the freer-side scripted wanderer (measured "
+                         "best coverage/tick on the default maze); "
+                         "'frontier' plans toward unexplored edges on "
+                         "the robot's OWN growing map (sim/frontier, "
+                         "closed loop through the SLAM pose estimate)")
     ap.add_argument("--mission", action="store_true",
                     help="slam preset: after mapping, plan the gold/pickup "
                          "TSP challenge ON the learned map and drive it "

@@ -347,7 +347,7 @@ def run_slam(world: World, seed: int = 0, num_ticks: int = 600,
              gold_path: str = DEFAULT_GOLD,
              pickup_path: str = DEFAULT_PICKUP,
              export: Optional[str] = None,
-             explore_mode: str = "frontier"):
+             explore_mode: str = "wander"):
     """The full SLAM autonomy loop the reference cannot close.
 
     The reference stack REQUIRES a hand-written map.txt (publish_map.py:
@@ -355,10 +355,14 @@ def run_slam(world: World, seed: int = 0, num_ticks: int = 600,
     startup, monte_carlo.cpp:82-84).  This preset starts from NOTHING but
     encoders + scans:
 
-      1. explore with wheel slip ON (encoders lie) — "frontier"
-         (default): closed-loop frontier-driven exploration steered by
-         the SLAM posterior itself (sim/frontier); "wander": the
-         open-loop scripted wanderer;
+      1. explore with wheel slip ON (encoders lie) — "wander" (default):
+         the freer-side scripted wanderer; "frontier": closed-loop
+         frontier-driven exploration steered by the SLAM posterior
+         itself (sim/frontier — plans over the robot's OWN map; on the
+         small aliased default maze the randomized wanderer measured
+         equal-or-better coverage per tick, so it stays the default;
+         frontier is the structured-autonomy mode for worlds where
+         blind walks dead-end);
       2. RBPF SLAM (models/slam): joint (pose, map) posterior online;
       3. fit_walls — snap the best particle's log-odds grid onto the
          0.8 m cell lattice;

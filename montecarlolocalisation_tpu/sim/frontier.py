@@ -157,6 +157,10 @@ def explore_phase(state: ExploreState, key, waypoints, n_wp,
                   scan_noise: float = 0.02, base_speed: float = 8.0,
                   turn_speed: float = 5.0, avoid_thresh: float = 0.25,
                   arrival_tol: float = 0.25, dt: float = 0.1):
+    # Speeds tuned on chip sweeps: faster driving (base 13 / spin 8)
+    # raised coverage per tick but wrecked MAP quality (explored-edge F1
+    # 0.8-0.9 -> 0.5-0.6; more motion per scan smears the free-space
+    # carve and the filter mis-locks) — 8/5 keeps the map usable.
     """One exploration phase under lax.scan; returns (state, (true_poses
     [T, 3], est_poses [T, 3])).  jit with static num_ticks + slot count;
     padded waypoint slots keep one compilation across phases."""
@@ -243,9 +247,16 @@ def run_frontier_slam(key, m_true: MazeMap, scfg: SLAMConfig, angles,
         # optimistic fallback covers a mis-estimated current cell or a
         # frontier pocket behind unobserved edges; a plain wander phase
         # (no waypoints — forward + avoidance) is the last resort and
-        # still gathers scans.
-        path = plan_to_nearest_frontier(walls_cons, seen, cur, host_rng)
-        if not path:
+        # still gathers scans.  Two phases without coverage growth also
+        # force a wander phase: a FAKE wall in the fitted map can block
+        # every route to the remaining frontier (measured: 6-phase
+        # stalls), and fresh evidence from a randomized walk is what
+        # revises it.
+        stalled = (len(coverage) >= 3
+                   and coverage[-1] <= coverage[-3] + 1e-9)
+        path = ([] if stalled else
+                plan_to_nearest_frontier(walls_cons, seen, cur, host_rng))
+        if not path and not stalled:
             walls_opt = mapping.fit_walls(lo, cell_px=cell_px,
                                           unexplored_is_wall=False)
             path = plan_to_nearest_frontier(walls_opt, seen, cur,
@@ -253,7 +264,11 @@ def run_frontier_slam(key, m_true: MazeMap, scfg: SLAMConfig, angles,
         from .closed_loop import mission_waypoints
 
         if path:
-            wps = mission_waypoints(path, cell_m)[1:][:wp_slots]
+            # Cap the per-phase path: a long leg would eat the whole
+            # phase and skip the frontier SPIN (the part that actually
+            # observes the unknown edges); the remainder re-plans next
+            # phase from wherever the robot got to.
+            wps = mission_waypoints(path, cell_m)[1:][:min(3, wp_slots)]
         else:
             wps = np.zeros((0, 2), np.float32)
         n_wp = jnp.int32(len(wps))
