@@ -40,6 +40,11 @@ def main() -> None:
                          "--refine-iters 2)")
     ap.add_argument("--ray-mode", default="fixed",
                     choices=["fixed", "dda", "analytic"])
+    ap.add_argument("--ess", type=float, default=None,
+                    help="ESS-gated resampling threshold (e.g. 0.5): the "
+                         "production SIR schedule.  Combine with "
+                         "--refine-iters 2 for the composed production "
+                         "config at sweep scale")
     args = ap.parse_args()
 
     from montecarlolocalisation_tpu import presets
@@ -47,7 +52,8 @@ def main() -> None:
     for n in args.particles:
         world = presets.make_world(num_particles=n,
                                    ray_mode=args.ray_mode,
-                                   refine_iters=args.refine_iters)
+                                   refine_iters=args.refine_iters,
+                                   ess_threshold=args.ess)
         cfg = dataclasses.replace(
             world.cfg, resample=dataclasses.replace(
                 world.cfg.resample, method=args.method))
@@ -58,7 +64,7 @@ def main() -> None:
                                     tick_chunk=args.tick_chunk)
         print(json.dumps(dict(
             particles=n, batch=args.batch, ticks=args.ticks,
-            method=args.method, refine=args.refine_iters,
+            method=args.method, refine=args.refine_iters, ess=args.ess,
             wall_s=round(time.time() - t0, 1),
             **{k: round(float(v), 4) for k, v in metrics.items()})),
             flush=True)
