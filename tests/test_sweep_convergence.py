@@ -17,7 +17,7 @@ import numpy as np
 import pytest
 
 from montecarlolocalisation_tpu.config import (
-    FilterConfig, ResampleConfig, SensorModelConfig,
+    FilterConfig, RefineConfig, ResampleConfig, SensorModelConfig,
 )
 from montecarlolocalisation_tpu.maps import from_map_file, symmetry
 from montecarlolocalisation_tpu.models import filter as mcl
@@ -91,6 +91,36 @@ def test_sweep_emits_recovery_events(sweep):
         assert (s == 2).any(), f"episode {e}: no recovered song"
         rec = np.argmax(s == 2)
         assert int(wcmd[e, rec]) == mcl.WANDERER_STOP
+
+
+def test_sweep_composed_production_config(maze, sim_batch):
+    """The COMPOSED production config (systematic + ESS gate + gradient
+    refinement) through the vmapped episode-sweep path — the configuration
+    the 1024x300 chip run validates at scale (BENCH_DETAILS "Composed
+    PRODUCTION config").  Pins (a) the composition runs under vmap, (b)
+    outputs are finite and confidence is sane, and (c) tick_chunk
+    segmentation stays BIT-identical under the composed config (the
+    carried ESS weights and refinement RNG must ride the state across
+    host-synced segment boundaries)."""
+    enc, ranges, poses = sim_batch
+    enc8, ranges8 = jax.tree.map(lambda a: a[:8, :60], (enc, ranges))
+    cfg = FilterConfig(
+        num_particles=128,
+        sensor=SensorModelConfig(ray_mode="dda", beam_skip=20),
+        resample=ResampleConfig(method="systematic", ess_threshold=0.5),
+        refine=RefineConfig(iters=1))
+    final, outs = episodes.run_episode_batch(
+        jax.random.PRNGKey(3), maze, cfg, enc8, ranges8, ANGLES)
+    assert np.isfinite(np.asarray(final.particles)).all()
+    conf = np.asarray(outs.confidence)
+    assert ((conf >= 0.0) & (conf <= 1.0)).all()
+    final_c, _ = episodes.run_episode_batch(
+        jax.random.PRNGKey(3), maze, cfg, enc8, ranges8, ANGLES,
+        tick_chunk=20)
+    np.testing.assert_array_equal(np.asarray(final.particles),
+                                  np.asarray(final_c.particles))
+    np.testing.assert_array_equal(np.asarray(final.best_pose),
+                                  np.asarray(final_c.best_pose))
 
 
 @pytest.mark.slow
