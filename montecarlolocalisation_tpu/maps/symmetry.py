@@ -148,6 +148,57 @@ def maze_symmetries(walls, cell_meters: float = 0.8) -> SymmetryGroup:
     )
 
 
+def mixture_tracking(particles, weights, truth, sym: SymmetryGroup,
+                     stray_radius: float = 0.4):
+    """Cloud-as-mixture decomposition over the truth's symmetry orbit.
+
+    `alias_errors` scores only the point estimate; this scores the whole
+    CLOUD: each particle is assigned to the nearest alias of the truth
+    (its mode), particles farther than `stray_radius` from EVERY alias are
+    "stray", and each mode is scored by its importance mass and its
+    weighted RMS radius about its alias.  A filter that locked onto
+    rot180 of the truth then tracks it tightly is physically converged —
+    `tracking_rmse_xy` says HOW tightly, independent of which alias the
+    seed picked, which is exactly what single-episode assertions need in
+    an aliased maze (sweep fractions already handle the which-mode
+    statistics).  jit/vmap friendly: all reductions are one-hot sums, no
+    gathers over the particle axis.
+
+    particles [..., N, 3], weights [..., N] (any positive scale), truth
+    [..., 3].  Returns dict(
+      mode_mass      [..., G]  importance mass per alias (strays excluded),
+      mode_rmse_xy   [..., G]  weighted RMS xy radius per mode (nan if empty),
+      stray_mass     [...]     mass farther than stray_radius from every alias,
+      dominant_mode  [...]     argmax-mass alias index (0 = true pose),
+      dominant_mass  [...]     its mass,
+      tracking_rmse_xy [...]   the dominant mode's RMS radius).
+    """
+    aliases = sym.apply(jnp.asarray(truth, jnp.float32))      # [..., G, 3]
+    p = jnp.asarray(particles, jnp.float32)
+    w = jnp.asarray(weights, jnp.float32)
+    w = w / jnp.maximum(jnp.sum(w, axis=-1, keepdims=True), 1e-30)
+    d = p[..., :, None, :2] - aliases[..., None, :, :2]       # [..., N, G, 2]
+    dist2 = jnp.sum(d * d, axis=-1)                           # [..., N, G]
+    gi = jnp.argmin(dist2, axis=-1)                           # [..., N]
+    dmin2 = jnp.min(dist2, axis=-1)                           # [..., N]
+    stray = (dmin2 > stray_radius * stray_radius).astype(jnp.float32)
+    onehot = (jax.nn.one_hot(gi, sym.size, dtype=jnp.float32)
+              * (1.0 - stray)[..., None])                     # [..., N, G]
+    wm = w[..., None] * onehot
+    mode_mass = jnp.sum(wm, axis=-2)                          # [..., G]
+    mode_m2 = jnp.sum(wm * dmin2[..., None], axis=-2)
+    mode_rmse = jnp.where(
+        mode_mass > 1e-9,
+        jnp.sqrt(mode_m2 / jnp.maximum(mode_mass, 1e-30)), jnp.nan)
+    dom = jnp.argmax(mode_mass, axis=-1)
+    dom_mass = jnp.take_along_axis(mode_mass, dom[..., None], axis=-1)[..., 0]
+    dom_rmse = jnp.take_along_axis(mode_rmse, dom[..., None], axis=-1)[..., 0]
+    return dict(mode_mass=mode_mass, mode_rmse_xy=mode_rmse,
+                stray_mass=jnp.sum(w * stray, axis=-1),
+                dominant_mode=dom, dominant_mass=dom_mass,
+                tracking_rmse_xy=dom_rmse)
+
+
 def alias_errors(best_pose, truth, sym: SymmetryGroup):
     """Best-over-aliases pose errors (jit/vmap friendly).
 

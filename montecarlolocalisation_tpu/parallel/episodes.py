@@ -182,4 +182,17 @@ def sweep_rmse(final_states: mcl.MCLState, true_poses, sym=None,
                 (ok & (ae["alias_idx"] == 0)
                  & (ae["err_xy"] < tol_xy)).astype(jnp.float32)),
         )
+        # Cloud-as-mixture metrics (per-episode decomposition over the
+        # truth's orbit, then sweep means): how concentrated the final
+        # cloud is on its winning mode and how tightly that mode tracks —
+        # independent of WHICH alias each seed picked.
+        mt = _sym.mixture_tracking(final_states.particles,
+                                   final_states.weights, truth, sym,
+                                   stray_radius=tol_xy)
+        out.update(
+            dominant_mass_mean=jnp.mean(mt["dominant_mass"]),
+            stray_mass_mean=jnp.mean(mt["stray_mass"]),
+            tracking_rmse_xy=jnp.sqrt(
+                jnp.nanmean(mt["tracking_rmse_xy"] ** 2)),
+        )
     return out

@@ -34,9 +34,14 @@ def test_sweep_preset(world):
     metrics = presets.run_sweep(world, batch=4, num_ticks=30)
     # Base metrics plus the alias-aware set (default map's symmetry group).
     assert {"converged_frac", "rmse_xy", "rmse_theta",
-            "alias_rmse_xy", "alias_converged_frac"} <= set(metrics)
+            "alias_rmse_xy", "alias_converged_frac",
+            "dominant_mass_mean", "stray_mass_mean",
+            "tracking_rmse_xy"} <= set(metrics)
     assert 0.0 <= float(metrics["converged_frac"]) <= 1.0
     assert 0.0 <= float(metrics["alias_converged_frac"]) <= 1.0
+    # Mixture decomposition conserves mass: dominant + stray <= 1.
+    assert (float(metrics["dominant_mass_mean"])
+            + float(metrics["stray_mass_mean"])) <= 1.0 + 1e-5
 
 
 @pytest.mark.slow

@@ -185,3 +185,68 @@ def test_rot90_symmetry_is_physical():
         diff = np.abs(np.asarray(got.ranges) - np.asarray(ref.ranges))
         assert np.quantile(diff, 0.85) < 0.15, diff
         assert diff.max() < 0.4, diff
+
+
+def _mixture_cloud(sym, truth, dom_g, rng, n=4000):
+    """Synthetic cloud: 60% tight on alias dom_g, 35% on the true pose,
+    5% stray (far from every alias).  Returns (particles, weights,
+    expected stray point)."""
+    aliases = np.asarray(sym.apply(jnp.asarray(truth, jnp.float32)))
+    # A stray anchor > 0.6 m from every alias: scan a coarse lattice.
+    xs = np.linspace(0.2, 4.6, 23)
+    pts = np.stack(np.meshgrid(xs, xs), axis=-1).reshape(-1, 2)
+    dmin = np.sqrt(((pts[:, None, :] - aliases[None, :, :2]) ** 2
+                    ).sum(-1)).min(1)
+    stray_pt = pts[np.argmax(dmin)]
+    assert dmin.max() > 0.6
+    n_dom, n_true = int(0.6 * n), int(0.35 * n)
+    n_stray = n - n_dom - n_true
+    blob = lambda c, k, s: np.concatenate(
+        [c[None, :2] + rng.normal(0, s, (k, 2)),
+         np.full((k, 1), c[2] if len(c) > 2 else 0.0)], axis=-1)
+    parts = np.concatenate([
+        blob(aliases[dom_g], n_dom, 0.03),
+        blob(aliases[0], n_true, 0.03),
+        blob(np.append(stray_pt, 0.0), n_stray, 0.01),
+    ]).astype(np.float32)
+    return jnp.asarray(parts), jnp.full((n,), 1.0 / n, jnp.float32)
+
+
+def test_mixture_tracking_masses_and_rmse():
+    s = symmetry.maze_symmetries(_rot90_symmetrized_walls())
+    assert s.size >= 4
+    truth = np.array([1.2, 0.6, 0.4], np.float32)
+    dom_g = s.names.index("rot180")
+    rng = np.random.RandomState(3)
+    parts, w = _mixture_cloud(s, truth, dom_g, rng)
+    mt = symmetry.mixture_tracking(parts, w, jnp.asarray(truth), s)
+    assert int(mt["dominant_mode"]) == dom_g
+    np.testing.assert_allclose(float(mt["dominant_mass"]), 0.60, atol=0.02)
+    np.testing.assert_allclose(float(mt["mode_mass"][0]), 0.35, atol=0.02)
+    np.testing.assert_allclose(float(mt["stray_mass"]), 0.05, atol=0.01)
+    # Tight blob: weighted RMS radius ~ sigma * sqrt(2) = 0.042.
+    assert 0.02 < float(mt["tracking_rmse_xy"]) < 0.08
+    # Modes with no mass report nan, populated modes finite.
+    mm = np.asarray(mt["mode_mass"])
+    mr = np.asarray(mt["mode_rmse_xy"])
+    assert np.isfinite(mr[dom_g]) and np.isfinite(mr[0])
+    assert np.all(np.isnan(mr[mm < 1e-9]))
+
+
+def test_mixture_tracking_batched_and_weighted():
+    s = symmetry.maze_symmetries(_rot90_symmetrized_walls())
+    truth = np.array([1.2, 0.6, 0.4], np.float32)
+    rng = np.random.RandomState(7)
+    p1, w1 = _mixture_cloud(s, truth, s.names.index("rot90"), rng, n=1000)
+    p2, w2 = _mixture_cloud(s, truth, 0, rng, n=1000)
+    parts = jnp.stack([p1, p2])
+    w = jnp.stack([w1, w2])
+    tr = jnp.broadcast_to(jnp.asarray(truth), (2, 3))
+    mt = symmetry.mixture_tracking(parts, w, tr, s)
+    assert mt["mode_mass"].shape == (2, s.size)
+    assert int(mt["dominant_mode"][0]) == s.names.index("rot90")
+    assert int(mt["dominant_mode"][1]) == 0
+    # Weights need not be normalized: scaling them must change nothing.
+    mt2 = symmetry.mixture_tracking(parts, w * 37.0, tr, s)
+    np.testing.assert_allclose(np.asarray(mt2["dominant_mass"]),
+                               np.asarray(mt["dominant_mass"]), atol=1e-5)
