@@ -135,6 +135,17 @@ class ResampleConfig:
     # schedule; skipped ticks cost neither sampling noise nor jitter and
     # skip the whole resample stage under lax.cond on TPU.
     ess_threshold: Optional[float] = None
+    # Multi-chip offspring exchange (parallel/distributed.resample_sharded).
+    # "ring": O(N/P) per-chip memory and expansion compute — source blocks
+    # rotate around the ICI ring (ppermute) and each shard assembles only
+    # its own output block; no [N_global, 3] intermediate ever exists.
+    # Systematic draws are bit-identical to the gathered form; multinomial
+    # uses distributed order statistics (the sorted multiset draw — same
+    # distribution, no searchsorted).  "allgather": the legacy form that
+    # replicates the full cloud per shard (O(N_global) memory) and keeps
+    # the reference's per-slot searchsorted for multinomial — only useful
+    # for A/B parity checks.
+    sharded_exchange: str = "ring"
 
 
 @dataclasses.dataclass(frozen=True)

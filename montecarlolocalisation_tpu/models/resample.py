@@ -136,35 +136,42 @@ def sorted_uniforms(key, n: int):
     return s[:-1] / s[-1]
 
 
+def crossrank_counts(rs, cdf):
+    """#{cdf_i < r} for each r in ascending `rs` — one merged lax.sort.
+
+    The gather-free lower_bound: tag draws 0 / CDF entries 1, sort by
+    (value, tag) so a draw ties BEFORE the equal CDF entry (side='left'
+    semantics), then the inclusive cumsum of tags AT a draw's position is
+    exactly #{cdf_i < r}; a stable sort on the tag compacts the draw
+    positions back out in order.  Bitonic networks are vector
+    compare-exchanges — no binary-search gather chains (searchsorted is
+    ~133 ms/1M on v5e, CLAUDE.md).  Returns int32 [len(rs)], ascending.
+    """
+    n_r = rs.shape[0]
+    v = jnp.concatenate([rs, cdf])
+    tag = jnp.concatenate([jnp.zeros((n_r,), jnp.int32),
+                           jnp.ones((cdf.shape[0],), jnp.int32)])
+    _, st = jax.lax.sort((v, tag), num_keys=2)
+    cum = jnp.cumsum(st)
+    _, idx = jax.lax.sort((st, cum), num_keys=1, is_stable=True)
+    return idx[:n_r].astype(jnp.int32)
+
+
 def multinomial_indices_sorted(key, cdf):
     """Monotone multinomial draw: sort(searchsorted(cdf, U^N, 'left')).
 
     The TPU-shaped form of the reference's per-draw CDF inversion
-    (monte_carlo.cpp:497-555): `searchsorted` lowers to N binary-search
-    GATHER chains (~133 ms/1M on v5e — CLAUDE.md), so instead
-      1. draw the uniforms ALREADY SORTED (sorted_uniforms — the
-         resampled multiset is permutation-invariant, so only the order
-         statistics matter; the multiset distribution is IDENTICAL to
-         iid draws);
-      2. cross-rank the two sorted sequences with ONE merged
-         `lax.sort` (a bitonic network — vector compare-exchanges, no
-         gathers): tag draws 0 / CDF entries 1, sort by (value, tag) so
-         a draw ties BEFORE the equal CDF entry (side='left'), then the
-         inclusive cumsum of tags AT a draw's position is exactly
-         #{cdf_i < r} — its lower_bound index;
-      3. compact the draw positions with a stable sort on the tag.
+    (monte_carlo.cpp:497-555): draw the uniforms ALREADY SORTED
+    (sorted_uniforms — the resampled multiset is permutation-invariant, so
+    only the order statistics matter; the multiset distribution is
+    IDENTICAL to iid draws), then cross-rank the two sorted sequences with
+    merged sorts (crossrank_counts) instead of N binary-search gathers.
 
     Returns int32 [N], ascending, in [0, N-1].
     """
     n = cdf.shape[0]
     rs = sorted_uniforms(key, n)
-    v = jnp.concatenate([rs, cdf])
-    tag = jnp.concatenate([jnp.zeros((n,), jnp.int32),
-                           jnp.ones((n,), jnp.int32)])
-    _, st = jax.lax.sort((v, tag), num_keys=2)
-    cum = jnp.cumsum(st)
-    _, idx = jax.lax.sort((st, cum), num_keys=1, is_stable=True)
-    return jnp.clip(idx[:n].astype(jnp.int32), 0, n - 1)
+    return jnp.clip(crossrank_counts(rs, cdf), 0, n - 1)
 
 
 def resize_particles(key, particles, weights, n_new: int):

@@ -141,17 +141,25 @@ def beam_weights(m: MazeMap, particles, scan: Scan, cfg: SensorModelConfig,
     Backend dispatch (cfg.lookup_mode): on TPU with ray_mode "fixed" or
     "analytic" (gridline rasters) the whole computation runs as one fused
     Pallas kernel (ops/weights_pallas) for both beam-combine modes;
-    otherwise XLA gather (CPU) or MXU one-hot lookups.
+    otherwise XLA gather (CPU) or MXU one-hot lookups.  Setting
+    MCL_WEIGHTS_INTERPRET=1 forces the kernel in Pallas INTERPRET mode on
+    any backend (tests: the kernel + shard_map collectives composition
+    must trace together on the virtual CPU mesh so real multi-chip isn't
+    its first-ever execution).
     """
+    import os as _os
+
     from ..ops.bitlookup import is_concrete_map
 
+    interpret = _os.environ.get("MCL_WEIGHTS_INTERPRET", "0") == "1"
     mode = cfg.lookup_mode
     if mode == "auto":
-        mode = "pallas" if jax.default_backend() == "tpu" else "gather"
+        mode = ("pallas" if jax.default_backend() == "tpu" or interpret
+                else "gather")
     if mode == "pallas":
         kernel_ok = (abs(valid_offset - m.resolution) < 1e-9
                      and particles.ndim == 2
-                     and jax.default_backend() == "tpu"
+                     and (jax.default_backend() == "tpu" or interpret)
                      and is_concrete_map(m)
                      and cfg.beam_combine in ("sum", "log"))
         if kernel_ok:
@@ -163,7 +171,8 @@ def beam_weights(m: MazeMap, particles, scan: Scan, cfg: SensorModelConfig,
                 kernel_ok = cfg.ray_mode == "fixed"
         if kernel_ok:
             return _beam_weights_pallas_vmappable(m, particles, scan, cfg,
-                                                  valid_offset)
+                                                  valid_offset,
+                                                  interpret=interpret)
         mode = "bits"
     if mode == "bits" and not is_concrete_map(m):
         mode = "onehot"
@@ -228,7 +237,8 @@ def finish_log_weights(m, cfg, particles, raw_logs, axis=None):
         _valid_pos_bits(m, particles[..., 0], particles[..., 1]), prob, 0.0)
 
 
-def _beam_weights_pallas_vmappable(m, particles, scan, cfg, valid_offset):
+def _beam_weights_pallas_vmappable(m, particles, scan, cfg, valid_offset,
+                                   interpret: bool = False):
     """Pallas kernel wrapped in custom_vmap: batching (vmap over episodes)
     falls back to the vmappable bits path — pallas_call cannot batch its
     SMEM beam operands.  (Needed because vmap-of-scan retraces bodies with
@@ -241,7 +251,8 @@ def _beam_weights_pallas_vmappable(m, particles, scan, cfg, valid_offset):
     @jax.custom_batching.custom_vmap
     def fn(p, angles, ranges, mask):
         out = beam_weights_pallas(
-            m, p, Scan(angles=angles, ranges=ranges, mask=mask), cfg)
+            m, p, Scan(angles=angles, ranges=ranges, mask=mask), cfg,
+            interpret=interpret)
         if cfg.beam_combine == "log":
             out = finish_log_weights(m, cfg, p, out)
         return out
@@ -281,7 +292,8 @@ def _beam_weights_pallas_vmappable(m, particles, scan, cfg, valid_offset):
                 ranges, (axis_size,) + ranges.shape)
             mm = mask if m_b else jnp.broadcast_to(
                 mask, (axis_size,) + mask.shape)
-            return _beam_weights_batched(m, p, angles, rr, mm, cfg), True
+            return _beam_weights_batched(m, p, angles, rr, mm, cfg,
+                                         interpret=interpret), True
         in_axes = [0 if b else None for b in in_batched]
         out = jax.vmap(
             lambda pp, aa, rr, mm: _beam_weights_dense(

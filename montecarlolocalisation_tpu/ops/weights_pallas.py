@@ -228,9 +228,23 @@ def _beam_weights_call(x, y, th, angles, ranges, mask, geom, num_beams,
     # grid row.
     ep_smem = pl.BlockSpec((1, n_pack, num_beams), lambda e, i: (e, 0, 0),
                            memory_space=pltpu.SMEM)
+    # Inside shard_map (check_vma=True) the out aval must carry the same
+    # varying-mesh-axes set as the particle tiles, or pallas_call refuses
+    # to trace — and the interpret-mode evaluator re-plays the kernel as a
+    # jaxpr, so every operand must share that set too (pvary the
+    # replicated scan tables up to the particle axes).  Outside shard_map
+    # vma is the empty frozenset and all of this is a no-op.
+    vma = getattr(jax.typeof(x), "vma", None)
+    if vma:
+        def _lift(o):
+            missing = tuple(vma - jax.typeof(o).vma)
+            return (jax.lax.pcast(o, missing, to="varying") if missing
+                    else o)
+        y, th, angles, cos_b, sin_b, ranges, mask = map(
+            _lift, (y, th, angles, cos_b, sin_b, ranges, mask))
     out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct(x.shape, jnp.float32),
+        out_shape=jax.ShapeDtypeStruct(x.shape, jnp.float32, vma=vma),
         grid=(n_g, grid),
         in_specs=[
             row_spec, row_spec, row_spec,

@@ -7,10 +7,13 @@ particles across chips.  Design (SURVEY.md §2.4):
   * particles [N, 3] and weights [N] are sharded on mesh axis
     `particle_axis`; the map raster is replicated.
   * motion / beam weights / jitter are embarrassingly parallel (local).
-  * resampling needs the GLOBAL weight distribution: per-shard weight sums
-    travel by psum; the multinomial/systematic gather all_gathers the
-    (small) weight vector and particle block over ICI, then every shard
-    draws its own N/P offspring against the global CDF.  The injection cap
+  * resampling needs the GLOBAL weight distribution, but NOT the global
+    cloud: only [P] scalar prefix sums cross the ICI up front, then source
+    particle blocks rotate around the ring (ppermute) and each shard
+    assembles exactly its own N/P output slots from the visiting blocks —
+    per-chip memory and expansion compute stay O(N/P)
+    (sharded_exchange="ring"; the legacy "allgather" form that replicated
+    the whole cloud per shard is kept for A/B parity).  The injection cap
     is global: shard-level Bernoulli counts are all_gathered and converted
     to a global first-come prefix, preserving the reference's
     "first max_injection successes" semantics (monte_carlo.cpp:518-527).
@@ -55,6 +58,143 @@ def _shard_keys(key, axis_name: str):
     return jax.random.fold_in(key, jax.lax.axis_index(axis_name))
 
 
+def _global_cdf_prefix(norm_local, axis_name: str):
+    """Global-CDF bookkeeping from a local normalized-weight shard.
+
+    Returns (cdf_local, incl) where cdf_local[i] is the GLOBAL inclusive
+    CDF value at local source i and incl[s] is the global CDF at the end
+    of shard s's block.  Only [P] scalars cross the ICI; `incl` is the
+    cumsum of the SAME gathered vector on every shard, so block
+    boundaries agree globally (no cross-shard fp divergence).
+    """
+    my = jax.lax.axis_index(axis_name)
+    lc = jnp.cumsum(norm_local)
+    g = jax.lax.all_gather(lc[-1], axis_name)            # [P], replicated
+    incl = jnp.cumsum(g)
+    prefix = jnp.where(my > 0, incl[jnp.maximum(my - 1, 0)], 0.0)
+    return prefix + lc, incl
+
+
+def _ring_systematic_draw(particles, norm_local, u0, axis_name: str):
+    """Distributed systematic resampling with O(N/P) per-chip footprint.
+
+    Replaces the all_gather-the-cloud + per-shard global expansion
+    (the round-3 form this module shipped with): each source shard
+    computes its particles' offspring intervals in GLOBAL output
+    coordinates (ends_i = clip(floor(N·cdf_i − u0) + 1, 0, N), the same
+    closed form as resample.systematic_indices), then source blocks
+    rotate around the ICI ring (P−1 ppermutes).  At each step the
+    destination scatters the visiting block's interval starts into its
+    own n_loc-slot output block, cummax-fills, and selects — the slots a
+    visiting block covers are exactly the global range [blk_lo_j,
+    blk_hi_j) it tiles, so each output slot is written by exactly one
+    step.  Per-shard peak memory is O(n_loc); no [N_global, 3] array is
+    ever materialized (asserted by tests/test_sharding jaxpr check).
+    Output is bit-identical to particles_global[systematic_indices(cdf,
+    u0)] sliced to this shard (up to cross-shard cumsum rounding at
+    block boundaries — prototype-verified exact over adversarial weight
+    patterns).  Semantics: monte_carlo.cpp:497-555's CDF inversion in
+    the low-variance stratified form.
+    """
+    n_loc = norm_local.shape[0]
+    n_shards = jax.lax.axis_size(axis_name)
+    n_global = n_loc * n_shards
+    my = jax.lax.axis_index(axis_name)
+    base = my * n_loc
+
+    cdf_local, incl = _global_cdf_prefix(norm_local, axis_name)
+    ends = jnp.clip(
+        jnp.floor(n_global * cdf_local - u0).astype(jnp.int32) + 1,
+        0, n_global)
+    # Block output boundaries, computed from the SAME replicated [P]
+    # vector on every shard -> globally consistent tiling of [0, N).
+    blk_hi_all = jnp.clip(
+        jnp.floor(n_global * incl - u0).astype(jnp.int32) + 1, 0, n_global)
+    blk_hi_all = jax.lax.cummax(blk_hi_all).at[-1].set(n_global)
+    blk_lo = jnp.where(my > 0, blk_hi_all[jnp.maximum(my - 1, 0)], 0)
+    blk_hi = blk_hi_all[my]
+    # Trailing slots fall to the block's last source (same semantics as
+    # systematic_indices' cummax fill on a short final interval).
+    ends = jnp.clip(jax.lax.cummax(ends), blk_lo, blk_hi).at[-1].set(blk_hi)
+    starts = jnp.concatenate([blk_lo[None], ends[:-1]])
+
+    slot = base + jnp.arange(n_loc, dtype=jnp.int32)
+    ids = jnp.arange(n_loc, dtype=jnp.int32)
+    perm = [(i, (i + 1) % n_shards) for i in range(n_shards)]
+    drawn = jnp.zeros((n_loc, particles.shape[1]), particles.dtype)
+    v_starts, v_ends, v_parts = starts, ends, particles
+    for r in range(n_shards):
+        j = (my - r) % n_shards
+        v_lo = jnp.where(j > 0, blk_hi_all[jnp.maximum(j - 1, 0)], 0)
+        v_hi = blk_hi_all[j]
+        lo = jnp.clip(v_starts - base, 0, n_loc)
+        hi = jnp.clip(v_ends - base, 0, n_loc)
+        pos = jnp.where(hi > lo, lo, n_loc)              # n_loc -> dropped
+        buf = jax.lax.cummax(
+            jnp.full((n_loc,), -1, jnp.int32).at[pos].max(ids, mode="drop"))
+        vals = v_parts[jnp.clip(buf, 0, n_loc - 1)]
+        inr = (slot >= v_lo) & (slot < v_hi)
+        drawn = jnp.where(inr[:, None], vals, drawn)
+        if r < n_shards - 1:
+            v_starts = jax.lax.ppermute(v_starts, axis_name, perm)
+            v_ends = jax.lax.ppermute(v_ends, axis_name, perm)
+            v_parts = jax.lax.ppermute(v_parts, axis_name, perm)
+    return drawn
+
+
+def _ring_multinomial_draw(key, particles, norm_local, axis_name: str):
+    """Distributed multinomial via distributed ORDER STATISTICS, O(N/P).
+
+    The sharded composition of resample.multinomial_indices_sorted (the
+    round-3 sorted draw the legacy all_gather path never used): the
+    resampled multiset is permutation-invariant, so shard t draws output
+    block t directly as the global sorted uniforms U_(t·n_loc .. ) — the
+    exponential-spacings construction distributes perfectly (local
+    cumsum of Exp(1) + [P]-scalar prefix + global-total normalize).
+    Source CDF blocks then rotate around the ring; positions inside a
+    visiting block's CDF span cross-rank against it with ONE merged
+    bitonic sort per step (crossrank_counts — no searchsorted, closing
+    the 133 ms/1M gap the legacy sharded multinomial kept).  Multiset
+    distribution identical to iid CDF inversion (monte_carlo.cpp:
+    497-555); draw/injection decoupling as in the single-chip sorted
+    impl (QUIRKS.md fast-path row).
+    """
+    n_loc = norm_local.shape[0]
+    n_shards = jax.lax.axis_size(axis_name)
+    my = jax.lax.axis_index(axis_name)
+
+    # Global sorted uniforms, this shard's block (ascending).
+    loc_key = jax.random.fold_in(key, my)
+    e = -jnp.log(jax.random.uniform(loc_key, (n_loc,),
+                                    minval=jnp.float32(1e-37), maxval=1.0))
+    e_extra = -jnp.log(jax.random.uniform(
+        jax.random.fold_in(key, n_shards), (),
+        minval=jnp.float32(1e-37), maxval=1.0))
+    se = jnp.cumsum(e)
+    ge = jax.lax.all_gather(se[-1], axis_name)
+    incl_e = jnp.cumsum(ge)
+    pre_e = jnp.where(my > 0, incl_e[jnp.maximum(my - 1, 0)], 0.0)
+    rs = (pre_e + se) / (incl_e[-1] + e_extra)
+
+    cdf_local, incl = _global_cdf_prefix(norm_local, axis_name)
+
+    perm = [(i, (i + 1) % n_shards) for i in range(n_shards)]
+    drawn = jnp.zeros((n_loc, particles.shape[1]), particles.dtype)
+    v_cdf, v_parts = cdf_local, particles
+    for r in range(n_shards):
+        j = (my - r) % n_shards
+        span_lo = jnp.where(j > 0, incl[jnp.maximum(j - 1, 0)], -jnp.inf)
+        span_hi = jnp.where(j == n_shards - 1, jnp.inf, incl[j])
+        cnt = resample.crossrank_counts(rs, v_cdf)
+        vals = v_parts[jnp.clip(cnt, 0, n_loc - 1)]
+        inr = (rs >= span_lo) & (rs < span_hi)
+        drawn = jnp.where(inr[:, None], vals, drawn)
+        if r < n_shards - 1:
+            v_cdf = jax.lax.ppermute(v_cdf, axis_name, perm)
+            v_parts = jax.lax.ppermute(v_parts, axis_name, perm)
+    return drawn
+
+
 def resample_sharded(
     key, particles, weights, inj: resample.InjectionState, jitter_state,
     m: MazeMap, cfg: FilterConfig, axis_name: str, draw_weights=None,
@@ -78,30 +218,52 @@ def resample_sharded(
     p_inject = jnp.where(
         w_slow > 0.0, jnp.maximum(0.0, 1.0 - w_fast / w_slow), 0.0)
 
-    # Global CDF: all_gather the weight shards (tiled=True -> [N_global]).
     if draw_weights is None:
         draw_weights, draw_total = weights, total
     else:
         draw_total = jax.lax.psum(jnp.sum(draw_weights), axis_name)
-    all_w = jax.lax.all_gather(draw_weights, axis_name, tiled=True)
-    norm_w = jnp.where(draw_total > 0.0, all_w / draw_total,
-                       1.0 / n_global)
-    cdf = jnp.cumsum(norm_w)
-    all_parts = jax.lax.all_gather(particles, axis_name, tiled=True)
+    norm_local = jnp.where(draw_total > 0.0, draw_weights / draw_total,
+                           1.0 / n_global)
 
     loc_key = _shard_keys(key, axis_name)
     k_draw, k_inj, k_jx, k_jy, k_jt, k_fresh = jax.random.split(loc_key, 6)
-    if rcfg.method == "multinomial":
-        r = jax.random.uniform(k_draw, (n_loc,))
-        inject_r = r
-        idx = jnp.clip(jnp.searchsorted(cdf, r, side="left"), 0,
-                       n_global - 1)
-    else:  # systematic: stratified global positions, this shard's block
-        u_key, _ = jax.random.split(jax.random.fold_in(key, 0))
-        u0 = jax.random.uniform(u_key, ())  # same on all shards
-        idx_full = resample.systematic_indices(cdf, u0)  # [n_global]
-        idx = jax.lax.dynamic_slice(idx_full, (my * n_loc,), (n_loc,))
-        inject_r = jax.random.uniform(k_inj, (n_loc,))
+    if rcfg.sharded_exchange == "ring":
+        # O(N/P) offspring exchange: no full-cloud gather, no global-width
+        # expansion.  Shard-invariant draw keys (derived from the
+        # replicated `key`, counters disjoint from the per-shard
+        # loc_key streams above).
+        if rcfg.method == "multinomial":
+            mn_key = jax.random.split(jax.random.fold_in(key, 0), 8)[7]
+            drawn = _ring_multinomial_draw(mn_key, particles, norm_local,
+                                           axis_name)
+            inject_r = jax.random.uniform(k_inj, (n_loc,))
+        else:
+            u_key, _ = jax.random.split(jax.random.fold_in(key, 0))
+            u0 = jax.random.uniform(u_key, ())  # same on all shards
+            drawn = _ring_systematic_draw(particles, norm_local, u0,
+                                          axis_name)
+            inject_r = jax.random.uniform(k_inj, (n_loc,))
+    elif rcfg.sharded_exchange == "allgather":
+        # Legacy: replicate the global CDF + cloud per shard (O(N_global)
+        # per-chip memory/compute) — kept only for A/B parity checks.
+        all_w = jax.lax.all_gather(norm_local, axis_name, tiled=True)
+        cdf = jnp.cumsum(all_w)
+        all_parts = jax.lax.all_gather(particles, axis_name, tiled=True)
+        if rcfg.method == "multinomial":
+            r = jax.random.uniform(k_draw, (n_loc,))
+            inject_r = r
+            idx = jnp.clip(jnp.searchsorted(cdf, r, side="left"), 0,
+                           n_global - 1)
+        else:  # systematic: stratified global positions, this shard's block
+            u_key, _ = jax.random.split(jax.random.fold_in(key, 0))
+            u0 = jax.random.uniform(u_key, ())  # same on all shards
+            idx_full = resample.systematic_indices(cdf, u0)  # [n_global]
+            idx = jax.lax.dynamic_slice(idx_full, (my * n_loc,), (n_loc,))
+            inject_r = jax.random.uniform(k_inj, (n_loc,))
+        drawn = all_parts[idx]
+    else:
+        raise ValueError(
+            f"unknown sharded_exchange {rcfg.sharded_exchange!r}")
 
     # Global first-come injection cap.
     bern = inject_r < p_inject
@@ -110,7 +272,6 @@ def resample_sharded(
     prefix = jnp.sum(jnp.where(jnp.arange(n_shards) < my, counts, 0))
     inject = bern & ((prefix + jnp.cumsum(bern)) <= p["max_injection"])
     n_injected = jax.lax.psum(jnp.sum(inject), axis_name)
-    drawn = all_parts[idx]
     jx = jax.random.uniform(k_jx, (n_loc,), minval=-1.0, maxval=1.0) * p["jitter_xy"]
     jy = jax.random.uniform(k_jy, (n_loc,), minval=-1.0, maxval=1.0) * p["jitter_xy"]
     jt = jax.random.uniform(k_jt, (n_loc,), minval=-1.0, maxval=1.0) * p["jitter_theta"]
