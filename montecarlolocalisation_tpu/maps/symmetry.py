@@ -179,8 +179,15 @@ def mixture_tracking(particles, weights, truth, sym: SymmetryGroup,
     w = w / jnp.maximum(jnp.sum(w, axis=-1, keepdims=True), 1e-30)
     d = p[..., :, None, :2] - aliases[..., None, :, :2]       # [..., N, G, 2]
     dist2 = jnp.sum(d * d, axis=-1)                           # [..., N, G]
-    gi = jnp.argmin(dist2, axis=-1)                           # [..., N]
-    dmin2 = jnp.min(dist2, axis=-1)                           # [..., N]
+    # Assignment tie-break: at a symmetry FIXED POINT (e.g. the maze
+    # center under rot180) distinct aliases coincide in xy and a bare
+    # argmin would collapse their mass onto the lowest-index alias.  A
+    # small wrapped-theta term separates xy-degenerate aliases by pose;
+    # the epsilon keeps any real xy gap dominant (<= 1e-3 * pi^2 m^2).
+    dth = p[..., :, None, 2] - aliases[..., None, :, 2]       # [..., N, G]
+    dth = jnp.arctan2(jnp.sin(dth), jnp.cos(dth))
+    gi = jnp.argmin(dist2 + 1e-3 * dth * dth, axis=-1)        # [..., N]
+    dmin2 = jnp.take_along_axis(dist2, gi[..., None], axis=-1)[..., 0]
     stray = (dmin2 > stray_radius * stray_radius).astype(jnp.float32)
     onehot = (jax.nn.one_hot(gi, sym.size, dtype=jnp.float32)
               * (1.0 - stray)[..., None])                     # [..., N, G]

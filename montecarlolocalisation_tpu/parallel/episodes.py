@@ -189,10 +189,16 @@ def sweep_rmse(final_states: mcl.MCLState, true_poses, sym=None,
         mt = _sym.mixture_tracking(final_states.particles,
                                    final_states.weights, truth, sym,
                                    stray_radius=tol_xy)
+        # An episode whose cloud is ENTIRELY stray has no dominant mode
+        # and a NaN per-episode radius; tracked_frac tells consumers how
+        # many episodes the aggregate actually covers (nanmean over zero
+        # tracked episodes is NaN — "no data", not "tight tracking").
+        tr = mt["tracking_rmse_xy"]
+        tracked = jnp.isfinite(tr)
         out.update(
             dominant_mass_mean=jnp.mean(mt["dominant_mass"]),
             stray_mass_mean=jnp.mean(mt["stray_mass"]),
-            tracking_rmse_xy=jnp.sqrt(
-                jnp.nanmean(mt["tracking_rmse_xy"] ** 2)),
+            tracking_rmse_xy=jnp.sqrt(jnp.nanmean(tr ** 2)),
+            tracked_episodes_frac=jnp.mean(tracked.astype(jnp.float32)),
         )
     return out
