@@ -72,6 +72,17 @@ class SensorModelConfig:
     # memo (monte_carlo.cpp:355-363).  We default to exact angles; set True
     # to reproduce the 1-degree quantization.
     quantize_ray_deg: bool = False
+    # Unknown-space beam credit on PARTIAL (learned) maps, as a fraction of
+    # the peak hit probability w_hit * gauss_pdf(0).  Only read by the
+    # frontier-aware scorer (sensor.beam_weights_partial, activated by
+    # passing a known-walls-only map to the filter): a beam that crosses
+    # into UNMAPPED territory before any evidenced wall and measures a
+    # range at/behind that frontier is uninformative — it gets this flat
+    # credit instead of being scored against fit_walls' phantom
+    # unexplored-is-wall raster (which is what made relocalization on
+    # partial maps fail outright rather than degrade).  No reference
+    # counterpart (the reference never localizes on a learned map).
+    unknown_credit: float = 0.3
 
     @property
     def num_ray_steps(self) -> int:
@@ -266,6 +277,28 @@ class SLAMConfig:
     refine_iters: int = 0
     refine_step_xy: float = 0.01
     refine_step_theta: float = 0.01
+    # Monte-Carlo optimal proposal (the UNBIASED scan-matched proposal —
+    # what refine_iters could not deliver): draw K motion-model candidates
+    # per particle, keep ONE with probability ∝ its scan likelihood
+    # (Gumbel-max categorical), and multiply the particle's weight by the
+    # candidate MEAN likelihood — an unbiased estimate of p(z | x_prev),
+    # the optimal-proposal normalizer, so the importance weights stay
+    # exact for any K (K → ∞ recovers p(x | x_prev, z); K = 1 is exactly
+    # the plain SIR step).  TPU-shaped: K folds into the beam axis of the
+    # per-particle bilinear field contractions (slam.scan_loglik_multi) —
+    # no extra field/window computation, the MXU einsums just get a K×
+    # longer sample axis.
+    proposal_candidates: int = 1
+    # Keyframe-gated map updates (GMapping's linearUpdate/angularUpdate):
+    # fold the scan into the particle maps only when the posterior-mean
+    # pose has moved ≥ keyframe_trans meters or turned ≥ keyframe_rot
+    # radians since the last map update (criteria with value 0 are
+    # disabled; both 0 = update every tick, the legacy behavior).  Ticks
+    # spent stationary or turning in place re-paint the same walls from
+    # slightly different noisy poses — the dominant long-horizon map
+    # smear source; gated ticks still weight and resample normally.
+    keyframe_trans: float = 0.0
+    keyframe_rot: float = 0.0
 
 
 @dataclasses.dataclass(frozen=True)

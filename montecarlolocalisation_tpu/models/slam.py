@@ -68,6 +68,10 @@ class SLAMState:
     #                        estimate (best_map/best_pose) selects on these
     odom: motion.OdometryState   # shared encoder integrator
     key: jax.Array         # PRNG carried through ticks
+    kf_pose: jax.Array     # [3] posterior-mean pose at the last map
+    #                        update (keyframe gating reference; a far
+    #                        sentinel at init so the first tick always
+    #                        maps — inert unless cfg.keyframe_* > 0)
 
 
 def init_slam(key, start_pose, cfg: SLAMConfig) -> SLAMState:
@@ -86,7 +90,8 @@ def init_slam(key, start_pose, cfg: SLAMConfig) -> SLAMState:
     odom = motion.OdometryState.zero()
     odom = dataclasses.replace(odom, x=sp[0], y=sp[1], theta=sp[2])
     return SLAMState(poses=poses, logodds=logodds, weights=weights,
-                     scores=weights, odom=odom, key=key)
+                     scores=weights, odom=odom, key=key,
+                     kf_pose=jnp.full((3,), -1e6, jnp.float32))
 
 
 def _endpoints(poses, ranges, angles, cfg: SLAMConfig):
@@ -312,6 +317,58 @@ def scan_log_likelihood(field, poses, ranges, angles, mask,
     return jnp.sum(per_beam, axis=-1)
 
 
+def scan_loglik_multi(field, cand, ranges, angles, mask, cfg: SLAMConfig,
+                      offsets=None):
+    """scan_log_likelihood for [P, K, 3] candidate poses, returns [P, K].
+
+    All K candidates of particle p score against p's OWN field (window):
+    K folds into the SAMPLE axis of the per-particle bilinear
+    contractions (_bilinear handles any [P, M]), so the field stack is
+    read once per particle regardless of K — the MXU tent-weight einsums
+    just get a K× longer sample axis.  Same two terms as
+    scan_log_likelihood (endpoint + free-space consistency); K = 1
+    column-matches it exactly (pinned by test_slam)."""
+    field_hit, field_wall = field
+    ranges = jnp.asarray(ranges, jnp.float32)
+    p_n, k_n, _ = cand.shape
+    b_n = ranges.shape[-1]
+    theta = cand[..., 2:3]                                   # [P, K, 1]
+    ox = cand[..., 0:1] + cfg.sensor.laser_offset * jnp.cos(theta)
+    oy = cand[..., 1:2] + cfg.sensor.laser_offset * jnp.sin(theta)
+    sign = -1.0 if cfg.sensor.negate_beam_angle else 1.0
+    ray = theta + sign * angles[None, None, :]               # [P, K, B]
+    r = ranges[None, None, :] + 0.5 * cfg.mapping.resolution
+    ex = (ox + r * jnp.cos(ray)).reshape(p_n, k_n * b_n)
+    ey = (oy + r * jnp.sin(ray)).reshape(p_n, k_n * b_n)
+    f = _bilinear(field_hit, ex, ey, cfg.mapping, offsets).reshape(
+        p_n, k_n, b_n)
+    maskf = jnp.asarray(mask, jnp.float32)
+    valid = maskf * (ranges <= cfg.mapping.max_trusted_range).astype(
+        jnp.float32)
+    returned = valid * (
+        ranges < cfg.sensor.max_range - 1e-6).astype(jnp.float32)
+    per_beam = jnp.log(cfg.z_hit * f + cfg.z_rand) * returned[None, None, :]
+    if cfg.z_short > 0.0 and cfg.free_samples > 0:
+        cr, sr = jnp.cos(ray), jnp.sin(ray)
+        span = jnp.maximum(ranges[None, None, :] - cfg.free_margin, 0.0)
+        fracs = (jnp.arange(1, cfg.free_samples + 1, dtype=jnp.float32)
+                 / cfg.free_samples)
+        s = span[..., None] * fracs                          # [1, 1, B, F]
+        f_n = cfg.free_samples
+        sx = jnp.broadcast_to(ox[..., None] + s * cr[..., None],
+                              (p_n, k_n, b_n, f_n)).reshape(
+                                  p_n, k_n * b_n * f_n)
+        sy = jnp.broadcast_to(oy[..., None] + s * sr[..., None],
+                              (p_n, k_n, b_n, f_n)).reshape(
+                                  p_n, k_n * b_n * f_n)
+        fk = _bilinear(field_wall, sx, sy, cfg.mapping, offsets).reshape(
+            p_n, k_n, b_n, f_n)
+        per_beam = per_beam + (
+            jnp.sum(jnp.log1p(-cfg.z_short * fk), axis=-1)
+            * valid[None, None, :])
+    return jnp.sum(per_beam, axis=-1)                        # [P, K]
+
+
 def _refine_poses(poses, field, ranges, angles, mask, cfg: SLAMConfig,
                   offsets=None):
     """Gradient scan matching against each particle's OWN likelihood field.
@@ -355,7 +412,11 @@ def slam_step(state: SLAMState, encoder_left, encoder_right, ranges,
     estimate, best_pose [3], ess, resampled flag).
     """
     p_count = cfg.num_particles
-    k_noise, k_draw, k_next = jax.random.split(state.key, 3)
+    k_cand = cfg.proposal_candidates
+    if k_cand > 1:
+        k_noise, k_pick, k_draw, k_next = jax.random.split(state.key, 4)
+    else:
+        k_noise, k_draw, k_next = jax.random.split(state.key, 3)
 
     # 1. Motion proposal: shared encoder integration, PER-PARTICLE noise
     # (diversity is the SLAM proposal; the reference's shared-noise quirk
@@ -380,33 +441,66 @@ def slam_step(state: SLAMState, encoder_left, encoder_right, ranges,
         alpha_2=cfg.motion.alpha_2 * cfg.alpha_scale,
         alpha_3=cfg.motion.alpha_3 * cfg.alpha_scale,
         alpha_4=cfg.motion.alpha_4 * cfg.alpha_scale)
-    n_rot1, n_trans, n_rot2 = motion.sample_motion_noise(
-        k_noise, rot1, trans, rot2, mcfg, (p_count,))
-    poses = motion.propagate_particles(state.poses, n_rot1, n_trans, n_rot2)
-    poses = poses.at[:, 2].set(normalize_angle(poses[:, 2]))
-
     ranges = jnp.asarray(ranges, jnp.float32)
     angles = jnp.asarray(angles, jnp.float32)
     mask = jnp.asarray(mask, jnp.float32)
 
-    # Likelihood field of each particle's PRE-UPDATE map, computed once
-    # per tick and shared by the scan matcher and the weighting below.
-    # On maps larger than field_window_px the field is a per-particle
-    # window around the (pre-refine) proposal pose — per-tick cost stays
-    # flat in map AREA (field_windows).
-    win, offsets = field_windows(state.logodds, poses, cfg)
-    field = hit_field(win, cfg)
+    if k_cand > 1:
+        # 2-3. Monte-Carlo OPTIMAL proposal (Doucet's p(x|x_prev, z) via K
+        # auxiliary candidates): K independent motion-model draws per
+        # particle, ONE kept with probability ∝ its scan likelihood
+        # (Gumbel-max categorical — no gathers, a one-hot MXU select),
+        # and the importance weight multiplied by the candidate MEAN
+        # likelihood — an unbiased estimate of the optimal-proposal
+        # normalizer ∫ p(z|x) p(x|x_prev) dx.  Unlike the deterministic
+        # hill-climb (refine_iters, measured to HURT — QUIRKS.md), the
+        # weights stay exact for ANY K; K=1 degenerates to plain SIR.
+        # Fields/windows are computed once per particle at the noise-free
+        # composed pose (candidates lie within the motion-noise radius,
+        # well inside the window margin) and shared across K.
+        n_rot1, n_trans, n_rot2 = motion.sample_motion_noise(
+            k_noise, rot1, trans, rot2, mcfg, (p_count, k_cand))
+        cand = motion.propagate_particles(
+            state.poses[:, None, :], n_rot1, n_trans, n_rot2)
+        cand = cand.at[..., 2].set(normalize_angle(cand[..., 2]))
+        center = motion.propagate_particles(state.poses, rot1, trans, rot2)
+        win, offsets = field_windows(state.logodds, center, cfg)
+        field = hit_field(win, cfg)
+        ll = scan_loglik_multi(field, cand, ranges, angles, mask, cfg,
+                               offsets)                      # [P, K]
+        gum = -jnp.log(-jnp.log(jax.random.uniform(
+            k_pick, (p_count, k_cand), minval=jnp.float32(1e-37),
+            maxval=1.0)))
+        pick = jnp.argmax(ll + gum, axis=1)
+        onehot = jax.nn.one_hot(pick, k_cand, dtype=cand.dtype)
+        poses = jnp.einsum("pk,pkd->pd", onehot, cand)
+        loglik = (jax.scipy.special.logsumexp(ll, axis=1)
+                  - jnp.log(jnp.float32(k_cand)))
+    else:
+        n_rot1, n_trans, n_rot2 = motion.sample_motion_noise(
+            k_noise, rot1, trans, rot2, mcfg, (p_count,))
+        poses = motion.propagate_particles(state.poses, n_rot1, n_trans,
+                                           n_rot2)
+        poses = poses.at[:, 2].set(normalize_angle(poses[:, 2]))
 
-    # 2. Optional gradient scan matching (sharpen the proposal).
-    if cfg.refine_iters > 0:
-        poses = _refine_poses(poses, field, ranges, angles, mask, cfg,
-                              offsets)
+        # Likelihood field of each particle's PRE-UPDATE map, computed
+        # once per tick and shared by the scan matcher and the weighting
+        # below.  On maps larger than field_window_px the field is a
+        # per-particle window around the (pre-refine) proposal pose —
+        # per-tick cost stays flat in map AREA (field_windows).
+        win, offsets = field_windows(state.logodds, poses, cfg)
+        field = hit_field(win, cfg)
 
-    # 3. Weight on the PRE-UPDATE maps (measure against evidence from
-    # previous scans only — weighting against a map that already contains
-    # this scan would be circular).
-    loglik = scan_log_likelihood(field, poses, ranges, angles, mask, cfg,
-                                 offsets)
+        # 2. Optional gradient scan matching (sharpen the proposal).
+        if cfg.refine_iters > 0:
+            poses = _refine_poses(poses, field, ranges, angles, mask, cfg,
+                                  offsets)
+
+        # 3. Weight on the PRE-UPDATE maps (measure against evidence from
+        # previous scans only — weighting against a map that already
+        # contains this scan would be circular).
+        loglik = scan_log_likelihood(field, poses, ranges, angles, mask,
+                                     cfg, offsets)
     logw = jnp.log(state.weights) + loglik
     logw = logw - jnp.max(logw)
     w = jnp.exp(logw)
@@ -430,25 +524,57 @@ def slam_step(state: SLAMState, encoder_left, encoder_right, ranges,
         ess < cfg.ess_threshold * p_count,
         _resample, lambda op: op, (poses, state.logodds, w, w))
 
-    # 5. Map update: each surviving particle folds the scan into ITS map
-    # at ITS pose (vmapped dense inverse sensor model, zero scatter).
-    logodds = jax.vmap(
-        lambda lo, p: mapping.update_map(lo, p, ranges, angles, mask,
-                                         cfg.mapping, cfg.sensor)
-    )(logodds, poses)
-
-    # Pose estimate: weighted mean with circular mean for theta.
+    # Pose estimate (weighted mean, circular theta) — computed before the
+    # map update so keyframe gating can read it; the update does not move
+    # poses, so the estimate is unchanged by the ordering.
     mx = jnp.sum(w * poses[:, 0])
     my = jnp.sum(w * poses[:, 1])
     mt = jnp.arctan2(jnp.sum(w * jnp.sin(poses[:, 2])),
                      jnp.sum(w * jnp.cos(poses[:, 2])))
+    mean_pose = jnp.stack([mx, my, mt])
+
+    # 5. Map update: each surviving particle folds the scan into ITS map
+    # at ITS pose (vmapped dense inverse sensor model, zero scatter).
+    # Keyframe-gated when cfg.keyframe_* > 0: stationary / turning ticks
+    # re-paint the same walls from slightly different noisy poses — the
+    # dominant long-horizon smear source — so the scan only enters the
+    # maps once the posterior-mean pose moved a keyframe step.
+    def _update_maps(lo):
+        return jax.vmap(
+            lambda l, p: mapping.update_map(l, p, ranges, angles, mask,
+                                            cfg.mapping, cfg.sensor)
+        )(lo, poses)
+
+    crit = []
+    if cfg.keyframe_trans > 0.0:
+        crit.append(jnp.hypot(mean_pose[0] - state.kf_pose[0],
+                              mean_pose[1] - state.kf_pose[1])
+                    >= cfg.keyframe_trans)
+    if cfg.keyframe_rot > 0.0:
+        crit.append(jnp.abs(normalize_angle(mean_pose[2]
+                                            - state.kf_pose[2]))
+                    >= cfg.keyframe_rot)
+    if crit:
+        moved = crit[0]
+        for c in crit[1:]:
+            moved = moved | c
+        logodds = jax.lax.cond(moved, _update_maps, lambda lo: lo, logodds)
+        kf_pose = jnp.where(moved, mean_pose, state.kf_pose)
+        mapped = moved
+    else:
+        logodds = _update_maps(logodds)
+        kf_pose = mean_pose
+        mapped = jnp.bool_(True)
+
     best = jnp.argmax(scores)
-    info = dict(pose=jnp.stack([mx, my, mt]),
+    info = dict(pose=mean_pose,
                 best_pose=poses[best],
                 ess=ess,
-                resampled=ess < cfg.ess_threshold * p_count)
+                resampled=ess < cfg.ess_threshold * p_count,
+                mapped=mapped)
     new_state = SLAMState(poses=poses, logodds=logodds, weights=w,
-                          scores=scores, odom=new_odom, key=k_next)
+                          scores=scores, odom=new_odom, key=k_next,
+                          kf_pose=kf_pose)
     return new_state, info
 
 

@@ -8,6 +8,7 @@ composition, and — at sweep level, not single pinned seeds — that SLAM
 bounds the pose drift dead reckoning accumulates under wheel slip while
 producing a usable map.
 """
+import dataclasses
 import os.path as osp
 
 import jax
@@ -244,7 +245,7 @@ def test_resample_carries_maps_with_poses():
     w = jnp.full((8,), 1e-6, jnp.float32).at[3].set(1.0)
     st = slam.SLAMState(poses=st.poses, logodds=lo,
                         weights=w / jnp.sum(w), scores=w / jnp.sum(w),
-                        odom=st.odom, key=st.key)
+                        odom=st.odom, key=st.key, kf_pose=st.kf_pose)
     st2, info = slam.slam_step(
         st, jnp.float32(0.0), jnp.float32(0.0),
         jnp.asarray([1.0], jnp.float32), angles, jnp.ones((1,)), cfg)
@@ -343,3 +344,138 @@ def test_slam_bounds_drift_under_wheel_slip():
     assert np.mean(slam_err) < max(0.45, np.mean(dead_err)), (
         slam_err, dead_err)
     assert min(f1s) > 0.55, f1s
+
+
+# ---------------------------------------------------------------------------
+# Round-4: Monte-Carlo optimal proposal + keyframe-gated map updates
+# ---------------------------------------------------------------------------
+def test_scan_loglik_multi_matches_single():
+    """Every column of the K-candidate scorer must equal the single-pose
+    scorer at that candidate (K folds into the sample axis, the math must
+    not change)."""
+    m = _maze()
+    cfg = _cfg(m, num_particles=16)
+    key = jax.random.PRNGKey(3)
+    lo = jax.random.normal(key, (16, m.height, m.width)) * 2.0
+    poses_a = jnp.stack([
+        jnp.full((16,), 1.2), jnp.full((16,), 1.3),
+        jnp.linspace(-1.0, 1.0, 16)], axis=-1)
+    poses_b = poses_a + jnp.asarray([0.07, -0.04, 0.1])
+    angles = jnp.asarray(np.deg2rad(np.linspace(-90, 90, 8)), jnp.float32)
+    ranges = jnp.full((8,), 0.6, jnp.float32)
+    mask = jnp.ones((8,), jnp.float32)
+    field = slam.hit_field(lo, cfg)
+    multi = slam.scan_loglik_multi(
+        field, jnp.stack([poses_a, poses_b], axis=1), ranges, angles,
+        mask, cfg)
+    single_a = slam.scan_log_likelihood(field, poses_a, ranges, angles,
+                                        mask, cfg)
+    single_b = slam.scan_log_likelihood(field, poses_b, ranges, angles,
+                                        mask, cfg)
+    np.testing.assert_allclose(np.asarray(multi[:, 0]),
+                               np.asarray(single_a), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(multi[:, 1]),
+                               np.asarray(single_b), rtol=1e-5, atol=1e-5)
+
+
+def test_candidate_proposal_flat_field_is_plain_sir():
+    """On an EMPTY map the scan likelihood is candidate-independent, so
+    the K-candidate step must behave exactly like plain SIR: candidate
+    selection is uniform (the kept pose is a plain motion-model draw) and
+    the weight multiplier is constant across particles (weights stay
+    uniform)."""
+    m = _maze()
+    cfg = _cfg(m, num_particles=64, proposal_candidates=4)
+    st = slam.init_slam(jax.random.PRNGKey(0), (1.25, 1.25, 0.0), cfg)
+    angles = jnp.asarray(np.deg2rad(np.linspace(-90, 90, 6)), jnp.float32)
+    st2, info = slam.slam_step(
+        st, jnp.float32(3.0), jnp.float32(3.0),
+        jnp.full((6,), 0.5, jnp.float32), angles, jnp.ones((6,)), cfg)
+    # Flat likelihood -> uniform weights preserved (no resample trigger).
+    np.testing.assert_allclose(np.asarray(st2.weights), 1.0 / 64,
+                               rtol=1e-5)
+    # The kept poses are motion-model draws: spread matches the plain
+    # K=1 proposal's statistics (same alphas), not collapsed.
+    cfg1 = _cfg(m, num_particles=64, proposal_candidates=1)
+    st1 = slam.init_slam(jax.random.PRNGKey(0), (1.25, 1.25, 0.0), cfg1)
+    st1b, _ = slam.slam_step(
+        st1, jnp.float32(3.0), jnp.float32(3.0),
+        jnp.full((6,), 0.5, jnp.float32), angles, jnp.ones((6,)), cfg1)
+    sp_k = np.asarray(st2.poses)[:, :2].std(axis=0)
+    sp_1 = np.asarray(st1b.poses)[:, :2].std(axis=0)
+    assert 0.3 < (sp_k.mean() / max(sp_1.mean(), 1e-9)) < 3.0
+
+
+def test_candidate_proposal_prefers_likely_candidates():
+    """With a sharp wall in every particle's map, the kept candidates
+    must concentrate where the scan fits: the K-candidate cloud's
+    log-likelihood must exceed the plain proposal's on average."""
+    m = _maze()
+    cfg_k = _cfg(m, num_particles=64, proposal_candidates=8,
+                 ess_threshold=0.0)    # no resample: isolate the proposal
+    cfg_1 = _cfg(m, num_particles=64, proposal_candidates=1,
+                 ess_threshold=0.0)
+    angles = jnp.asarray(np.deg2rad(np.linspace(-60, 60, 8)), jnp.float32)
+
+    def run(cfg, seed):
+        st = slam.init_slam(jax.random.PRNGKey(seed), (1.25, 1.25, 0.0),
+                            cfg)
+        # Pre-learned wall ahead: x = 2.0 m (col 20), all particles.
+        lo = st.logodds.at[:, :, 20].set(6.0)
+        st = dataclasses.replace(st, logodds=lo)
+        # True wall at 2.0 - laser_offset... scan says wall 0.65 m ahead.
+        ranges = jnp.full((8,), 0.65, jnp.float32)
+        st2, _ = slam.slam_step(st, jnp.float32(1.0), jnp.float32(1.0),
+                                ranges, angles, jnp.ones((8,)), cfg)
+        field = slam.hit_field(st.logodds, cfg)
+        ll = slam.scan_log_likelihood(field, st2.poses, ranges, angles,
+                                      jnp.ones((8,)), cfg)
+        return float(np.mean(np.asarray(ll)))
+
+    gains = [run(cfg_k, s) - run(cfg_1, s) for s in range(3)]
+    assert np.mean(gains) > 0.0, gains
+
+
+def test_keyframe_gating_skips_stationary_updates():
+    """With keyframe thresholds set, a stationary robot must not touch
+    the maps after the first (sentinel-triggered) update; once it moves a
+    keyframe step the update fires again."""
+    m = _maze()
+    cfg = _cfg(m, num_particles=8, keyframe_trans=0.1,
+               keyframe_rot=0.5)
+    st = slam.init_slam(jax.random.PRNGKey(2), (1.25, 1.25, 0.0), cfg)
+    angles = jnp.asarray(np.deg2rad(np.linspace(-60, 60, 6)), jnp.float32)
+    ranges = jnp.full((6,), 0.5, jnp.float32)
+    enc = 0.0
+    st1, i1 = slam.slam_step(st, jnp.float32(enc), jnp.float32(enc),
+                             ranges, angles, jnp.ones((6,)), cfg)
+    assert bool(i1["mapped"])                      # sentinel kf_pose
+    assert float(jnp.abs(st1.logodds).sum()) > 0.0
+    # Stationary ticks: maps frozen.
+    st2, i2 = slam.slam_step(st1, jnp.float32(enc), jnp.float32(enc),
+                             ranges, angles, jnp.ones((6,)), cfg)
+    assert not bool(i2["mapped"])
+    np.testing.assert_array_equal(np.asarray(st2.logodds),
+                                  np.asarray(st1.logodds))
+    # Drive 0.15 m (> keyframe_trans): update fires.
+    enc = 2.0 * 0.15 / 0.062                       # wheel arc -> 0.15 m
+    st3, i3 = slam.slam_step(st2, jnp.float32(enc), jnp.float32(enc),
+                             ranges, angles, jnp.ones((6,)), cfg)
+    assert bool(i3["mapped"])
+    assert not np.array_equal(np.asarray(st3.logodds),
+                              np.asarray(st2.logodds))
+
+
+def test_keyframe_off_is_bit_identical():
+    """keyframe_trans = keyframe_rot = 0 must keep the exact legacy
+    program (no cond, same RNG stream, same outputs)."""
+    m = _maze()
+    cfg = _cfg(m, num_particles=16)
+    st = slam.init_slam(jax.random.PRNGKey(4), (1.25, 1.25, 0.0), cfg)
+    angles = jnp.asarray(np.deg2rad(np.linspace(-60, 60, 6)), jnp.float32)
+    ranges = jnp.full((6,), 0.5, jnp.float32)
+    st2, info = slam.slam_step(st, jnp.float32(1.0), jnp.float32(1.0),
+                               ranges, angles, jnp.ones((6,)), cfg)
+    assert bool(info["mapped"])
+    np.testing.assert_array_equal(np.asarray(st2.kf_pose),
+                                  np.asarray(info["pose"]))

@@ -1,0 +1,120 @@
+"""SLAM quality sweep: E wander episodes x slip levels, SLAM vs dead
+reckoning, map quality at the horizon (models/slam.py).
+
+The measurement behind BENCH_DETAILS.md's RBPF SLAM quality table and the
+round-4 knob tuning (Monte-Carlo optimal proposal `--candidates`,
+keyframe-gated map updates `--keyframe-trans/--keyframe-rot`):
+
+    python tools/slam_sweep.py --episodes 16 --ticks 1000 --slip 0.03 0.08
+    python tools/slam_sweep.py --candidates 8 --keyframe-trans 0.06 \
+        --keyframe-rot 0.25 --ticks 2000 --slip 0.03
+
+Per (slip, config): final-quarter mean position error per episode for
+SLAM and for dead reckoning (same encoder logs), episodes where SLAM
+beats DR, and explored-edge wall F1 of each episode's best map.
+"""
+import argparse
+import os.path as osp
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, osp.join(osp.dirname(osp.abspath(__file__)), ".."))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--episodes", type=int, default=16)
+    ap.add_argument("--ticks", type=int, default=1000)
+    ap.add_argument("--beams", type=int, default=24)
+    ap.add_argument("--particles", type=int, default=64)
+    ap.add_argument("--slip", type=float, nargs="+", default=[0.03, 0.08])
+    ap.add_argument("--candidates", type=int, default=1)
+    ap.add_argument("--keyframe-trans", type=float, default=0.0)
+    ap.add_argument("--keyframe-rot", type=float, default=0.0)
+    ap.add_argument("--alpha-scale", type=float, default=None,
+                    help="override SLAMConfig.alpha_scale")
+    ap.add_argument("--seed0", type=int, default=0)
+    args = ap.parse_args()
+
+    import dataclasses
+
+    from montecarlolocalisation_tpu import presets
+    from montecarlolocalisation_tpu.config import MappingConfig, SLAMConfig
+    from montecarlolocalisation_tpu.models import mapping, slam
+    from montecarlolocalisation_tpu.sim import robot
+
+    world = presets.make_world(num_beams=args.beams)
+    m = world.maze
+    mc = MappingConfig(height=m.height, width=m.width,
+                       resolution=float(m.resolution),
+                       origin_x=float(m.origin_x),
+                       origin_y=float(m.origin_y))
+    kw = dict(num_particles=args.particles, mapping=mc,
+              sensor=world.cfg.sensor, motion=world.cfg.motion,
+              proposal_candidates=args.candidates,
+              keyframe_trans=args.keyframe_trans,
+              keyframe_rot=args.keyframe_rot)
+    if args.alpha_scale is not None:
+        kw["alpha_scale"] = args.alpha_scale
+    cfg = SLAMConfig(**kw)
+    start = (1.25, 1.25, 0.0)
+    cell_px = int(round(m.cell_meters / m.resolution))
+    tail = max(args.ticks // 4, 1)
+
+    run = jax.jit(jax.vmap(lambda k, e, s: slam.run_slam_episode(
+        k, e, s, world.angles, cfg, start)))
+
+    for slip in args.slip:
+        encs, scans, truths = [], [], []
+        for ep in range(args.episodes):
+            e, s, t = robot.generate_wander_episode(
+                jax.random.PRNGKey(args.seed0 + 7919 * ep + 13), m,
+                world.cfg, world.angles, args.ticks, start_pose=start,
+                slip_noise=slip, explore=True)
+            encs.append(np.asarray(e)), scans.append(np.asarray(s))
+            truths.append(np.asarray(t))
+        enc = jnp.asarray(np.stack(encs))
+        sc = jnp.asarray(np.stack(scans))
+        tr = np.stack(truths)
+        keys = jax.vmap(jax.random.PRNGKey)(
+            np.arange(args.episodes) + args.seed0 + 100)
+        t0 = time.perf_counter()
+        final, est = run(keys, enc, sc)
+        jax.block_until_ready(est)
+        dt = time.perf_counter() - t0
+        est = np.asarray(est)
+
+        slam_err, dr_err, f1s = [], [], []
+        for ep in range(args.episodes):
+            se = np.hypot(est[ep, :, 0] - tr[ep, :, 0],
+                          est[ep, :, 1] - tr[ep, :, 1])[-tail:].mean()
+            dr = np.asarray(mapping.dead_reckon_poses(
+                enc[ep], start, world.cfg.motion))
+            de = np.hypot(dr[:, 0] - tr[ep, :, 0],
+                          dr[:, 1] - tr[ep, :, 1])[-tail:].mean()
+            lo = np.asarray(final.logodds[ep])[
+                int(np.argmax(np.asarray(final.scores[ep])))]
+            walls, seen = mapping.fit_walls(lo, cell_px=cell_px,
+                                            return_explored=True)
+            f1 = mapping.wall_metrics(walls, np.asarray(m.walls),
+                                      mask=seen)["f1"]
+            slam_err.append(se), dr_err.append(de), f1s.append(f1)
+        slam_err, dr_err = np.asarray(slam_err), np.asarray(dr_err)
+        beats = int((slam_err < dr_err).sum())
+        print(f"slip={slip:.2f} K={args.candidates} "
+              f"kf=({args.keyframe_trans},{args.keyframe_rot}) "
+              f"P={args.particles} T={args.ticks}: "
+              f"slam {slam_err.mean():.3f}/{np.percentile(slam_err, 90):.3f}"
+              f"/{slam_err.max():.3f} m | "
+              f"dr {dr_err.mean():.3f}/{np.percentile(dr_err, 90):.3f}"
+              f"/{dr_err.max():.3f} | beats {beats}/{args.episodes} | "
+              f"F1 {np.mean(f1s):.3f} (min {np.min(f1s):.3f}) | "
+              f"{dt:.1f}s", flush=True)
+
+
+if __name__ == "__main__":
+    main()
