@@ -167,8 +167,17 @@ def mcl_step(
     scan: sensor.Scan,
     m: MazeMap,
     cfg: FilterConfig,
+    known_map: Optional[MazeMap] = None,
 ) -> Tuple[MCLState, MCLOutput]:
-    """One 10 Hz filter tick (pure; jit/vmap/shard_map-safe)."""
+    """One 10 Hz filter tick (pure; jit/vmap/shard_map-safe).
+
+    `known_map` (optional) switches the weighting stage to the
+    unknown-aware partial-map scorer (sensor.beam_weights_partial): `m`
+    stays the conservative learned maze (validity, injection, hysteresis
+    all unchanged), `known_map` is the same fit_walls output with
+    unexplored edges OPEN so beams crossing the exploration frontier are
+    credited instead of punished against phantom walls.
+    """
     key, k_motion, k_resample, k_cluster = jax.random.split(state.key, 4)
 
     # 1. Hysteresis on previous confidence.
@@ -192,8 +201,12 @@ def mcl_step(
 
     # 5. Weights + resample (jitter regime = was_lost after hysteresis,
     #    monte_carlo.cpp:1087).
-    weights = sensor.beam_weights(m, particles, scan, cfg.sensor,
-                                  cfg.valid_pos_offset)
+    if known_map is None:
+        weights = sensor.beam_weights(m, particles, scan, cfg.sensor,
+                                      cfg.valid_pos_offset)
+    else:
+        weights = sensor.beam_weights_partial(
+            m, known_map, particles, scan, cfg.sensor, cfg.valid_pos_offset)
     if cfg.resample.ess_threshold is None:
         # Reference schedule: fresh per-tick weights, resample every tick.
         particles, weights, inj, info = resample.resample(
@@ -235,11 +248,13 @@ def run_episode(
     m: MazeMap,
     cfg: FilterConfig,
     scan_mask=None,      # [T, B] optional
+    known_map: Optional[MazeMap] = None,
 ) -> Tuple[MCLState, MCLOutput]:
     """lax.scan the filter over a recorded episode (latest-wins tick log).
 
     scan_angles may be [B] (static beam table) or [T, B] (per-tick tables
-    from raw-log replay, io/replay.preprocess_episode).
+    from raw-log replay, io/replay.preprocess_episode).  `known_map`
+    activates partial-map unknown-aware weighting (see mcl_step).
     """
     angles = jnp.asarray(scan_angles, jnp.float32)
     if scan_mask is None:
@@ -253,7 +268,7 @@ def run_episode(
             enc, ranges, mask = xs
             ang = angles
         sc = sensor.Scan(angles=ang, ranges=ranges, mask=mask)
-        return mcl_step(st, enc[0], enc[1], sc, m, cfg)
+        return mcl_step(st, enc[0], enc[1], sc, m, cfg, known_map=known_map)
 
     xs = (jnp.asarray(encoders, jnp.float32),
           jnp.asarray(scan_ranges, jnp.float32), scan_mask)

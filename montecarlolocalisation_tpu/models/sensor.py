@@ -222,6 +222,63 @@ def _beam_weights_dense(m, particles, scan, cfg, valid_offset, mode):
     return jnp.where(valid, prob, 0.0)
 
 
+def beam_weights_partial(m: MazeMap, known: MazeMap, particles, scan: Scan,
+                         cfg: SensorModelConfig, valid_offset: float = 0.1):
+    """computeWeight on a PARTIAL (learned) map: unknown-aware scoring.
+
+    `m` is the conservative learned maze (evidenced walls + unexplored
+    edges closed, mapping.fit_walls' unexplored_is_wall=True — the raster
+    the planner and particle-validity already use), `known` the SAME fit
+    with unexplored edges OPEN (walls only where evidence says wall, so
+    walls(known) ⊆ walls(m) and d_known >= d_cons per beam).
+
+    Casting each beam on both rasters classifies it exactly: where the
+    two distances agree the beam lives entirely in mapped space and is
+    scored by the standard reference model against the evidenced wall
+    (gauss_pdf on |z - d_known|, monte_carlo.cpp:623-682 semantics);
+    where d_cons < d_known the beam crosses the exploration frontier at
+    d_cons before reaching any evidenced wall, and a measurement at or
+    beyond that frontier says nothing the map can check — it gets the
+    flat cfg.unknown_credit fraction of the peak hit probability instead
+    of being punished against a phantom wall.  A measurement SHORT of the
+    frontier is a claim about mapped free space and keeps the standard
+    (punishing) score.  Net effect: relocalization quality degrades with
+    map coverage instead of cliffing — the phantom walls of a 50%-explored
+    map no longer contradict every beam that looks outward.
+
+    Validity/injection semantics are unchanged (conservative map): the
+    filter only ever PLACES particles in explored space; this scorer only
+    stops mis-SCORING them for looking toward unexplored space.
+    """
+    d_cons = expected_ranges(m, particles, scan.angles, cfg)      # [N, B]
+    d_known = expected_ranges(known, particles, scan.angles, cfg)
+    observed = scan.ranges                                        # [B]
+    frontier = d_cons < d_known - 1e-4
+    beyond = observed >= d_cons - cfg.sigma
+    peak = cfg.w_hit / (cfg.sigma * math.sqrt(2.0 * math.pi))
+    p_hit = cfg.w_hit * gauss_pdf(jnp.abs(observed - d_known), cfg)
+    p_hit = jnp.where(frontier & beyond,
+                      jnp.float32(cfg.unknown_credit * peak), p_hit)
+    p_rand = cfg.w_rand * (
+        jnp.abs(observed - cfg.max_range) < cfg.rand_window
+    ).astype(jnp.float32)
+    per_beam = p_hit + p_rand
+    if cfg.beam_combine == "log":
+        logs = jnp.sum(jnp.log(jnp.maximum(per_beam, 1e-6)) * scan.mask,
+                       axis=-1) / cfg.log_temperature
+        prob = jnp.exp(logs - jnp.max(logs))
+    else:
+        prob = jnp.sum(per_beam * scan.mask, axis=-1)
+    px, py = particles[..., 0], particles[..., 1]
+    from ..ops.bitlookup import is_concrete_map
+
+    if is_concrete_map(m) and abs(valid_offset - m.resolution) < 1e-9:
+        valid = _valid_pos_bits(m, px, py)
+    else:
+        valid = is_valid_pos(m, px, py, valid_offset)
+    return jnp.where(valid, prob, 0.0)
+
+
 def finish_log_weights(m, cfg, particles, raw_logs, axis=None):
     """Log-combine epilogue: temperature, max-log shift, validity gate.
 

@@ -44,7 +44,7 @@ def simulate_episode_batch(
 def run_episode_batch(
     key, m: MazeMap, cfg: FilterConfig, encoders, scan_ranges, scan_angles,
     mesh: Optional[Mesh] = None, episode_axis: str = "episode",
-    tick_chunk: Optional[int] = None,
+    tick_chunk: Optional[int] = None, known_map: Optional[MazeMap] = None,
 ) -> Tuple[mcl.MCLState, mcl.MCLOutput]:
     """Run the filter over a batch of episodes: vmap(init + lax.scan).
 
@@ -72,14 +72,16 @@ def run_episode_batch(
         scan_ranges = jax.device_put(scan_ranges, sh)
 
     num_ticks = encoders.shape[1]
+    km_id = None if known_map is None else id(known_map.occ)
     if tick_chunk is None or tick_chunk >= num_ticks:
-        cache_key = ("batch", id(m.occ), cfg, encoders.shape,
+        cache_key = ("batch", id(m.occ), km_id, cfg, encoders.shape,
                      scan_ranges.shape, angles.shape)
         fn = _JIT_CACHE.get(cache_key)
         if fn is None:
             def one(k, enc, ranges, ang):
                 st = mcl.init_state(k, m, cfg)
-                return mcl.run_episode(st, enc, ranges, ang, m, cfg)
+                return mcl.run_episode(st, enc, ranges, ang, m, cfg,
+                                       known_map=known_map)
 
             fn = jax.jit(jax.vmap(one, in_axes=(0, 0, 0, None)))
             _JIT_CACHE[cache_key] = fn
@@ -95,12 +97,13 @@ def run_episode_batch(
     for t0 in range(0, num_ticks, tick_chunk):
         enc_c = encoders[:, t0:t0 + tick_chunk]
         rng_c = scan_ranges[:, t0:t0 + tick_chunk]
-        ck = ("batch-chunk", id(m.occ), cfg, enc_c.shape, rng_c.shape,
+        ck = ("batch-chunk", id(m.occ), km_id, cfg, enc_c.shape, rng_c.shape,
               angles.shape)
         cf = _JIT_CACHE.get(ck)
         if cf is None:
             cf = jax.jit(jax.vmap(
-                lambda st, e, r, a: mcl.run_episode(st, e, r, a, m, cfg),
+                lambda st, e, r, a: mcl.run_episode(st, e, r, a, m, cfg,
+                                                    known_map=known_map),
                 in_axes=(0, 0, 0, None)))
             _JIT_CACHE[ck] = cf
         states, outs = cf(states, enc_c, rng_c, angles)

@@ -235,10 +235,13 @@ def run_mapping(world: World, seed: int = 0, num_ticks: int = 600,
         out["exported"] = base + ".yaml"
 
     if relocalize:
+        cell_px = int(round(m.cell_meters / m.resolution))
         out.update(_relocalize_on(
             _maze_from_wall_tensor(learned_walls), m, world,
             max(num_ticks, 200), seed + 1000,
-            explored_px=np.abs(lo) > 0.5))
+            explored_px=np.abs(lo) > 0.5,
+            known_maze=_maze_from_wall_tensor(mapping.fit_walls(
+                lo, cell_px=cell_px, unexplored_is_wall=False))))
     return out
 
 
@@ -255,7 +258,7 @@ def _maze_from_wall_tensor(learned_walls) -> "object":
 def _relocalize_on(learned_maze, true_maze, world: World, num_ticks: int,
                    seed: int, batch: int = 8,
                    start_pose=(2.05, 2.05, 0.0), explored_px=None,
-                   coverage_thresh: float = 0.8) -> dict:
+                   coverage_thresh: float = 0.8, known_maze=None) -> dict:
     """Localize a fresh episode SWEEP against a learned map.
 
     Scans are generated on the TRUE maze (the world the robot actually
@@ -279,7 +282,8 @@ def _relocalize_on(learned_maze, true_maze, world: World, num_ticks: int,
         k1, true_maze, world.cfg, world.angles, num_ticks, batch=batch,
         start_pose=start_pose)
     final, _ = episodes.run_episode_batch(
-        k2, learned_maze, world.cfg, enc, scans, world.angles)
+        k2, learned_maze, world.cfg, enc, scans, world.angles,
+        known_map=known_maze)
     best = np.asarray(final.best_pose)
     tpa = np.asarray(truth)                       # [B, T, 3]
     tp = tpa[:, -1, :]
@@ -311,7 +315,7 @@ def _relocalize_on(learned_maze, true_maze, world: World, num_ticks: int,
 
 def _track_on(learned_maze, true_maze, world: World, num_ticks: int,
               seed: int, batch: int = 8,
-              start_pose=(1.25, 1.25, 0.0)) -> dict:
+              start_pose=(1.25, 1.25, 0.0), known_maze=None) -> dict:
     """Pose TRACKING on a learned map from a KNOWN start (the post-SLAM
     deployment mode: the robot knows where it finished mapping).  Fresh
     wander episodes sense the TRUE maze; each filter starts as a tight
@@ -330,7 +334,8 @@ def _track_on(learned_maze, true_maze, world: World, num_ticks: int,
     keys = jax.random.split(k2, batch)
     final, _ = jax.jit(jax.vmap(lambda k, e, s: mcl.run_episode(
         mcl.init_tracking_state(k, learned_maze, world.cfg, start_pose),
-        e, s, world.angles, learned_maze, world.cfg)))(keys, enc, scans)
+        e, s, world.angles, learned_maze, world.cfg,
+        known_map=known_maze)))(keys, enc, scans)
     best = np.asarray(final.best_pose)
     tp = np.asarray(truth)[:, -1, :]
     err = np.hypot(best[:, 0] - tp[:, 0], best[:, 1] - tp[:, 1])
@@ -440,6 +445,15 @@ def run_slam(world: World, seed: int = 0, num_ticks: int = 600,
         out["exported"] = base + ".yaml"
 
     learned_maze = _maze_from_wall_tensor(learned_walls)
+    # Unknown-aware deployment pair: the conservative maze above keeps
+    # validity/injection/planning semantics (never place hypotheses or
+    # routes in unexplored space), while the known-walls-only fit lets
+    # the sensor model credit beams that cross the exploration frontier
+    # instead of scoring them against phantom unexplored-is-wall edges
+    # (sensor.beam_weights_partial) — partial maps degrade instead of
+    # cliffing.
+    known_maze = _maze_from_wall_tensor(mapping.fit_walls(
+        lo, cell_px=cell_px, unexplored_is_wall=False))
     if relocalize:
         # Fresh episodes start at the SLAM anchor — guaranteed-mapped
         # territory; a partial learned map cannot support relocalization
@@ -449,10 +463,12 @@ def run_slam(world: World, seed: int = 0, num_ticks: int = 600,
         out.update(_relocalize_on(learned_maze, m, world,
                                   min(max(num_ticks // 2, 150), 300),
                                   seed + 1000, start_pose=start,
-                                  explored_px=np.abs(lo) > 0.5))
+                                  explored_px=np.abs(lo) > 0.5,
+                                  known_maze=known_maze))
         out.update(_track_on(learned_maze, m, world,
                              min(max(num_ticks // 2, 150), 300),
-                             seed + 2000, start_pose=start))
+                             seed + 2000, start_pose=start,
+                             known_maze=known_maze))
     if mission:
         # Challenge mission on the robot-built map: TSP + BFS legs planned
         # over the LEARNED wall graph, driven closed-loop with the filter

@@ -288,3 +288,35 @@ def test_wall_metrics_identity():
     t[0, 0, 1] = True
     mets = mapping.wall_metrics(t, t)
     assert mets == dict(precision=1.0, recall=1.0, f1=1.0)
+
+
+def test_unknown_aware_reloc_on_half_explored_map():
+    """VERDICT r3 #5: relocalization on a PARTIAL learned map must
+    degrade with coverage instead of cliffing.  Synthetic half-explored
+    map (true-maze log-odds on the left half, unknown on the right):
+    unknown-aware scoring (known_maze frontier credit) must relocalize
+    episodes that wander near/through the frontier at least as well as
+    the phantom-wall conservative scorer — and must actually work in
+    absolute terms."""
+    from montecarlolocalisation_tpu import presets
+    from montecarlolocalisation_tpu.presets import (_maze_from_wall_tensor,
+                                                    _relocalize_on)
+
+    world = presets.make_world(num_particles=1500, num_beams=24)
+    m = world.maze
+    occ = np.asarray(m.occ)
+    lo = np.where(occ, 6.0, -6.0).astype(np.float32)
+    lo[:, occ.shape[1] // 2:] = 0.0          # right half never explored
+    cell_px = int(round(m.cell_meters / m.resolution))
+    cons = _maze_from_wall_tensor(mapping.fit_walls(lo, cell_px=cell_px))
+    known = _maze_from_wall_tensor(
+        mapping.fit_walls(lo, cell_px=cell_px, unexplored_is_wall=False))
+    kw = dict(num_ticks=200, seed=7, batch=8, start_pose=(1.25, 1.25, 0.0),
+              explored_px=np.abs(lo) > 0.5)
+    base = _relocalize_on(cons, m, world, **kw)
+    aware = _relocalize_on(cons, m, world, known_maze=known, **kw)
+    # Measured (CPU, seed 7): cons 0.25, aware 0.5; true-map control 1.0.
+    # Single-episode outcomes are seed-chaotic (CLAUDE.md) — assert the
+    # ORDERING plus a floor with one flipped episode of slack.
+    assert aware["reloc_converged_frac"] >= base["reloc_converged_frac"]
+    assert aware["reloc_converged_frac"] >= 0.375, (aware, base)

@@ -213,3 +213,73 @@ def test_ray_disc_distance_miss_and_tangent():
     assert float(d) == 2.0  # passes 0.5 above a 0.2-radius disc
     d = sensor.ray_disc_distance(0.0, 0.0, 0.0, 1.0, 0.0, 0.25, 2.0)
     np.testing.assert_allclose(float(d), 0.75, rtol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# Round-4: unknown-aware scoring on partial learned maps
+# ---------------------------------------------------------------------------
+def _corridor_pair():
+    """1x2 corridor: conservative maze seals the shared edge (the
+    'unexplored' frontier), the known maze leaves it open."""
+    cons = from_walls([[[0, 1, 2, 3], [0, 1, 2, 3]]])
+    known = from_walls([[[1, 2, 3], [0, 1, 3]]])
+    return cons, known
+
+
+def test_beam_weights_partial_fully_known_matches_standard():
+    """When known == conservative there is no frontier: the partial
+    scorer must equal beam_weights exactly (same casts, same model)."""
+    cfg = SensorModelConfig(ray_mode="dda", lookup_mode="gather")
+    m = from_walls([[[1, 2, 3], [0, 1, 3]]])
+    key = jax.random.PRNGKey(0)
+    parts = jnp.stack([
+        jax.random.uniform(key, (64,), minval=0.15, maxval=1.45),
+        jax.random.uniform(jax.random.fold_in(key, 1), (64,),
+                           minval=0.15, maxval=0.65),
+        jax.random.uniform(jax.random.fold_in(key, 2), (64,),
+                           minval=-3.0, maxval=3.0)], axis=-1)
+    angles = jnp.asarray(np.deg2rad([-45.0, 0.0, 45.0]), jnp.float32)
+    scan = sensor.make_scan(angles, jnp.asarray([0.4, 0.6, 0.9]))
+    a = sensor.beam_weights(m, parts, scan, cfg, valid_offset=m.resolution)
+    b = sensor.beam_weights_partial(m, m, parts, scan, cfg,
+                                    valid_offset=m.resolution)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=1e-6, atol=1e-7)
+
+
+def test_beam_weights_partial_frontier_credit():
+    """A beam that crosses the exploration frontier and measures beyond
+    it gets the flat unknown credit — not the phantom-wall mismatch the
+    conservative map alone would give."""
+    cfg = SensorModelConfig(ray_mode="dda", lookup_mode="gather")
+    cons, known = _corridor_pair()
+    # Facing +x from the left cell: frontier (sealed shared edge) at
+    # x=0.8 -> d_cons = 0.45 from the laser at x=0.35; known map runs to
+    # the far wall (capped at max_range 1.0).
+    parts = jnp.asarray([[0.25, 0.4, 0.0]], jnp.float32)
+    angles = jnp.zeros((1,), jnp.float32)
+
+    def score(obs, fn=sensor.beam_weights_partial, **kw):
+        scan = sensor.make_scan(angles, jnp.asarray([obs], jnp.float32))
+        return float(fn(cons, known, parts, scan, cfg,
+                        valid_offset=cons.resolution, **kw)[0])
+
+    peak = cfg.w_hit / (cfg.sigma * math.sqrt(2.0 * math.pi))
+    credit = cfg.unknown_credit * peak
+    # (a) measured beyond the frontier: flat credit, NOT a mismatch.
+    np.testing.assert_allclose(score(0.9), credit, rtol=1e-5)
+    # (b) measured at the frontier distance: still uninformative.
+    np.testing.assert_allclose(score(0.45), credit, rtol=1e-5)
+    # (c) measured SHORT of the frontier: a claim about mapped free
+    # space — scored (punished) against the known map, same as the
+    # standard model on the known maze.
+    scan_short = sensor.make_scan(angles, jnp.asarray([0.2], jnp.float32))
+    std = float(sensor.beam_weights(known, parts, scan_short, cfg,
+                                    valid_offset=known.resolution)[0])
+    np.testing.assert_allclose(score(0.2), std, rtol=1e-5)
+    # The conservative-only scorer would have punished (a): the partial
+    # scorer's credit must dominate it.
+    scan_beyond = sensor.make_scan(angles, jnp.asarray([0.9], jnp.float32))
+    cons_only = float(sensor.beam_weights(
+        cons, parts, scan_beyond, cfg, valid_offset=cons.resolution)[0])
+    assert score(0.9) > 10.0 * cons_only
