@@ -166,16 +166,19 @@ def repulsive_force(points_x, points_y, mask, influence_radius, repel_gain,
             jnp.sum(act_f * scale * uy, axis=-1))
 
 
-def apf_tick(st: APFState, enc_left, enc_right, points_x, points_y, mask,
-             cfg: APFConfig):
-    """One APF control tick -> (state, (wheel_l, wheel_r), done).
+def apf_forces(target_x, target_y, x, y, points_x, points_y, mask,
+               cfg: APFConfig):
+    """The APF field at pose (x, y): gain-scheduled repulsion + attraction.
 
-    points_*: scan points in the robot/laser frame ([B]); mask marks valid.
+    Shared by the control tick below and the debug-marker renderer
+    (utils/viz.render_apf — the reference publishes exactly these vectors
+    as its Attract/Repel RViz arrows plus the active influence circle,
+    avf.cpp:292-294, potential_field.cpp:446-447).  Returns a dict with
+    fx_att/fy_att (world frame), fx_rep/fy_rep (robot frame sum over scan
+    points), the ACTIVE influence radius after near-goal scheduling, and
+    the distance-to-goal.
     """
-    odom = _integrate(st.odom, enc_left, enc_right,
-                      wrap_theta=True)
-    dist = jnp.hypot(st.target_x - odom.x, st.target_y - odom.y)
-
+    dist = jnp.hypot(target_x - x, target_y - y)
     # Near-goal gain scheduling (avf.cpp:366-370, potential_field.cpp:272-276).
     near = dist < cfg.near_goal_dist
     repel_gain = jnp.where(near, cfg.near_goal_repel, cfg.repel_gain)
@@ -187,10 +190,26 @@ def apf_tick(st: APFState, enc_left, enc_right, points_x, points_y, mask,
         repel_gain = repel_gain * fade
     fx_rep, fy_rep = repulsive_force(points_x, points_y, mask, radius,
                                      repel_gain, cfg)
-    fx_att = cfg.attract_gain * (st.target_x - odom.x)
-    fy_att = cfg.attract_gain * (st.target_y - odom.y)
+    fx_att = cfg.attract_gain * (target_x - x)
+    fy_att = cfg.attract_gain * (target_y - y)
+    return dict(fx_att=fx_att, fy_att=fy_att, fx_rep=fx_rep, fy_rep=fy_rep,
+                radius=radius, dist=dist)
+
+
+def apf_tick(st: APFState, enc_left, enc_right, points_x, points_y, mask,
+             cfg: APFConfig):
+    """One APF control tick -> (state, (wheel_l, wheel_r), done).
+
+    points_*: scan points in the robot/laser frame ([B]); mask marks valid.
+    """
+    odom = _integrate(st.odom, enc_left, enc_right,
+                      wrap_theta=True)
+    f = apf_forces(st.target_x, st.target_y, odom.x, odom.y,
+                   points_x, points_y, mask, cfg)
+    dist = f["dist"]
+    fx_att, fy_att = f["fx_att"], f["fy_att"]
     attract_mag = jnp.hypot(fx_att, fy_att)
-    fx, fy = fx_att + fx_rep, fy_att + fy_rep
+    fx, fy = fx_att + f["fx_rep"], fy_att + f["fy_rep"]
 
     heading = jnp.arctan2(fy, fx)
     err = heading - odom.theta if cfg.subtract_theta else heading

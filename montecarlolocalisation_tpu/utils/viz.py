@@ -150,6 +150,96 @@ def render_align(px, py, mask, lines, intersection=None,
     return img
 
 
+C_ATTRACT = (220, 60, 60)    # red, avf.cpp:293
+C_REPEL = (70, 130, 220)     # blue, avf.cpp:294
+C_TOTAL = (150, 60, 200)
+C_CIRCLE = (60, 60, 220)     # blue LINE_STRIP, publishInfluenceRadius
+C_HEADING = (220, 60, 60)    # red ARROW, moveToPosition_server.cpp:124-127
+
+
+def draw_circle(img: np.ndarray, cx, cy, radius, color,
+                resolution: float = 0.1, scale: int = 8,
+                segments: int = 100) -> np.ndarray:
+    """Parametric circle outline (the reference's 100-segment LINE_STRIP,
+    moveToPosition/avf publishInfluenceRadius)."""
+    a = np.linspace(0.0, 2.0 * np.pi, segments + 1)
+    return draw_points(img, cx + radius * np.cos(a), cy + radius * np.sin(a),
+                       color, resolution, scale, size=0)
+
+
+def draw_arrow(img: np.ndarray, x0, y0, x1, y1, color,
+               resolution: float = 0.1, scale: int = 8) -> np.ndarray:
+    """Shaft + two head strokes — the RViz ARROW marker in 2D."""
+    draw_segment(img, x0, y0, x1, y1, color, resolution, scale)
+    dx, dy = x1 - x0, y1 - y0
+    mag = float(np.hypot(dx, dy))
+    if mag < 1e-9:
+        return img
+    head = 0.2 * mag
+    ang = np.arctan2(dy, dx)
+    for da in (np.deg2rad(150.0), -np.deg2rad(150.0)):
+        draw_segment(img, x1, y1, x1 + head * np.cos(ang + da),
+                     y1 + head * np.sin(ang + da), color, resolution, scale,
+                     n=16)
+    return img
+
+
+def render_apf(points_x, points_y, mask, forces: dict,
+               extent_m: float = 1.6, resolution: float = 0.02,
+               scale: int = 1, force_scale: float = 0.5) -> np.ndarray:
+    """APF controller debug frame — the potential_field Attract/Repel
+    arrows + influence_radius_marker circle the reference publishes to
+    RViz (avf.cpp:292-294 publishVectorArrow/publishInfluenceRadius;
+    potential_field.cpp:446-447).
+
+    Robot/laser-frame view centered on the robot: scan points (grey),
+    the ACTIVE influence circle (blue; near-goal scheduling may shrink
+    it), the attractive force (red), summed repulsion (blue), and their
+    total (purple).  `forces` is control.controllers.apf_forces output;
+    arrows are normalized so the largest spans `force_scale` meters.
+    """
+    side = int(round(2 * extent_m / resolution)) + 1
+    img = np.empty((side, side, 3), dtype=np.uint8)
+    img[...] = C_BG
+
+    def shift(x, y):
+        return np.asarray(x, np.float64) + extent_m, \
+               np.asarray(y, np.float64) + extent_m
+
+    px = np.asarray(points_x)
+    py = np.asarray(points_y)
+    mk = np.asarray(mask, bool)
+    draw_points(img, *shift(px[mk], py[mk]), C_SCAN, resolution, scale,
+                size=0)
+    draw_circle(img, *shift(0.0, 0.0), float(forces["radius"]), C_CIRCLE,
+                resolution, scale)
+    fa = np.array([float(forces["fx_att"]), float(forces["fy_att"])])
+    fr = np.array([float(forces["fx_rep"]), float(forces["fy_rep"])])
+    ft = fa + fr
+    norm = max(np.hypot(*fa), np.hypot(*fr), np.hypot(*ft), 1e-9)
+    ox, oy = shift(0.0, 0.0)
+    for vec, color in ((fa, C_ATTRACT), (fr, C_REPEL), (ft, C_TOTAL)):
+        v = vec / norm * force_scale
+        draw_arrow(img, ox, oy, ox + v[0], oy + v[1], color, resolution,
+                   scale)
+    draw_points(img, [ox], [oy], C_ORIGIN, resolution, scale, size=2)
+    return img
+
+
+def draw_heading_error(img: np.ndarray, pose, error_theta,
+                       length: float = 0.5, resolution: float = 0.1,
+                       scale: int = 8) -> np.ndarray:
+    """World-frame heading-error arrow onto an existing map frame — the
+    reference's red ARROW from the robot position along
+    theta + error_theta with length 0.5 m
+    (moveToPosition_server.cpp:94-130 publishHeadingErrorArrow, :623)."""
+    p = np.asarray(pose, np.float64)
+    display = p[2] + float(error_theta)
+    return draw_arrow(img, p[0], p[1], p[0] + length * np.cos(display),
+                      p[1] + length * np.sin(display), C_HEADING,
+                      resolution, scale)
+
+
 def save_ppm(img: np.ndarray, path: str) -> None:
     """Write RGB uint8 image as binary PPM (no imaging dependency)."""
     h, w = img.shape[:2]

@@ -156,3 +156,79 @@ def test_avf_wanderer_outputs_finite():
     mask = jnp.ones((3,), dtype=bool)
     wl, wr = C.avf_wanderer_tick(px, py, mask)
     assert np.isfinite(float(wl)) and np.isfinite(float(wr))
+
+
+def test_render_apf_draws_all_marker_layers():
+    """viz.render_apf is the stand-in for the reference's APF RViz
+    markers (Attract/Repel publishVectorArrow + influence circle,
+    avf.cpp:292-294, potential_field.cpp:446-447): scan points, the
+    influence circle, and all three force arrows must land in the
+    frame."""
+    from montecarlolocalisation_tpu.utils import viz
+
+    cfg = APFConfig.potential_field()
+    # Obstacle points ahead-left WELL inside the influence radius (close
+    # enough that the 1/d repulsion is same-scale as attraction — a far
+    # obstacle's arrow is sub-pixel after joint normalization).
+    ang = np.linspace(-0.4, 0.4, 16)
+    d = np.full(16, 0.3 * cfg.influence_radius)
+    px, py = d * np.cos(ang + 0.5), d * np.sin(ang + 0.5)
+    mask = np.ones(16, bool)
+    forces = C.apf_forces(jnp.float32(1.0), jnp.float32(-0.2),
+                          jnp.float32(0.0), jnp.float32(0.0),
+                          jnp.asarray(px, jnp.float32),
+                          jnp.asarray(py, jnp.float32),
+                          jnp.asarray(mask), cfg)
+    # Repulsion pushes away from the obstacle cluster (negative-y-ish
+    # from points at +0.5 rad), attraction toward the target.
+    assert float(forces["fx_att"]) > 0 and float(forces["fy_att"]) < 0
+    assert float(jnp.hypot(forces["fx_rep"], forces["fy_rep"])) > 0
+    img = viz.render_apf(px, py, mask, forces)
+    assert img.ndim == 3 and img.shape[2] == 3
+    for color in (viz.C_SCAN, viz.C_CIRCLE, viz.C_ATTRACT, viz.C_REPEL,
+                  viz.C_TOTAL):
+        assert (img == np.array(color, np.uint8)).all(-1).any(), color
+
+
+def test_apf_forces_matches_apf_tick():
+    """The extracted force helper and the control tick must share one
+    field: a tick from a reset odometry at the origin must steer by the
+    same total force apf_forces reports."""
+    cfg = APFConfig.potential_field()
+    rb = robot.make_robot(0.0, 0.0, 0.0)
+    st = C.apf_start(0.9, 0.4, 6.0, rb.encoder_left, rb.encoder_right)
+    px = jnp.asarray([0.3, 0.35], jnp.float32)
+    py = jnp.asarray([0.05, -0.05], jnp.float32)
+    mask = jnp.ones(2, bool)
+    f = C.apf_forces(st.target_x, st.target_y, jnp.float32(0.0),
+                     jnp.float32(0.0), px, py, mask, cfg)
+    heading = float(jnp.arctan2(f["fy_att"] + f["fy_rep"],
+                                f["fx_att"] + f["fx_rep"]))
+    _, (wl, wr), _ = C.apf_tick(st, rb.encoder_left, rb.encoder_right,
+                                px, py, mask, cfg)
+    # heading error > 0 (target up-left of +x heading) -> turn left.
+    expect_omega = cfg.heading_gain * heading
+    np.testing.assert_allclose(float(wl - wr),
+                               2 * cfg.mix_sign * expect_omega, rtol=1e-5)
+
+
+def test_draw_heading_error_arrow():
+    """Heading-error arrow renders at the robot, pointing along
+    theta + error (moveToPosition_server.cpp:94-130): the arrow tip
+    must land ~0.5 m from the pose in that direction."""
+    from montecarlolocalisation_tpu.utils import viz
+
+    img = np.full((400, 400, 3), 255, np.uint8)
+    pose = np.asarray([4.0, 4.0, 0.5])
+    err = 0.7
+    out = viz.draw_heading_error(img, pose, err)
+    ys, xs = np.nonzero((out == np.array(viz.C_HEADING, np.uint8)).all(-1))
+    assert len(xs) > 0
+    # Farthest drawn pixel from the robot ~ the 0.5 m tip.
+    res, scale = 0.1, 8
+    rr, cc = pose[1] / res * scale, pose[0] / res * scale
+    dist_px = np.hypot(ys - rr, xs - cc).max()
+    np.testing.assert_allclose(dist_px * res / scale, 0.5, atol=0.1)
+    tip = np.argmax(np.hypot(ys - rr, xs - cc))
+    ang = np.arctan2(ys[tip] - rr, xs[tip] - cc)
+    assert abs(ang - (pose[2] + err)) < 0.2

@@ -68,6 +68,83 @@ def run_and_capture(m, cfg, log: EpisodeLog, every: int, scale: int):
     return frames, labels
 
 
+def run_closed_loop_capture(m, cfg, num_ticks: int, seed: int, every: int,
+                            scale: int, beams: int):
+    """Closed-loop plan execution with the controller debug markers the
+    reference publishes to RViz: the heading-error arrow
+    (moveToPosition_server.cpp:94-130,623) on the world frame, and the APF
+    Attract/Repel force arrows + influence circle (avf.cpp:292-294,
+    potential_field.cpp:446-447) as a robot-frame side panel.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from montecarlolocalisation_tpu.config import APFConfig
+    from montecarlolocalisation_tpu.control import controllers as C
+    from montecarlolocalisation_tpu.planning import bfs
+    from montecarlolocalisation_tpu.sim import closed_loop
+    from montecarlolocalisation_tpu.utils.angles import normalize_angle
+
+    angles = np.deg2rad(
+        np.linspace(-118.0, 118.0, beams)).astype(np.float32)
+    walls = np.asarray(m.walls, np.uint8)
+    path = bfs.bfs_path(walls, (1, 1), (m.n_rows - 2, m.n_cols - 2))
+    wps = closed_loop.mission_waypoints(path, float(m.cell_meters))[1:]
+    _, outs = jax.jit(lambda k: closed_loop.run_closed_loop(
+        k, m, cfg, jnp.asarray(wps), num_ticks, angles,
+        known_start=True))(jax.random.PRNGKey(seed))
+    true_p = np.asarray(outs.true_pose)
+    est_p = np.asarray(outs.est_pose)
+    wp_idx = np.asarray(outs.wp_idx)
+    occ = np.asarray(m.occ)
+    # potential_field gains: the preset with live repulsion (global_apf
+    # faithfully keeps the reference's repel_gain = 0,
+    # moveToPosition_server.cpp:54-56 — its repel arrow would be empty).
+    apf_cfg = APFConfig.potential_field()
+    scfg = cfg.sensor
+
+    frames, labels = [], []
+    for t in range(0, num_ticks, every):
+        img = viz.render_filter(occ, best_pose=est_p[t],
+                                true_pose=true_p[t],
+                                resolution=float(m.resolution), scale=scale)
+        wp = wps[min(int(wp_idx[t]), len(wps) - 1)]
+        est = est_p[t]
+        if est[0] >= 0:
+            err = normalize_angle(
+                np.arctan2(wp[1] - est[1], wp[0] - est[0]) - est[2])
+            img = viz.draw_heading_error(img, est, float(err),
+                                         resolution=float(m.resolution),
+                                         scale=scale)
+        # APF side panel: the robot-frame force field at the TRUE pose
+        # (scan re-simulated there; target = current waypoint in the
+        # robot frame, matching the reference's "laser"-frame markers).
+        from montecarlolocalisation_tpu.models import sensor as sensor_mod
+
+        scan = sensor_mod.simulate_scan(m, jnp.asarray(true_p[t]),
+                                        jnp.asarray(angles), scfg)
+        r = np.asarray(scan.ranges)
+        a = np.asarray(scan.angles)
+        px_r, py_r = r * np.cos(a), r * np.sin(a)
+        th = true_p[t, 2]
+        dxw, dyw = wp[0] - true_p[t, 0], wp[1] - true_p[t, 1]
+        tx = dxw * np.cos(-th) - dyw * np.sin(-th)
+        ty = dxw * np.sin(-th) + dyw * np.cos(-th)
+        forces = C.apf_forces(jnp.float32(tx), jnp.float32(ty),
+                              jnp.float32(0.0), jnp.float32(0.0),
+                              jnp.asarray(px_r), jnp.asarray(py_r),
+                              jnp.asarray(scan.mask), apf_cfg)
+        apf_img = viz.render_apf(px_r, py_r, np.asarray(scan.mask), forces)
+        # Pad/crop the side panel to the map frame's height.
+        h = img.shape[0]
+        ah, aw = apf_img.shape[:2]
+        panel = np.full((h, aw, 3), 255, np.uint8)
+        panel[:min(h, ah), :] = apf_img[:min(h, ah)]
+        frames.append(np.concatenate([img, panel], axis=1))
+        labels.append(t)
+    return frames, labels
+
+
 def save_strip(frames, path: str, max_frames: int = 12) -> None:
     idx = np.linspace(0, len(frames) - 1, min(max_frames, len(frames)))
     strip = np.concatenate([frames[int(i)] for i in idx], axis=1)
@@ -91,6 +168,10 @@ def main() -> None:
     src.add_argument("--log", help="EpisodeLog .npz to replay")
     src.add_argument("--simulate", action="store_true",
                      help="generate a wander episode on the default map")
+    src.add_argument("--closed-loop", action="store_true",
+                     help="closed-loop plan execution with controller "
+                          "debug markers (heading-error arrow + APF "
+                          "force/influence panel)")
     ap.add_argument("--map", default=DEFAULT_MAP)
     ap.add_argument("--ticks", type=int, default=150)
     ap.add_argument("--particles", type=int, default=1500)
@@ -108,6 +189,17 @@ def main() -> None:
     m = from_map_file(args.map)
     cfg = FilterConfig(num_particles=args.particles,
                        sensor=SensorModelConfig())
+
+    if args.closed_loop:
+        frames, labels = run_closed_loop_capture(
+            m, cfg, args.ticks, args.seed, args.every, args.scale,
+            args.beams)
+        save_strip(frames, args.strip)
+        print(f"wrote {args.strip} ({len(frames)} frames, ticks "
+              f"{labels[0]}...{labels[-1]})")
+        if save_gif(frames, args.out):
+            print(f"wrote {args.out}")
+        return
 
     if args.log:
         log = EpisodeLog.load(args.log)
