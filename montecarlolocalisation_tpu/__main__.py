@@ -68,6 +68,16 @@ def main() -> None:
                          "'frontier' plans toward unexplored edges on "
                          "the robot's OWN growing map (sim/frontier, "
                          "closed loop through the SLAM pose estimate)")
+    ap.add_argument("--slam-candidates", type=int, default=1,
+                    help="slam preset: Monte-Carlo optimal-proposal "
+                         "candidates per particle (K motion draws, one "
+                         "kept by scan likelihood, weights stay exact; "
+                         "1 = plain SIR.  Measured: no win on the "
+                         "default maze — exploratory knob)")
+    ap.add_argument("--keyframe", default=None, metavar="TRANS:ROT",
+                    help="slam preset: keyframe map-update gates in "
+                         "meters:radians (default 0.10:0.35, chip-swept; "
+                         "'0:0' = update every tick)")
     ap.add_argument("--mission", action="store_true",
                     help="slam preset: after mapping, plan the gold/pickup "
                          "TSP challenge ON the learned map and drive it "
@@ -164,13 +174,22 @@ def main() -> None:
         # hand-written): explore with lying encoders (wheel slip) -> RBPF
         # SLAM -> fit_walls -> relocalize on the learned map ->
         # --mission: TSP challenge planned ON the learned map.
+        kf = None
+        if args.keyframe is not None:
+            try:
+                kf = tuple(float(v) for v in args.keyframe.split(":"))
+                assert len(kf) == 2
+            except (ValueError, AssertionError):
+                ap.error("--keyframe expects TRANS:ROT, e.g. 0.10:0.35")
         out = presets.run_slam(world, seed=args.seed,
                                num_ticks=args.ticks or 1000,
                                num_particles=slam_particles or 64,
                                slip_noise=args.slip,
                                mission=args.mission,
                                explore_mode=args.explore,
-                               export=args.export)
+                               export=args.export,
+                               proposal_candidates=args.slam_candidates,
+                               **({} if kf is None else dict(keyframe=kf)))
         print(json.dumps(dict(preset="slam", **{
             k: (round(float(v), 4) if isinstance(v, float) else v)
             for k, v in out.items()})))

@@ -352,7 +352,9 @@ def run_slam(world: World, seed: int = 0, num_ticks: int = 600,
              gold_path: str = DEFAULT_GOLD,
              pickup_path: str = DEFAULT_PICKUP,
              export: Optional[str] = None,
-             explore_mode: str = "wander"):
+             explore_mode: str = "wander",
+             proposal_candidates: int = 1,
+             keyframe: Optional[Tuple[float, float]] = (0.10, 0.35)):
     """The full SLAM autonomy loop the reference cannot close.
 
     The reference stack REQUIRES a hand-written map.txt (publish_map.py:
@@ -387,8 +389,14 @@ def run_slam(world: World, seed: int = 0, num_ticks: int = 600,
                        resolution=float(m.resolution),
                        origin_x=float(m.origin_x),
                        origin_y=float(m.origin_y))
+    # Keyframe-gated map updates default ON (chip-swept at T=2000/3% slip:
+    # beats-DR 9->13/16, F1 0.705->0.813, mean err 0.397->0.256 — the
+    # long-horizon smear fix); --keyframe 0:0 restores every-tick updates.
+    kf_t, kf_r = keyframe if keyframe is not None else (0.0, 0.0)
     scfg = SLAMConfig(num_particles=num_particles, mapping=mc,
-                      sensor=world.cfg.sensor, motion=world.cfg.motion)
+                      sensor=world.cfg.sensor, motion=world.cfg.motion,
+                      proposal_candidates=proposal_candidates,
+                      keyframe_trans=kf_t, keyframe_rot=kf_r)
     start = (1.25, 1.25, 0.0)
     if explore_mode == "frontier":
         from .sim import frontier
