@@ -365,11 +365,12 @@ def run_slam(world: World, seed: int = 0, num_ticks: int = 600,
       1. explore with wheel slip ON (encoders lie) — "wander" (default):
          the freer-side scripted wanderer; "frontier": closed-loop
          frontier-driven exploration steered by the SLAM posterior
-         itself (sim/frontier — plans over the robot's OWN map; on the
-         small aliased default maze the randomized wanderer measured
-         equal-or-better coverage per tick, so it stays the default;
-         frontier is the structured-autonomy mode for worlds where
-         blind walks dead-end);
+         itself (sim/frontier — plans over the robot's OWN map).  The
+         wanderer measured MORE coverage per tick on every world family
+         tried (default maze, BSP offices, 10x10 perfect mazes —
+         BENCH_DETAILS.md exploration sweep), so it stays the default;
+         frontier trades coverage for map quality and targeting
+         (goal-directed mapping of a named region);
       2. RBPF SLAM (models/slam): joint (pose, map) posterior online;
       3. fit_walls — snap the best particle's log-odds grid onto the
          0.8 m cell lattice;

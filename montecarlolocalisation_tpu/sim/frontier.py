@@ -1,15 +1,20 @@
 """Frontier-driven autonomous exploration under SLAM (closed loop).
 
-The scripted explore wanderer saturates near ~50% maze coverage (its
-walk is geometry-biased), which starves everything downstream of the
-SLAM map: relocalization episodes wander off the mapped region and the
-mission planner finds the gold/pickup cells walled off behind
-conservative unexplored=wall edges.  Real autonomy plans its
-exploration: drive toward the NEAREST cell that still has unobserved
-edges, planned by BFS over the robot's OWN current map with OPTIMISTIC
-unknown=open semantics, localized by the SLAM posterior itself.  No
-reference counterpart — the reference's exploration is the blind
-wanderer and its map is hand-written (publish_map.py).
+Drive toward the NEAREST cell that still has unobserved edges, planned
+by BFS over the robot's OWN current map with OPTIMISTIC unknown=open
+semantics, localized by the SLAM posterior itself.  No reference
+counterpart — the reference's exploration is the blind wanderer and its
+map is hand-written (publish_map.py).
+
+Measured honestly (BENCH_DETAILS.md exploration sweep, 16 episodes per
+world family on chip): the freer-side wanderer covers 1.3-1.6x MORE
+edges per tick than this mode on every family tried — including the
+dead-end-heavy 10x10 perfect mazes this mode was expected to win — so
+the slam preset's default explorer is the wanderer.  What frontier
+exploration buys at its chip-tuned speed is map QUALITY per explored
+edge (best explored-edge F1 in the sweep) and deterministic targeting:
+use it to map a NAMED region (plan to it, observe it, stop), not for
+raw coverage.
 
 Two layers:
 
@@ -33,6 +38,7 @@ Two layers:
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Optional, Tuple
 
 import jax
@@ -214,6 +220,25 @@ def plan_to_nearest_frontier(walls: np.ndarray, seen: np.ndarray,
     return top[int(rng.integers(len(top)))]
 
 
+@functools.lru_cache(maxsize=None)
+def _phase_jit(scfg: SLAMConfig, phase_ticks: int, slip_noise: float,
+               kw_items: tuple):
+    """One jitted phase shared across calls AND worlds.
+
+    The maze rides as a TRACED argument (MazeMap is a pytree; its
+    rasters become inputs, so every same-shape world reuses one
+    executable — a multi-world exploration sweep compiles once instead
+    of once per map, which also shrinks the axon fresh-compile-stall
+    surface).  Config knobs are static via the cache key."""
+    kw = dict(kw_items)
+
+    def fn(st, k, wps, n_wp, m_true, ang):
+        return explore_phase(st, k, wps, n_wp, m_true, scfg, ang,
+                             phase_ticks, slip_noise=slip_noise, **kw)
+
+    return jax.jit(fn)
+
+
 def run_frontier_slam(key, m_true: MazeMap, scfg: SLAMConfig, angles,
                       start_pose=(1.25, 1.25, 0.0), phases: int = 12,
                       phase_ticks: int = 120, wp_slots: int = 12,
@@ -228,9 +253,11 @@ def run_frontier_slam(key, m_true: MazeMap, scfg: SLAMConfig, angles,
     host_rng = np.random.default_rng(int(np.asarray(
         jax.random.key_data(k_init))[-1]))
 
-    phase_fn = jax.jit(lambda st, k, wps, n: explore_phase(
-        st, k, wps, n, m_true, scfg, jnp.asarray(angles, jnp.float32),
-        phase_ticks, slip_noise=slip_noise, **phase_kw))
+    angles_arr = jnp.asarray(angles, jnp.float32)
+    jitted = _phase_jit(scfg, phase_ticks, float(slip_noise),
+                        tuple(sorted(phase_kw.items())))
+    phase_fn = lambda st, k, wps, n: jitted(st, k, wps, n, m_true,
+                                            angles_arr)
 
     truth_log, est_log, coverage = [], [], []
     for _ in range(phases):

@@ -37,6 +37,11 @@ def main():
     ap.add_argument("--keyframe-rot", type=float, default=0.0)
     ap.add_argument("--alpha-scale", type=float, default=None,
                     help="override SLAMConfig.alpha_scale")
+    ap.add_argument("--clamp", type=float, default=None,
+                    help="override MappingConfig.clamp (log-odds "
+                         "saturation; lower = stale smear revises faster)")
+    ap.add_argument("--offset-tol", type=int, default=None,
+                    help="fit_walls offset_tol for the F1 scoring")
     ap.add_argument("--seed0", type=int, default=0)
     args = ap.parse_args()
 
@@ -49,10 +54,13 @@ def main():
 
     world = presets.make_world(num_beams=args.beams)
     m = world.maze
-    mc = MappingConfig(height=m.height, width=m.width,
-                       resolution=float(m.resolution),
-                       origin_x=float(m.origin_x),
-                       origin_y=float(m.origin_y))
+    mkw = dict(height=m.height, width=m.width,
+               resolution=float(m.resolution),
+               origin_x=float(m.origin_x),
+               origin_y=float(m.origin_y))
+    if args.clamp is not None:
+        mkw["clamp"] = args.clamp
+    mc = MappingConfig(**mkw)
     kw = dict(num_particles=args.particles, mapping=mc,
               sensor=world.cfg.sensor, motion=world.cfg.motion,
               proposal_candidates=args.candidates,
@@ -98,8 +106,10 @@ def main():
                           dr[:, 1] - tr[ep, :, 1])[-tail:].mean()
             lo = np.asarray(final.logodds[ep])[
                 int(np.argmax(np.asarray(final.scores[ep])))]
+            fkw = ({} if args.offset_tol is None
+                   else dict(offset_tol=args.offset_tol))
             walls, seen = mapping.fit_walls(lo, cell_px=cell_px,
-                                            return_explored=True)
+                                            return_explored=True, **fkw)
             f1 = mapping.wall_metrics(walls, np.asarray(m.walls),
                                       mask=seen)["f1"]
             slam_err.append(se), dr_err.append(de), f1s.append(f1)
