@@ -37,6 +37,10 @@ def main():
     ap.add_argument("--keyframe-rot", type=float, default=0.0)
     ap.add_argument("--alpha-scale", type=float, default=None,
                     help="override SLAMConfig.alpha_scale")
+    ap.add_argument("--l-free", type=float, default=None,
+                    help="override MappingConfig.l_free (free-space "
+                         "carve rate; higher revises smear via "
+                         "re-traversal evidence)")
     ap.add_argument("--clamp", type=float, default=None,
                     help="override MappingConfig.clamp (log-odds "
                          "saturation; lower = stale smear revises faster)")
@@ -60,6 +64,8 @@ def main():
                origin_y=float(m.origin_y))
     if args.clamp is not None:
         mkw["clamp"] = args.clamp
+    if args.l_free is not None:
+        mkw["l_free"] = args.l_free
     mc = MappingConfig(**mkw)
     kw = dict(num_particles=args.particles, mapping=mc,
               sensor=world.cfg.sensor, motion=world.cfg.motion,
