@@ -172,6 +172,44 @@ def test_wall_recovery_on_default_maze():
     assert not np.any(optimistic & ~learned)
 
 
+def test_fit_walls_recovers_2px_shifted_walls():
+    """The offset_tol=2 default reads a wall deposited 2 px (0.2 m of
+    SLAM drift) off its lattice line; tol=1 cannot, tol=0 is strict.
+
+    Synthetic drifted map: a fully-explored ideal log-odds raster of the
+    default maze (walls +8, free -2) rolled 2 px down — every horizontal
+    wall now sits 2 px below its line with pure positive evidence, while
+    lattice bands read carved free space.  Interior cells only (the roll
+    wraps garbage into the boundary rows)."""
+    m = _maze()
+    occ = np.asarray(m.occ, bool)
+    lo = np.where(occ, 8.0, -2.0)
+    truth = np.asarray(m.walls)
+    from montecarlolocalisation_tpu.config import WALL_TOP, WALL_BOTTOM
+
+    # Identity sanity: unshifted ideal raster reproduces the maze.
+    assert np.array_equal(mapping.fit_walls(lo), truth)
+
+    shifted = np.roll(lo, 2, axis=0)
+    fit2 = mapping.fit_walls(shifted)               # default tol 2
+    fit1 = mapping.fit_walls(shifted, offset_tol=1)
+    interior = slice(1, truth.shape[0] - 1)
+    # Assertions cover the drift-PERPENDICULAR (horizontal) edges the
+    # shifted-band read targets.  Vertical edges are out of scope for
+    # this synthetic: a rigidly-shifted vertical wall's saturated 2 px
+    # tail genuinely lands inside the below-neighbor's band and flips
+    # the STRICT lattice vote at any tol (real SLAM drift is smooth and
+    # partial — the chip sweeps measured no precision loss).
+    h = [WALL_TOP, WALL_BOTTOM]
+    assert np.array_equal(fit2[interior][..., h], truth[interior][..., h]), (
+        "tol=2 must recover 2px-drifted horizontal walls, no phantoms")
+    # tol=1 misses drifted horizontal walls (the evidence is out of its
+    # reach) and invents none.
+    missed = np.sum(truth[interior][..., h] & ~fit1[interior][..., h])
+    assert missed > 0
+    assert not np.any(fit1[interior][..., h] & ~truth[interior][..., h])
+
+
 def test_dead_reckon_and_slip():
     m = _maze()
     cfg = FilterConfig(num_particles=64)
