@@ -315,7 +315,8 @@ def _relocalize_on(learned_maze, true_maze, world: World, num_ticks: int,
 
 def _track_on(learned_maze, true_maze, world: World, num_ticks: int,
               seed: int, batch: int = 8,
-              start_pose=(1.25, 1.25, 0.0), known_maze=None) -> dict:
+              start_pose=(1.25, 1.25, 0.0), known_maze=None,
+              explored_px=None, coverage_thresh: float = 0.8) -> dict:
     """Pose TRACKING on a learned map from a KNOWN start (the post-SLAM
     deployment mode: the robot knows where it finished mapping).  Fresh
     wander episodes sense the TRUE maze; each filter starts as a tight
@@ -323,6 +324,18 @@ def _track_on(learned_maze, true_maze, world: World, num_ticks: int,
     map.  Reports the fraction of episodes still within 0.4 m at the end
     and the median final error — the map-quality signal that global
     relocalization (brittle on any partial map) cannot give.
+
+    `explored_px` adds the coverage-aware pair (mirroring
+    `_relocalize_on`): the scripted non-explore eval wanderer is a
+    DETERMINISTIC walk of the true maze (episodes differ only in scan
+    noise), and on a ~half-explored map that canonical walk EXITS the
+    mapped region between ticks ~200 and ~300 — every filter is then
+    "lost" OUTSIDE its map at the final tick and the unrestricted
+    fraction reads 0.0 even when in-coverage tracking is near-perfect
+    (measured: 0.875 at 200 ticks vs 0.0 at 300 on the same map).
+    `track_in_coverage_frac`/`_n` score only episodes whose true
+    trajectory stayed within explored pixels >= `coverage_thresh` of
+    its ticks; the gap between the pairs IS the coverage gap.
     """
     from .models import filter as mcl
     from .parallel import episodes
@@ -332,17 +345,56 @@ def _track_on(learned_maze, true_maze, world: World, num_ticks: int,
         k1, true_maze, world.cfg, world.angles, num_ticks, batch=batch,
         start_pose=start_pose)
     keys = jax.random.split(k2, batch)
-    final, _ = jax.jit(jax.vmap(lambda k, e, s: mcl.run_episode(
+    final, outs = jax.jit(jax.vmap(lambda k, e, s: mcl.run_episode(
         mcl.init_tracking_state(k, learned_maze, world.cfg, start_pose),
         e, s, world.angles, learned_maze, world.cfg,
         known_map=known_maze)))(keys, enc, scans)
     best = np.asarray(final.best_pose)
-    tp = np.asarray(truth)[:, -1, :]
+    tpa = np.asarray(truth)                       # [B, T, 3]
+    tp = tpa[:, -1, :]
     err = np.hypot(best[:, 0] - tp[:, 0], best[:, 1] - tp[:, 1])
     ok = (best[:, 0] >= 0) & (err < 0.4)
-    return dict(
+    out = dict(
         track_on_learned_frac=float(np.mean(ok)),
         track_median_error_m=round(float(np.median(err)), 4))
+    if explored_px is not None:
+        ex = np.asarray(explored_px, bool)
+        m = true_maze
+        rows = np.clip((tpa[..., 1] - float(m.origin_y))
+                       / float(m.resolution), 0, ex.shape[0] - 1
+                       ).astype(int)
+        cols = np.clip((tpa[..., 0] - float(m.origin_x))
+                       / float(m.resolution), 0, ex.shape[1] - 1
+                       ).astype(int)
+        in_cov = ex[rows, cols]                   # [B, T]
+        covered = in_cov.mean(axis=1) >= coverage_thresh
+        out.update(
+            track_in_coverage_n=int(covered.sum()),
+            track_in_coverage_frac=round(
+                float(np.mean(ok[covered])) if covered.any()
+                else float("nan"), 4))
+        # "Tracked until it left the map": score each filter at the end
+        # of the INITIAL in-coverage prefix — the last tick before the
+        # walk first exits explored pixels (final tick if it never
+        # does).  A later exit should not erase the tracking the map
+        # could support; the last in-coverage tick ANYWHERE is the
+        # wrong anchor (the walk may briefly re-enter long after the
+        # filter was legitimately lost off-map — measured to score an
+        # always-0).
+        bp = np.asarray(outs.exact_pose)          # [B, T, 3] (sentinel
+        # (-1,-1,-1) while lost — same semantics as final.best_pose)
+        exits = ~in_cov
+        t_edge = np.where(exits.any(axis=1),
+                          np.maximum(np.argmax(exits, axis=1) - 1, 0),
+                          in_cov.shape[1] - 1)
+        has = in_cov[:, 0]                        # started in coverage
+        be = bp[np.arange(batch), t_edge]
+        te = tpa[np.arange(batch), t_edge]
+        err_e = np.hypot(be[:, 0] - te[:, 0], be[:, 1] - te[:, 1])
+        ok_e = has & (be[:, 0] >= 0) & (err_e < 0.4)
+        out["track_to_coverage_edge_frac"] = round(
+            float(np.mean(ok_e[has])) if has.any() else float("nan"), 4)
+    return out
 
 
 def run_slam(world: World, seed: int = 0, num_ticks: int = 600,
@@ -477,7 +529,8 @@ def run_slam(world: World, seed: int = 0, num_ticks: int = 600,
         out.update(_track_on(learned_maze, m, world,
                              min(max(num_ticks // 2, 150), 300),
                              seed + 2000, start_pose=start,
-                             known_maze=known_maze))
+                             known_maze=known_maze,
+                             explored_px=np.abs(lo) > 0.5))
     if mission:
         # Challenge mission on the robot-built map: TSP + BFS legs planned
         # over the LEARNED wall graph, driven closed-loop with the filter

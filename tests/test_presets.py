@@ -44,6 +44,25 @@ def test_sweep_preset(world):
             + float(metrics["stray_mass_mean"])) <= 1.0 + 1e-5
 
 
+def test_track_on_coverage_gating(world):
+    """_track_on's coverage-aware pair: with the TRUE maze as the
+    'learned' map and full coverage, the in-coverage fraction equals the
+    unrestricted one over all episodes; with NOTHING explored, it
+    reports no-data (n=0, NaN) instead of a false 0.0 — the failure
+    mode that made half-explored slam runs read as broken when the
+    deterministic eval walk merely exited the mapped region."""
+    m = world.maze
+    full = np.ones((m.height, m.width), bool)
+    out = presets._track_on(m, m, world, 60, seed=5, batch=4,
+                            explored_px=full)
+    assert out["track_in_coverage_n"] == 4
+    assert out["track_in_coverage_frac"] == out["track_on_learned_frac"]
+    out0 = presets._track_on(m, m, world, 60, seed=5, batch=4,
+                             explored_px=np.zeros_like(full))
+    assert out0["track_in_coverage_n"] == 0
+    assert np.isnan(out0["track_in_coverage_frac"])
+
+
 @pytest.mark.slow
 def test_tick_chunked_sweep_bit_identical(world):
     """tick_chunk segments must reproduce the single-scan run exactly
