@@ -7,8 +7,29 @@ from __future__ import annotations
 
 import argparse
 import json
+import math
 
 import numpy as np
+
+
+def _dumps(obj) -> str:
+    """json.dumps with non-finite floats mapped to null.
+
+    Preset metrics use NaN as "no qualifying data" (e.g.
+    reloc_in_coverage_frac / track_to_coverage_edge_frac when no episode
+    qualifies, position_error_m when unlocalized); bare NaN is not strict
+    JSON, so the one-line CLI output emits null instead — the paired *_n
+    count keeps the n=0 signal.
+    """
+    def clean(v):
+        if isinstance(v, float) and not math.isfinite(v):
+            return None
+        if isinstance(v, dict):
+            return {k: clean(x) for k, x in v.items()}
+        if isinstance(v, (list, tuple)):
+            return [clean(x) for x in v]
+        return v
+    return json.dumps(clean(obj))
 
 
 def main() -> None:
@@ -119,7 +140,7 @@ def main() -> None:
         tp = np.asarray(truth)[-1]
         err = float(np.hypot(best[0] - tp[0], best[1] - tp[1])) \
             if best[0] >= 0 else float("nan")
-        print(json.dumps(dict(
+        print(_dumps(dict(
             preset="localisation",
             confidence=float(final.confidence),
             best_pose=[round(float(v), 4) for v in best],
@@ -129,7 +150,7 @@ def main() -> None:
     elif args.preset == "planning":
         path, final, outs = presets.run_planning(
             world, seed=args.seed, num_ticks=args.ticks or 800)
-        print(json.dumps(dict(
+        print(_dumps(dict(
             preset="planning", plan=[list(c) for c in path],
             waypoints_reached=int(final.wp_idx),
             waypoints_total=max(len(path) - 1, 1),  # start cell not driven
@@ -137,7 +158,7 @@ def main() -> None:
     elif args.preset == "challenge":
         plan, final, outs = presets.run_challenge(
             world, seed=args.seed, num_ticks=args.ticks or 2000)
-        print(json.dumps(dict(
+        print(_dumps(dict(
             preset="challenge",
             tsp_gold_cost=plan.gold_cost,
             legs=[list(leg.goal) for leg in plan.legs],
@@ -146,13 +167,13 @@ def main() -> None:
     elif args.preset == "moving":
         out = presets.run_moving(world, seed=args.seed,
                                  num_ticks=args.ticks or 300)
-        print(json.dumps(dict(preset="moving", **out)))
+        print(_dumps(dict(preset="moving", **out)))
     elif args.preset == "sweep":
         metrics = presets.run_sweep(world, batch=args.batch,
                                     num_ticks=args.ticks or 150,
                                     seed=args.seed,
                                     tick_chunk=args.tick_chunk)
-        print(json.dumps({k: round(float(v), 4)
+        print(_dumps({k: round(float(v), 4)
                           for k, v in metrics.items()}))
     elif args.preset == "mapping":
         # Explore -> occupancy-grid mapping -> localize on the LEARNED map
@@ -166,7 +187,7 @@ def main() -> None:
                                   pose_source=args.pose_source,
                                   slip_noise=args.slip,
                                   export=args.export)
-        print(json.dumps(dict(preset="mapping", **{
+        print(_dumps(dict(preset="mapping", **{
             k: (round(float(v), 4) if isinstance(v, float) else v)
             for k, v in out.items()})))
     elif args.preset == "slam":
@@ -190,13 +211,13 @@ def main() -> None:
                                export=args.export,
                                proposal_candidates=args.slam_candidates,
                                **({} if kf is None else dict(keyframe=kf)))
-        print(json.dumps(dict(preset="slam", **{
+        print(_dumps(dict(preset="slam", **{
             k: (round(float(v), 4) if isinstance(v, float) else v)
             for k, v in out.items()})))
     elif args.preset == "calibrate":
         out = presets.run_calibrate(world, seed=args.seed,
                                     num_ticks=args.ticks or 200)
-        print(json.dumps(dict(preset="calibrate", **{
+        print(_dumps(dict(preset="calibrate", **{
             k: round(float(v), 5) for k, v in out.items()})))
     elif args.preset == "serve":
         # Online mode: JSONL sensor frames on stdin -> pose stream on
@@ -213,7 +234,7 @@ def main() -> None:
                                    pipeline=args.pipeline)
             ticks = fleet.serve(sys.stdin)
             conf = np.asarray(fleet.state.confidence, np.float64)
-            print(json.dumps(dict(
+            print(_dumps(dict(
                 preset="serve", robots=args.robots, ticks=ticks,
                 final_confidence=[round(float(c), 4) for c in conf])),
                 file=sys.stderr)
@@ -231,7 +252,7 @@ def main() -> None:
                                seed=args.seed, adapt=adapt,
                                adapt_mode=adapt_mode)
             ticks = server.serve(sys.stdin)
-            print(json.dumps(dict(preset="serve", ticks=ticks,
+            print(_dumps(dict(preset="serve", ticks=ticks,
                                   final_confidence=round(
                                       float(server.state.confidence), 4))),
                   file=sys.stderr)

@@ -270,6 +270,12 @@ def fit_walls(logodds, cell_px: int = 8, explored_abs: float = 0.5,
     """
     lo = np.asarray(logodds)
     h, w = lo.shape
+    # The no-neighbor-crosstalk argument above holds only while shifted
+    # bands stay strictly inside the cell interior: with small cell_px a
+    # wall drifted off the NEIGHBORING lattice line would land inside this
+    # line's shifted band with pure positive evidence and flip a phantom
+    # wall.  Clamp the effective tolerance (cell_px=8 keeps the default 2).
+    offset_tol = min(offset_tol, max((cell_px - 1) // 2 - 1, 0))
     n_rows = max(1, (h - 1) // cell_px)
     n_cols = max(1, (w - 1) // cell_px)
     walls = np.zeros((n_rows, n_cols, 4), dtype=bool)

@@ -381,14 +381,23 @@ def _track_on(learned_maze, true_maze, world: World, num_ticks: int,
         # wrong anchor (the walk may briefly re-enter long after the
         # filter was legitimately lost off-map — measured to score an
         # always-0).
+        # MCLOutput.exact_pose[t] is published BEFORE tick t's update
+        # (mcl_step publishes first — reference tick order), so the
+        # estimate at index t reflects truth at t-1.  Shift to the
+        # POST-update estimate per tick: post[t] = exact_pose[t+1], with
+        # final.best_pose closing the last slot — now estimate and truth
+        # refer to the same tick (and the full-coverage case scores the
+        # same pose track_on_learned_frac does).
         bp = np.asarray(outs.exact_pose)          # [B, T, 3] (sentinel
         # (-1,-1,-1) while lost — same semantics as final.best_pose)
+        post = np.concatenate(
+            [bp[:, 1:], np.asarray(final.best_pose)[:, None, :]], axis=1)
         exits = ~in_cov
         t_edge = np.where(exits.any(axis=1),
                           np.maximum(np.argmax(exits, axis=1) - 1, 0),
                           in_cov.shape[1] - 1)
         has = in_cov[:, 0]                        # started in coverage
-        be = bp[np.arange(batch), t_edge]
+        be = post[np.arange(batch), t_edge]
         te = tpa[np.arange(batch), t_edge]
         err_e = np.hypot(be[:, 0] - te[:, 0], be[:, 1] - te[:, 1])
         ok_e = has & (be[:, 0] >= 0) & (err_e < 0.4)
@@ -458,7 +467,11 @@ def run_slam(world: World, seed: int = 0, num_ticks: int = 600,
         fst, finfo = frontier.run_frontier_slam(
             jax.random.PRNGKey(seed), m, scfg, world.angles,
             start_pose=start, phases=max(num_ticks // phase_ticks, 1),
-            phase_ticks=phase_ticks, slip_noise=slip_noise)
+            phase_ticks=phase_ticks, slip_noise=slip_noise,
+            # Single world: capture the maze concretely so the in-phase
+            # scan simulation keeps the concrete-map fast paths (the
+            # per-world compile was already this preset's cost).
+            static_map=True)
         final = fst.slam
         tn, est = finfo["truth"], finfo["est"]
         dr_err = None

@@ -220,7 +220,7 @@ def plan_to_nearest_frontier(walls: np.ndarray, seen: np.ndarray,
     return top[int(rng.integers(len(top)))]
 
 
-@functools.lru_cache(maxsize=None)
+@functools.lru_cache(maxsize=8)
 def _phase_jit(scfg: SLAMConfig, phase_ticks: int, slip_noise: float,
                kw_items: tuple):
     """One jitted phase shared across calls AND worlds.
@@ -229,7 +229,13 @@ def _phase_jit(scfg: SLAMConfig, phase_ticks: int, slip_noise: float,
     rasters become inputs, so every same-shape world reuses one
     executable — a multi-world exploration sweep compiles once instead
     of once per map, which also shrinks the axon fresh-compile-stall
-    surface).  Config knobs are static via the cache key."""
+    surface).  The cost: a traced map fails `is_concrete_map`, so the
+    TRUE-maze scan simulation inside the phase drops to the onehot
+    lookup fallback (the SLAM weight/update path is traced-map-native
+    either way) — single-world callers should prefer
+    `run_frontier_slam(static_map=True)`.  Config knobs are static via
+    the cache key; the cache is bounded (compiled executables are big).
+    """
     kw = dict(kw_items)
 
     def fn(st, k, wps, n_wp, m_true, ang):
@@ -242,9 +248,17 @@ def _phase_jit(scfg: SLAMConfig, phase_ticks: int, slip_noise: float,
 def run_frontier_slam(key, m_true: MazeMap, scfg: SLAMConfig, angles,
                       start_pose=(1.25, 1.25, 0.0), phases: int = 12,
                       phase_ticks: int = 120, wp_slots: int = 12,
-                      slip_noise: float = 0.03, **phase_kw):
+                      slip_noise: float = 0.03, static_map: bool = False,
+                      **phase_kw):
     """The full frontier-exploration loop.  Returns (final ExploreState,
-    dict with per-phase coverage history and the tick logs)."""
+    dict with per-phase coverage history and the tick logs).
+
+    `static_map=True` closure-captures the true maze instead of tracing
+    it: the per-phase executable is then specific to THIS world (compile
+    once per world, not once per shape) but the in-phase scan simulation
+    keeps the concrete-map fast paths (bits/analytic/Pallas).  Right for
+    single-world callers (the slam preset); leave False for multi-world
+    sweeps where one shared executable across worlds is the win."""
     k_init, key = jax.random.split(jax.random.PRNGKey(key)
                                    if isinstance(key, int) else key)
     state = init_explore(k_init, start_pose, scfg)
@@ -254,10 +268,16 @@ def run_frontier_slam(key, m_true: MazeMap, scfg: SLAMConfig, angles,
         jax.random.key_data(k_init))[-1]))
 
     angles_arr = jnp.asarray(angles, jnp.float32)
-    jitted = _phase_jit(scfg, phase_ticks, float(slip_noise),
-                        tuple(sorted(phase_kw.items())))
-    phase_fn = lambda st, k, wps, n: jitted(st, k, wps, n, m_true,
-                                            angles_arr)
+    if static_map:
+        kw = dict(phase_kw)
+        phase_fn = jax.jit(lambda st, k, wps, n: explore_phase(
+            st, k, wps, n, m_true, scfg, angles_arr, phase_ticks,
+            slip_noise=float(slip_noise), **kw))
+    else:
+        jitted = _phase_jit(scfg, phase_ticks, float(slip_noise),
+                            tuple(sorted(phase_kw.items())))
+        phase_fn = lambda st, k, wps, n: jitted(st, k, wps, n, m_true,
+                                                angles_arr)
 
     truth_log, est_log, coverage = [], [], []
     for _ in range(phases):

@@ -254,3 +254,98 @@ def test_fresh_sampling_cond_is_bit_identical():
                                        MAP, CFG)
     assert float(infoL["p_inject"]) > 0.0
     assert int(infoL["n_injected"]) > 0
+
+
+def test_cap_binding_exact_reproduces_reference_slot_coupling():
+    """When the injection cap BINDS, the `exact` impl must reproduce the
+    reference's draw<->injection coupling (monte_carlo.cpp:513-528): ONE
+    uniform r per slot decides inject-vs-copy, so a Bernoulli-success slot
+    that arrives AFTER the cap copies via lower_bound(cdf, r) with that
+    same r < p_inject — i.e. it keeps a LOW-CDF survivor.  Reconstructed
+    slot-by-slot from the resample key's own r vector."""
+    n = 512
+    cap = 16
+    rcfg = ResampleConfig(method="multinomial", multinomial_impl="exact",
+                          conf_max_injection=cap,
+                          conf_alpha_slow=1e-9, conf_alpha_fast=1e-9,
+                          conf_jitter_xy=0.0, conf_jitter_theta=0.0)
+    cfg = dataclasses.replace(CFG, resample=rcfg)
+    # Identifiable survivors: x = 10 + index (fresh samples land in
+    # [0.25, 2.25], so x >= 10 marks a copied particle).
+    particles = jnp.stack([10.0 + jnp.arange(n, dtype=jnp.float32),
+                           jnp.zeros(n), jnp.zeros(n)], axis=-1)
+    w = (jnp.arange(n, dtype=jnp.float32) + 1.0) ** 2   # skewed weights
+    cdf = np.cumsum(np.asarray(w) / float(np.sum(w)))
+    # Tiny alphas freeze the dual-timescale state: p_inject ~ 1 - 0.5 = 0.5.
+    inj = resample.InjectionState(w_slow=jnp.float32(1.0),
+                                  w_fast=jnp.float32(0.5))
+    key = jax.random.PRNGKey(7)
+    new_p, _, _, info = resample.resample(key, particles, w, inj, FALSE,
+                                          MAP, cfg)
+    p_inject = float(info["p_inject"])
+    assert abs(p_inject - 0.5) < 1e-3
+    # Reconstruct the slot decisions from the SAME r vector resample drew
+    # (k_draw is the first of the 6-way key split, resample.py:354).
+    r = np.asarray(jax.random.uniform(jax.random.split(key, 6)[0], (n,)))
+    bern = r < p_inject
+    inject = bern & (np.cumsum(bern) <= cap)
+    capped = bern & ~inject
+    assert int(inject.sum()) == cap == int(info["n_injected"])
+    assert int(capped.sum()) > 100            # the cap binds, hard
+    got_x = np.asarray(new_p[:, 0])
+    idx = np.clip(np.searchsorted(cdf, r, side="left"), 0, n - 1)
+    # Non-injected slots (incl. every capped one) copy particle
+    # lower_bound(cdf, r) exactly; injected slots hold fresh samples.
+    np.testing.assert_allclose(got_x[~inject], 10.0 + idx[~inject],
+                               rtol=0, atol=1e-5)
+    assert (got_x[inject] < 5.0).all()
+    # The coupling signature: every capped slot's survivor sits in the
+    # low-CDF region (cumulative mass below it < p_inject).
+    below = np.where(idx[capped] > 0, cdf[idx[capped] - 1], 0.0)
+    assert (below < p_inject).all()
+
+
+def test_cap_binding_sorted_keeps_marginal_frequencies():
+    """Same cap-binding setup on the `sorted` impl: injection uses an
+    INDEPENDENT uniform (QUIRKS fast-path table, last row), so which
+    survivors keep slots is decoupled — capped slots are NOT restricted
+    to the low-CDF region, and across keys the surviving draws match the
+    unconditioned multinomial marginals (the weights themselves)."""
+    n = 512
+    cap = 16
+    rcfg = ResampleConfig(method="multinomial", multinomial_impl="sorted",
+                          conf_max_injection=cap,
+                          conf_alpha_slow=1e-9, conf_alpha_fast=1e-9,
+                          conf_jitter_xy=0.0, conf_jitter_theta=0.0)
+    cfg = dataclasses.replace(CFG, resample=rcfg)
+    particles = jnp.stack([10.0 + jnp.arange(n, dtype=jnp.float32),
+                           jnp.zeros(n), jnp.zeros(n)], axis=-1)
+    w = (jnp.arange(n, dtype=jnp.float32) + 1.0) ** 2
+    probs = np.asarray(w) / float(np.sum(w))
+    inj = resample.InjectionState(w_slow=jnp.float32(1.0),
+                                  w_fast=jnp.float32(0.5))
+    step = jax.jit(lambda k: resample.resample(k, particles, w, inj,
+                                               FALSE, MAP, cfg))
+    counts = np.zeros(n)
+    kept_total = 0
+    high_cdf_survivors = 0
+    keys = 64
+    for s in range(keys):
+        new_p, _, _, info = step(jax.random.PRNGKey(100 + s))
+        assert int(info["n_injected"]) == cap     # cap still binds
+        got_x = np.asarray(new_p[:, 0])
+        kept = got_x >= 5.0                       # survivor slots
+        src = np.rint(got_x[kept] - 10.0).astype(int)
+        counts += np.bincount(src, minlength=n)
+        kept_total += int(kept.sum())
+        # Decoupling: the surviving multiset includes HIGH-r draws in
+        # slots the exact path would have filled from the low-CDF region.
+        high_cdf_survivors += int((src >= n - 8).sum())
+    assert high_cdf_survivors > 0
+    # Marginals: E[count_i] = probs_i among survivors (the sorted draw is
+    # the full unconditioned multinomial; injection only masks slots).
+    emp = counts / kept_total
+    # Aggregate into 8 CDF bins to keep the tolerance meaningful.
+    bins = np.add.reduceat(emp, np.arange(0, n, n // 8))
+    want = np.add.reduceat(probs, np.arange(0, n, n // 8))
+    np.testing.assert_allclose(bins, want, atol=0.02)

@@ -35,6 +35,51 @@ def test_song_constants_consistent_across_layers():
     assert mission.SONG_PICKUP == songs.SONG_PICKUP
 
 
+def test_reference_song_bytes_golden():
+    # REFERENCE_SONG_BYTES must reproduce songs_lib.cpp's arrays byte for
+    # byte (MEASURE=80 -> Q=20, Ed=15, S=5; songs_lib.cpp:7-10).
+    assert (songs.Q, songs.Ed, songs.S) == (20, 15, 5)
+    assert songs.REFERENCE_SONG_BYTES[1] == [57, 5, 62, 5]
+    assert songs.REFERENCE_SONG_BYTES[2] == [62, 5, 67, 20, 67, 5, 67, 5, 65, 20]
+    assert songs.REFERENCE_SONG_BYTES[3] == [57, 20, 57, 20, 57, 20, 62, 20]
+    assert songs.REFERENCE_SONG_BYTES[4] == [
+        62, 20, 64, 20, 67, 20, 64, 20, 71, 15, 71, 20, 69, 20,
+        62, 20, 64, 20, 67, 20, 64, 20, 69, 15, 69, 20, 67, 20]
+    # store5: each source line ends with a bare `g4,` (songs_lib.cpp:100-105)
+    # so the flat array is 4 x 17 = 68 bytes and the (note, duration) pairing
+    # shifts from the 9th pair on — preserved verbatim.
+    raw5 = songs.REFERENCE_SONG_BYTES[5]
+    assert len(raw5) == 68
+    line1 = [62, 20, 64, 20, 67, 15, 67, 15, 67, 15, 67, 5, 67, 5, 67, 5, 67]
+    line2 = [62, 15, 64, 15, 67, 5, 67, 5, 67, 5, 67, 5, 67, 5, 67, 5, 67]
+    assert raw5 == line1 + line2 + line1 + line2
+    # The pairing-shift quirk: pair 9 is (note g4, "duration" d4=62).
+    assert (raw5[16], raw5[17]) == (67, 62)
+
+
+def test_store_song_opcode_frames():
+    # OI "Song" frame: [140, number, n_notes, note1, dur1, ...].
+    assert songs.encode_store_song(1) == bytes([140, 1, 2, 57, 5, 62, 5])
+    assert songs.encode_store_song(3) == bytes(
+        [140, 3, 4, 57, 20, 57, 20, 57, 20, 62, 20])
+    f4 = songs.encode_store_song(4)
+    assert f4[:3] == bytes([140, 4, 14]) and len(f4) == 3 + 28
+    # store5's 34 pairs exceed the OI 16-note capacity -> truncated to 16.
+    f5 = songs.encode_store_song(5)
+    assert f5[:3] == bytes([140, 5, 16]) and len(f5) == 3 + 32
+    assert list(f5[3:]) == songs.REFERENCE_SONG_BYTES[5][:32]
+
+
+def test_play_song_opcode_and_upload_order():
+    assert songs.encode_play_song(2) == bytes([141, 2])
+    frames = songs.upload_opcodes()
+    # uploadSongs calls the service for 5, 4, 1, 2, 3 in that order
+    # (songs_lib.cpp:108-136).
+    assert [f[1] for f in frames] == [5, 4, 1, 2, 3]
+    for f in frames:
+        assert f[0] == 140 and f[2] == (len(f) - 3) // 2
+
+
 def test_song_events_filters_zero_ticks():
     codes = [0, 0, songs.SONG_LOST, 0, songs.SONG_RECOVERED, 0]
     assert songs.song_events(codes) == [(2, songs.SONG_LOST),
