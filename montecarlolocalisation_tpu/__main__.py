@@ -82,13 +82,16 @@ def main() -> None:
                          "ROS map_server PGM+YAML (trinary: occupied/free/"
                          "unknown); PATH.yaml then works with --map")
     ap.add_argument("--explore", default="wander",
-                    choices=["wander", "frontier"],
+                    choices=["wander", "frontier", "hybrid"],
                     help="slam preset explorer: 'wander' (default) is "
                          "the freer-side scripted wanderer (measured "
                          "best coverage/tick on the default maze); "
                          "'frontier' plans toward unexplored edges on "
                          "the robot's OWN growing map (sim/frontier, "
-                         "closed loop through the SLAM pose estimate)")
+                         "closed loop through the SLAM pose estimate); "
+                         "'hybrid' wanders while coverage grows and "
+                         "frontier-targets the leftover pockets once "
+                         "the wanderer saturates")
     ap.add_argument("--slam-candidates", type=int, default=1,
                     help="slam preset: Monte-Carlo optimal-proposal "
                          "candidates per particle (K motion draws, one "

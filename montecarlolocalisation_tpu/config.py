@@ -83,6 +83,21 @@ class SensorModelConfig:
     # partial maps fail outright rather than degrade).  No reference
     # counterpart (the reference never localizes on a learned map).
     unknown_credit: float = 0.3
+    # How the credit is computed (sensor.beam_weights_partial):
+    #   "flat"     — unknown_credit * peak for every frontier beam (the
+    #                round-4 behavior).
+    #   "interval" — frontier-DISTANCE-aware: the marginal density of the
+    #                observation under "a wall sits uniformly somewhere in
+    #                the unknown stretch beyond the frontier",
+    #                w_hit * min(1 / (max_range - d_frontier + sigma),
+    #                gauss_pdf(0)).  A beam GRAZING the frontier (almost
+    #                no unknown left) is nearly as informative as a mapped
+    #                beam and scores near peak; a beam that travels far
+    #                through unknown space carries little information and
+    #                scores low — so particles are no longer uniformly
+    #                subsidized for looking outward (`unknown_credit` is
+    #                ignored in this mode; the geometry sets the credit).
+    unknown_credit_mode: str = "flat"
 
     @property
     def num_ray_steps(self) -> int:
@@ -299,6 +314,44 @@ class SLAMConfig:
     # smear source; gated ticks still weight and resample normally.
     keyframe_trans: float = 0.0
     keyframe_rot: float = 0.0
+    # Consensus-anchored correlative correction ("loop closure lite",
+    # models/slam.closure_correction; opt-in).  On map-update (keyframe)
+    # ticks, the current scan is matched against the CONSENSUS map — the
+    # importance-weighted mean of all particle log-odds grids, i.e. the
+    # accumulated keyframe evidence, not any single particle's noisy map
+    # (matching per-particle maps was measured to chase early-map noise:
+    # refine_iters and proposal_candidates both hurt, QUIRKS.md) — over a
+    # small exhaustive (dx, dy, dtheta) grid, and the best rigid offset is
+    # applied to the WHOLE cloud (relative spread preserved: translation +
+    # rotation about the posterior mean).  The cloud re-anchors onto the
+    # map it already painted before painting more — the drift-compounding
+    # cut that pure RBPF diversity cannot provide at high wheel slip.
+    # Gated: the offset applies only when it improves the consensus scan
+    # log-likelihood by ≥ closure_margin nats (an unexplored region has a
+    # flat surface and never crosses the margin).  Steps must be odd (the
+    # zero offset must be a candidate).
+    closure: bool = False
+    closure_xy_range: float = 0.15     # m, per-axis search half-width
+    closure_xy_steps: int = 7
+    closure_theta_range: float = 0.10  # rad
+    closure_theta_steps: int = 7
+    closure_margin: float = 2.0        # nats of required improvement
+    # Fraction of the winning offset actually applied (a servo, not a
+    # jump): damping keeps the grid-quantized argmax from injecting its
+    # own step noise when it fires on a marginal gain.
+    closure_gain: float = 1.0
+    # Minimum matched (returned + painted-wall) beams for a correction to
+    # fire — a couple of surviving beams cannot rigidly re-anchor a cloud.
+    closure_min_beams: int = 8
+    # No firing on ticks whose odometry rotation exceeds this (rad):
+    # mid-turn scans are the least reliable anchors.
+    closure_max_turn: float = 0.05
+    # Keyframes a fired correction blocks further firings for.
+    closure_cooldown: int = 2
+    # Extra nats the best dtheta must buy over dtheta=0 (same dx, dy) to
+    # be applied — rotation is weakly observable in corridors and the
+    # raw argmax otherwise carries spurious grid-edge theta kicks.
+    closure_theta_margin: float = 1.0
 
 
 @dataclasses.dataclass(frozen=True)
@@ -342,6 +395,20 @@ class InitConfig:
     # "auto" = packed on TPU, reference elsewhere.  init_state always
     # uses the reference sampler (one-time cost).
     sampler: str = "auto"
+    # Fresh-draw cell support on PARTIAL learned maps (known_map runs):
+    # "explored" draws injected AND initial particles only from cells
+    # whose fitted edges are not all walls; "init-only" restricts just
+    # the initial cloud; "uniform" (default) keeps the reference's
+    # all-cells draw.  MEASURED HARMFUL as a default on half-explored
+    # maps (reloc 10/24 uniform -> 4/24 explored -> 3/24 init-only over
+    # 3 seed batches): the "wasted" low-scoring draws in unexplored
+    # cells hold w_avg and the cluster confidence DOWN, which keeps the
+    # adaptive-injection search phase alive until the right alias wins;
+    # concentrating the cloud in explored space makes the filter commit
+    # early to in-coverage aliases.  Kept as an opt-in knob because the
+    # dynamic is population-level and may invert on large worlds where
+    # explored space is a small fraction of the map.
+    partial_map_cells: str = "uniform"
 
 
 @dataclasses.dataclass(frozen=True)

@@ -66,12 +66,21 @@ class MCLOutput:
     p_inject: jax.Array
 
 
-def init_state(key, m: MazeMap, cfg: FilterConfig) -> MCLState:
+def init_state(key, m: MazeMap, cfg: FilterConfig,
+               known_map: Optional[MazeMap] = None) -> MCLState:
     """Startup state (monte_carlo.cpp:1198-1209): uniform particles,
-    zeroed odometry/injection accumulators, lost-side thresholds."""
+    zeroed odometry/injection accumulators, lost-side thresholds.
+
+    With `known_map` (partial-map relocalization) the initial cloud is
+    drawn over EXPLORED cells only — same mask as injection in mcl_step:
+    cells whose four fitted edges are all walls carry no evidence, so
+    seeding them wastes half the cloud on a half-explored map."""
     k_sample, k_state = jax.random.split(key)
+    mask = (None if known_map is None
+            or cfg.init.partial_map_cells not in ("explored", "init-only")
+            else ~jnp.all(m.walls, axis=-1))
     particles = resample.sample_uniform_particles(
-        k_sample, m, cfg.num_particles, cfg.init)
+        k_sample, m, cfg.num_particles, cfg.init, cell_mask=mask)
     h = cfg.hysteresis
     return MCLState(
         particles=particles,
@@ -207,16 +216,24 @@ def mcl_step(
     else:
         weights = sensor.beam_weights_partial(
             m, known_map, particles, scan, cfg.sensor, cfg.valid_pos_offset)
+    # Partial-map explored-cell injection: fresh draws go only to cells
+    # the learned map has evidence for (a cell whose four fitted edges are
+    # ALL walls is unexplored or unreachable — no scan can place the
+    # robot there, so uniform-over-all-cells injection wastes the draw).
+    cell_mask = (None if known_map is None
+                 or cfg.init.partial_map_cells != "explored"
+                 else ~jnp.all(m.walls, axis=-1))
     if cfg.resample.ess_threshold is None:
         # Reference schedule: fresh per-tick weights, resample every tick.
         particles, weights, inj, info = resample.resample(
-            k_resample, particles, weights, state.inj, was_lost, m, cfg)
+            k_resample, particles, weights, state.inj, was_lost, m, cfg,
+            cell_mask=cell_mask)
     else:
         # Production SIR schedule: carried weights, resample only when the
         # effective sample size drops below ess_threshold * N.
         particles, weights, inj, info = resample.ess_gated_resample(
             k_resample, particles, weights, state.weights, state.inj,
-            was_lost, m, cfg)
+            was_lost, m, cfg, cell_mask=cell_mask)
 
     # 6. Cluster confidence with post-hysteresis threshold.  Under the
     #    ESS-gated schedule the carried weights are non-uniform between

@@ -44,16 +44,41 @@ class InjectionState:
         return InjectionState(w_slow=jnp.float32(0.0), w_fast=jnp.float32(0.0))
 
 
+def _masked_cells(u, mask):
+    """Map uniforms [n] in [0,1) to (row, col) drawn uniformly over the
+    TRUE cells of `mask` [R, C] — inverse-CDF by comparison-count (one
+    [n, R*C] reduce, no gather; TPU-friendly at maze cell counts).  An
+    all-False mask falls back to all cells."""
+    flat = mask.reshape(-1).astype(jnp.float32)
+    flat = jnp.where(jnp.sum(flat) > 0, flat, jnp.ones_like(flat))
+    cdf = jnp.cumsum(flat / jnp.sum(flat))
+    idx = jnp.sum((u[:, None] >= cdf[None, :]).astype(jnp.int32), axis=1)
+    idx = jnp.clip(idx, 0, flat.shape[0] - 1)
+    n_cols = mask.shape[1]
+    return idx // n_cols, idx % n_cols
+
+
 def sample_uniform_particles(key, m: MazeMap, n: int,
-                             cfg: InitConfig = InitConfig()):
+                             cfg: InitConfig = InitConfig(),
+                             cell_mask=None):
     """Uniform global particles (monte_carlo.cpp:415-450 sampleParticles).
 
     Random maze cell, uniform in-cell offset +-cell_offset, yaw in [-pi, pi],
     +global_offset on x and y.  Returns [n, 3].
+
+    `cell_mask` [R, C] bool restricts the cell draw to True cells
+    (uniform over them) — used for EXPLORED-cell injection on partial
+    learned maps, where uniform-over-all-cells wastes draws on territory
+    the map has no evidence to score.  None keeps the reference
+    distribution exactly.
     """
     k_row, k_col, k_ox, k_oy, k_yaw = jax.random.split(key, 5)
-    rows = jax.random.randint(k_row, (n,), 0, m.n_rows)
-    cols = jax.random.randint(k_col, (n,), 0, m.n_cols)
+    if cell_mask is None:
+        rows = jax.random.randint(k_row, (n,), 0, m.n_rows)
+        cols = jax.random.randint(k_col, (n,), 0, m.n_cols)
+    else:
+        rows, cols = _masked_cells(jax.random.uniform(k_row, (n,)),
+                                   cell_mask)
     cx, cy = cell_center(rows.astype(jnp.float32), cols.astype(jnp.float32),
                          m.cell_meters)
     off = cfg.cell_offset
@@ -66,7 +91,8 @@ def sample_uniform_particles(key, m: MazeMap, n: int,
 
 
 def sample_uniform_particles_packed(key, m: MazeMap, n: int,
-                                    cfg: InitConfig = InitConfig()):
+                                    cfg: InitConfig = InitConfig(),
+                                    cell_mask=None):
     """Bit-packed fresh sampler: the SAME distribution as
     sample_uniform_particles from 2 RNG words/particle instead of 5.
 
@@ -83,8 +109,14 @@ def sample_uniform_particles_packed(key, m: MazeMap, n: int,
     """
     w = jax.random.bits(key, (2, n), jnp.uint32)
     w1, w2 = w[0], w[1]
-    rows = (((w1 >> 24) & 0xFF) % jnp.uint32(m.n_rows)).astype(jnp.int32)
-    cols = (((w1 >> 16) & 0xFF) % jnp.uint32(m.n_cols)).astype(jnp.int32)
+    if cell_mask is None:
+        rows = (((w1 >> 24) & 0xFF) % jnp.uint32(m.n_rows)).astype(jnp.int32)
+        cols = (((w1 >> 16) & 0xFF) % jnp.uint32(m.n_cols)).astype(jnp.int32)
+    else:
+        # Explored-cell draw from the same 16 bits (granularity 2^-16 of
+        # the cell list — exact at any realistic cell count).
+        u = ((w1 >> 16) & 0xFFFF).astype(jnp.float32) / 65536.0
+        rows, cols = _masked_cells(u, cell_mask)
     cx, cy = cell_center(rows.astype(jnp.float32), cols.astype(jnp.float32),
                          m.cell_meters)
     off = cfg.cell_offset
@@ -335,6 +367,8 @@ def resample(
     cfg: FilterConfig,
     draw_weights=None,      # [N] optional CDF weights (default: `weights`);
                             # `weights` always feeds injection bookkeeping
+    cell_mask=None,         # [R, C] bool: restrict fresh injection to these
+                            # cells (partial-map explored-cell injection)
 ) -> Tuple[jax.Array, jax.Array, InjectionState, dict]:
     """One resampling pass.  Returns (particles, weights=1/N, inj, info)."""
     rcfg = cfg.resample
@@ -406,7 +440,7 @@ def resample(
                  else sample_uniform_particles)
     fresh = jax.lax.cond(
         p_inject > 0.0,
-        lambda: sample_fn(k_fresh, m, n, cfg.init),
+        lambda: sample_fn(k_fresh, m, n, cfg.init, cell_mask),
         lambda: jnp.zeros((n, 3), jnp.float32))
     new_particles = jnp.where(inject[:, None], fresh, drawn)
     new_weights = jnp.full((n,), 1.0 / n, dtype=jnp.float32)
@@ -424,6 +458,7 @@ def ess_gated_resample(
     jitter_state,
     m: MazeMap,
     cfg: FilterConfig,
+    cell_mask=None,         # [R, C] bool: explored-cell injection
 ) -> Tuple[jax.Array, jax.Array, InjectionState, dict]:
     """ESS-gated SIR resampling (opt-in via cfg.resample.ess_threshold).
 
@@ -463,7 +498,7 @@ def ess_gated_resample(
 
     def _do_resample():
         return resample(key, particles, likelihood, inj, jitter_state, m,
-                        cfg, draw_weights=norm)
+                        cfg, draw_weights=norm, cell_mask=cell_mask)
 
     def _skip():
         new_inj, p_inject, w_avg, total = update_injection(

@@ -255,10 +255,21 @@ def beam_weights_partial(m: MazeMap, known: MazeMap, particles, scan: Scan,
     observed = scan.ranges                                        # [B]
     frontier = d_cons < d_known - 1e-4
     beyond = observed >= d_cons - cfg.sigma
-    peak = cfg.w_hit / (cfg.sigma * math.sqrt(2.0 * math.pi))
+    peak = 1.0 / (cfg.sigma * math.sqrt(2.0 * math.pi))
     p_hit = cfg.w_hit * gauss_pdf(jnp.abs(observed - d_known), cfg)
-    p_hit = jnp.where(frontier & beyond,
-                      jnp.float32(cfg.unknown_credit * peak), p_hit)
+    if cfg.unknown_credit_mode == "interval":
+        # Frontier-distance-aware credit: the marginal density of z under
+        # "a wall sits uniformly in the unknown stretch beyond the
+        # frontier" — 1 / |unknown interval|, capped at the Gaussian peak
+        # (a beam cannot be MORE informative than a mapped wall).  Beams
+        # grazing the frontier keep near-mapped-beam strength; beams deep
+        # into unknown space decay toward zero credit, so the cloud is
+        # not uniformly subsidized for looking outward.
+        interval = jnp.maximum(cfg.max_range - d_cons, 0.0) + cfg.sigma
+        credit = cfg.w_hit * jnp.minimum(1.0 / interval, peak)
+    else:
+        credit = jnp.float32(cfg.unknown_credit * cfg.w_hit * peak)
+    p_hit = jnp.where(frontier & beyond, credit, p_hit)
     p_rand = cfg.w_rand * (
         jnp.abs(observed - cfg.max_range) < cfg.rand_window
     ).astype(jnp.float32)

@@ -72,6 +72,10 @@ class SLAMState:
     #                        update (keyframe gating reference; a far
     #                        sentinel at init so the first tick always
     #                        maps — inert unless cfg.keyframe_* > 0)
+    closure_cool: jax.Array = dataclasses.field(
+        default_factory=lambda: jnp.int32(0))
+    #                        keyframes left before the closure may fire
+    #                        again (cooldown breaks correction ratchets)
 
 
 def init_slam(key, start_pose, cfg: SLAMConfig) -> SLAMState:
@@ -403,6 +407,112 @@ def _refine_poses(poses, field, ranges, angles, mask, cfg: SLAMConfig,
     return refined
 
 
+def consensus_map(state: SLAMState):
+    """Importance-weighted mean of the particle log-odds grids: [H, W].
+
+    The accumulated-evidence artifact the closure matches against (and a
+    better export than any single particle's map once trajectories
+    disagree: misaligned smear averages toward zero log-odds = unknown,
+    while consistently-observed walls reinforce).
+    """
+    return jnp.einsum("p,phw->hw", state.weights, state.logodds)
+
+
+def closure_correction(logodds, w, mean_pose, ranges, angles, mask,
+                       cfg: SLAMConfig):
+    """Correlative scan match against the CONSENSUS map: (delta [3], gain).
+
+    Scores the scan from candidate poses mean_pose + (dx, dy, dtheta) on
+    an exhaustive odd grid against the likelihood field of the
+    importance-weighted MEAN map — the map the cloud has collectively
+    painted so far.  Returns the best offset (zeros unless it beats the
+    zero offset by >= closure_margin nats) and the raw gain.  TPU-shaped:
+    all C candidates fold into the sample axis of ONE gather-free bilinear
+    contraction over a single consensus field (scan_loglik_multi with
+    P=1, K=C); on large maps the field is one shared window around the
+    mean pose, widened by the search range.
+    """
+    mcfg = cfg.mapping
+    h, wd = mcfg.height, mcfg.width
+    pad = int(math.ceil(cfg.closure_xy_range / mcfg.resolution)) + 1
+    s = field_window_px(cfg) + 2 * pad
+    if 2 * s > min(h, wd):
+        cons = jnp.einsum("p,phw->hw", w, logodds)[None]
+        offsets = None
+    else:
+        sh, sw = min(s, h), min(s, wd)
+        r0, c0 = _window_origins(mean_pose[None, :], cfg, sh, sw)
+        win = jax.vmap(lambda lo: jax.lax.dynamic_slice(
+            lo, (r0[0], c0[0]), (sh, sw)))(logodds)
+        cons = jnp.einsum("p,phw->hw", w, win)[None]
+        offsets = (r0, c0)
+    field = hit_field(cons, cfg)
+    nxy, nth = cfg.closure_xy_steps, cfg.closure_theta_steps
+    assert nxy % 2 == 1 and nth % 2 == 1, "closure steps must be odd"
+    dx = jnp.linspace(-cfg.closure_xy_range, cfg.closure_xy_range, nxy)
+    dth = jnp.linspace(-cfg.closure_theta_range, cfg.closure_theta_range,
+                       nth)
+    gx, gy, gt = jnp.meshgrid(dx, dx, dth, indexing="ij")
+    deltas = jnp.stack([gx.ravel(), gy.ravel(), gt.ravel()],
+                       axis=-1).astype(jnp.float32)          # [C, 3]
+    cand = mean_pose[None, None, :] + deltas[None]           # [1, C, 3]
+
+    # Frontier-suction gate.  Matching against an INCOMPLETE map rewards
+    # shifting the cloud backward: endpoints beyond the painted frontier
+    # read zero field, and any offset dragging them onto already-painted
+    # walls gains likelihood regardless of alignment (measured: -0.10 m
+    # along-heading per fired correction, compounding to meters of
+    # drift).  The match therefore scores only RETURNED beams whose
+    # endpoint — at the CENTER pose, so the scored beam set is candidate-
+    # independent — already reads real wall mass off the consensus field:
+    # the wall that beam is hitting IS painted, so candidate shifts move
+    # its endpoint around a genuine basin instead of across the frontier.
+    # No-return beams are dropped outright (their only closure signal
+    # would be free-space stations crossing painted walls, which near the
+    # frontier turns into a reverse suction that pushes the cloud AWAY
+    # from painted space).  A minimum matched-beam count gates the whole
+    # correction: two or three surviving beams cannot rigidly re-anchor a
+    # cloud.
+    rr = jnp.asarray(ranges, jnp.float32)
+    ex_c, ey_c = _endpoints(mean_pose[None, :], rr, angles, cfg)
+    f_c = _bilinear(field[0], ex_c, ey_c, cfg.mapping, offsets)[0]  # [B]
+    returned_c = (rr < cfg.sensor.max_range - 1e-6)
+    beam_ok = (f_c > 0.3) & returned_c
+    mask = jnp.asarray(mask, jnp.float32) * beam_ok.astype(jnp.float32)
+    n_matched = jnp.sum(mask)
+
+    ll = scan_loglik_multi(field, cand, ranges, angles, mask, cfg,
+                           offsets)[0]                       # [C]
+    center = (nxy // 2) * nxy * nth + (nxy // 2) * nth + nth // 2
+    best = jnp.argmax(ll)
+    # Rotation is weakly observable in corridors (endpoints slide ALONG
+    # extended walls), so the raw argmax often carries a spurious grid-
+    # edge dtheta.  Keep the theta component only when it independently
+    # buys closure_theta_margin nats over dtheta = 0 at the same (dx, dy).
+    best_xy0 = best - best % nth + nth // 2
+    use_theta = (ll[best] - ll[best_xy0]) >= cfg.closure_theta_margin
+    best = jnp.where(use_theta, best, best_xy0)
+    gain = ll[best] - ll[center]
+    fire = ((gain >= cfg.closure_margin)
+            & (n_matched >= cfg.closure_min_beams))
+    delta = jnp.where(fire, cfg.closure_gain * deltas[best],
+                      jnp.zeros(3, jnp.float32))
+    return delta, gain
+
+
+def _apply_rigid_delta(poses, mean_pose, delta):
+    """Rigid cloud transform: rotate by delta theta about the posterior
+    mean, translate by (dx, dy) — relative particle spread is preserved,
+    so the correction re-anchors the cloud without collapsing diversity."""
+    c, s = jnp.cos(delta[2]), jnp.sin(delta[2])
+    rx = poses[:, 0] - mean_pose[0]
+    ry = poses[:, 1] - mean_pose[1]
+    nx = mean_pose[0] + delta[0] + c * rx - s * ry
+    ny = mean_pose[1] + delta[1] + s * rx + c * ry
+    nt = normalize_angle(poses[:, 2] + delta[2])
+    return jnp.stack([nx, ny, nt], axis=-1)
+
+
 def slam_step(state: SLAMState, encoder_left, encoder_right, ranges,
               angles, mask, cfg: SLAMConfig):
     """One SLAM tick: propose (odometry + noise), weight (scan vs own map),
@@ -533,6 +643,56 @@ def slam_step(state: SLAMState, encoder_left, encoder_right, ranges,
                      jnp.sum(w * jnp.cos(poses[:, 2])))
     mean_pose = jnp.stack([mx, my, mt])
 
+    # Keyframe criterion, evaluated before the map update so the closure
+    # correction can run on exactly the ticks that are about to paint.
+    crit = []
+    if cfg.keyframe_trans > 0.0:
+        crit.append(jnp.hypot(mean_pose[0] - state.kf_pose[0],
+                              mean_pose[1] - state.kf_pose[1])
+                    >= cfg.keyframe_trans)
+    if cfg.keyframe_rot > 0.0:
+        crit.append(jnp.abs(normalize_angle(mean_pose[2]
+                                            - state.kf_pose[2]))
+                    >= cfg.keyframe_rot)
+    moved = jnp.bool_(True)
+    for i, c in enumerate(crit):
+        moved = c if i == 0 else (moved | c)
+
+    # 4b. Consensus-anchored correlative correction (opt-in): before the
+    # scan is painted, re-anchor the WHOLE cloud onto the accumulated
+    # consensus evidence (closure_correction).  Applied rigidly so the
+    # particle spread — the RBPF's trajectory hypotheses — survives; a
+    # flat likelihood surface (unexplored space) never crosses the margin
+    # and leaves the cloud untouched.  Three ratchet-breakers (a wrong
+    # correction that gets painted justifies the NEXT correction —
+    # measured to run away 0.04 -> 1.6 m in 60 ticks without them):
+    # no firing on turning ticks (mid-turn scans are the least reliable
+    # anchors and the rot-keyframe criterion fires exactly then), a
+    # cooldown of `closure_cooldown` keyframes after each firing, and —
+    # below — a fired tick SKIPS its own map update, so a correction must
+    # survive the next keyframe's re-match before it may paint.
+    closure_delta = jnp.zeros(3, jnp.float32)
+    fired = jnp.bool_(False)
+    closure_cool = state.closure_cool
+    if cfg.closure:
+        turn_ok = jnp.abs(rot1 + rot2) < cfg.closure_max_turn
+        can_fire = moved & turn_ok & (closure_cool <= 0)
+        closure_delta, _gain = jax.lax.cond(
+            can_fire,
+            lambda _: closure_correction(logodds, w, mean_pose, ranges,
+                                         angles, mask, cfg),
+            lambda _: (jnp.zeros(3, jnp.float32), jnp.float32(0.0)),
+            None)
+        poses = _apply_rigid_delta(poses, mean_pose, closure_delta)
+        mean_pose = jnp.stack([
+            mean_pose[0] + closure_delta[0],
+            mean_pose[1] + closure_delta[1],
+            normalize_angle(mean_pose[2] + closure_delta[2])])
+        fired = jnp.sum(jnp.abs(closure_delta)) > 0.0
+        closure_cool = jnp.where(
+            fired, jnp.int32(cfg.closure_cooldown),
+            jnp.maximum(closure_cool - moved.astype(jnp.int32), 0))
+
     # 5. Map update: each surviving particle folds the scan into ITS map
     # at ITS pose (vmapped dense inverse sensor model, zero scatter).
     # Keyframe-gated when cfg.keyframe_* > 0: stationary / turning ticks
@@ -545,36 +705,29 @@ def slam_step(state: SLAMState, encoder_left, encoder_right, ranges,
                                             cfg.mapping, cfg.sensor)
         )(lo, poses)
 
-    crit = []
-    if cfg.keyframe_trans > 0.0:
-        crit.append(jnp.hypot(mean_pose[0] - state.kf_pose[0],
-                              mean_pose[1] - state.kf_pose[1])
-                    >= cfg.keyframe_trans)
-    if cfg.keyframe_rot > 0.0:
-        crit.append(jnp.abs(normalize_angle(mean_pose[2]
-                                            - state.kf_pose[2]))
-                    >= cfg.keyframe_rot)
+    do_paint = moved & ~fired if crit else ~fired
     if crit:
-        moved = crit[0]
-        for c in crit[1:]:
-            moved = moved | c
-        logodds = jax.lax.cond(moved, _update_maps, lambda lo: lo, logodds)
+        logodds = jax.lax.cond(do_paint, _update_maps, lambda lo: lo,
+                               logodds)
         kf_pose = jnp.where(moved, mean_pose, state.kf_pose)
-        mapped = moved
+        mapped = do_paint
     else:
-        logodds = _update_maps(logodds)
+        logodds = jax.lax.cond(do_paint, _update_maps, lambda lo: lo,
+                               logodds) if cfg.closure else _update_maps(
+                                   logodds)
         kf_pose = mean_pose
-        mapped = jnp.bool_(True)
+        mapped = do_paint
 
     best = jnp.argmax(scores)
     info = dict(pose=mean_pose,
                 best_pose=poses[best],
                 ess=ess,
                 resampled=ess < cfg.ess_threshold * p_count,
-                mapped=mapped)
+                mapped=mapped,
+                closure_delta=closure_delta)
     new_state = SLAMState(poses=poses, logodds=logodds, weights=w,
                           scores=scores, odom=new_odom, key=k_next,
-                          kf_pose=kf_pose)
+                          kf_pose=kf_pose, closure_cool=closure_cool)
     return new_state, info
 
 

@@ -82,6 +82,7 @@ def _weights_kernel(x_ref, y_ref, th_ref, ang_ref, cos_ref, sin_ref,
     sigma = cfg.sigma
     denom = 1.0 / (sigma * math.sqrt(2.0 * math.pi))
     log_mode = cfg.beam_combine == "log"
+    bf16_tail = os.environ.get("MCL_KERNEL_BF16") == "1"
 
     # Direction-independent cast state (grid coords, preselected candidate
     # line words, origin-pixel hits) hoisted out of the beam loop: the
@@ -150,6 +151,29 @@ def _weights_kernel(x_ref, y_ref, th_ref, ang_ref, cos_ref, sin_ref,
                 cast_ctx, ox, oy, dx, dy, cfg, extent_x, extent_y)
         else:
             dist = cast_fn.cast_prepared(cast_ctx, dx, dy)
+        if bf16_tail:
+            # MCL_KERNEL_BF16=1: likelihood tail in bfloat16 (2-lane VPU
+            # packing).  Parity-breaking A/B flag — the ray cast itself
+            # stays f32/int (the hot select chains are INTEGER bit ops
+            # with no low-precision form), so this bounds what a bf16
+            # "march" could buy: the float tail after the cast.
+            db = (obs - dist).astype(jnp.bfloat16)
+            db = jnp.abs(db)
+            g16 = jnp.where(
+                db <= jnp.bfloat16(cfg.gauss_max_diff),
+                jnp.exp(-(db * db) * jnp.bfloat16(
+                    1.0 / (2.0 * sigma * sigma)))
+                * jnp.bfloat16(denom), jnp.bfloat16(0.0))
+            pr16 = jnp.where(
+                jnp.abs((obs - cfg.max_range)) < cfg.rand_window,
+                jnp.bfloat16(1.0), jnp.bfloat16(0.0))
+            pb16 = (jnp.bfloat16(cfg.w_hit) * g16
+                    + jnp.bfloat16(cfg.w_rand) * pr16)
+            if log_mode:
+                return prob + bmask * jnp.log(
+                    jnp.maximum(pb16, jnp.bfloat16(1e-6))).astype(
+                        jnp.float32)
+            return prob + bmask * pb16.astype(jnp.float32)
         diff = jnp.abs(obs - dist)
         gauss = jnp.where(
             diff <= cfg.gauss_max_diff,
@@ -395,3 +419,164 @@ def beam_weights_pallas_batched(m: MazeMap, particles, angles, ranges,
     w = w.reshape(groups, TILE_SUB, TILE_LANE)[:, : n_pack * rows]
     w = w.reshape(groups * n_pack, rows * TILE_LANE)
     return w[:n_ep, :n]
+
+
+def _weights_kernel_beamsub(x_ref, y_ref, th_ref, ang_ref, cos_ref,
+                            sin_ref, obs_ref, msk_ref, out_ref, *,
+                            cfg: SensorModelConfig, num_beams: int,
+                            geom: tuple, occ_lookup, dil_lookup,
+                            cast_fn=None):
+    """Beam-per-SUBLANE layout: a tile holds 128 particles x 8 beams.
+
+    The alternative sweep layout (ROADMAP r4 "beam-parallel"): instead of
+    1024 distinct particles per (8, 128) tile with an in-register beam
+    loop, each tile covers ONE 128-particle lane row replicated across
+    the 8 sublanes, and each sublane evaluates a DIFFERENT beam; the loop
+    runs over ceil(B/8) beam groups and the per-particle likelihood is
+    the sublane-axis reduction.  Trades per-particle hoisted work (trig,
+    cast preparation — now duplicated 8x, once per sublane, on identical
+    particle rows) for zero sublane padding at ANY episode size: its
+    niche is 513..1023-particle episodes, where the row layout cannot
+    pack and pads to a full tile (up to 2x waste).
+    """
+    (res, origin_x, origin_y, extent_x, extent_y) = geom
+    x = x_ref[0]            # [8, 128] — rows identical (one lane row)
+    y = y_ref[0]
+    th = th_ref[0]
+    inv_res = 1.0 / res
+    sub = jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 2)
+
+    def to_px(wx, wy):
+        mx = ((wx - origin_x) * inv_res).astype(jnp.int32)
+        my = ((wy - origin_y) * inv_res).astype(jnp.int32)
+        return mx, my
+
+    cth = jnp.cos(th)
+    sth = jnp.sin(th)
+    ox = x + cfg.laser_offset * cth
+    oy = y + cfg.laser_offset * sth
+    sigma = cfg.sigma
+    denom = 1.0 / (sigma * math.sqrt(2.0 * math.pi))
+    log_mode = cfg.beam_combine == "log"
+    cast_ctx = None if cast_fn is None else cast_fn.prepare(
+        ox, oy, cfg.max_range)
+
+    def ray_fixed(dx, dy):
+        dist = jnp.full_like(x, cfg.max_range)
+        alive = jnp.ones_like(x, dtype=jnp.bool_)
+        for s in range(cfg.num_ray_steps):
+            r = cfg.ray_step * s
+            px_w = ox + r * dx
+            py_w = oy + r * dy
+            mx, my = to_px(px_w, py_w)
+            hit = occ_lookup(my, mx) & alive
+            dist = jnp.minimum(dist, jnp.where(hit, r, cfg.max_range))
+            inb = ((mx >= 0) & (my >= 0)
+                   & (px_w < extent_x) & (py_w < extent_y))
+            alive = alive & inb
+        return dist
+
+    n_groups = -(-num_beams // TILE_SUB)
+
+    def group_body(g, prob):
+        # Per-sublane beam index b = g*8 + sub; entries past num_beams
+        # are masked dead (clamped SMEM read, zeroed mask).  Per-sublane
+        # SMEM values via select chains over the 8 sublanes.
+        b0 = g * TILE_SUB
+        cb = jnp.full_like(x, 0.0)
+        sb = jnp.full_like(x, 0.0)
+        obs = jnp.full_like(x, 0.0)
+        bmask = jnp.full_like(x, 0.0)
+        for j in range(TILE_SUB):
+            bi = jnp.minimum(b0 + j, num_beams - 1)
+            live = (b0 + j < num_beams).astype(jnp.float32)
+            here = sub == j
+            cb = jnp.where(here, cos_ref[bi], cb)
+            sb = jnp.where(here, sin_ref[bi], sb)
+            obs = jnp.where(here, obs_ref[0, bi], obs)
+            bmask = jnp.where(here, msk_ref[0, bi] * live, bmask)
+        dx = cth * cb - sth * sb
+        dy = sth * cb + cth * sb
+        if cast_fn is None:
+            dist = ray_fixed(dx, dy)
+        elif cfg.ray_mode == "fixed":
+            dist = cast_fn.march_prepared(
+                cast_ctx, ox, oy, dx, dy, cfg, extent_x, extent_y)
+        else:
+            dist = cast_fn.cast_prepared(cast_ctx, dx, dy)
+        diff = jnp.abs(obs - dist)
+        gauss = jnp.where(
+            diff <= cfg.gauss_max_diff,
+            jnp.exp(-(diff * diff) / (2.0 * sigma * sigma)) * denom, 0.0)
+        p_rand = jnp.where(jnp.abs(obs - cfg.max_range) < cfg.rand_window,
+                           1.0, 0.0)
+        per_beam = cfg.w_hit * gauss + cfg.w_rand * p_rand
+        if log_mode:
+            per_beam = jnp.log(jnp.maximum(per_beam, 1e-6))
+        return prob + bmask * per_beam
+
+    prob = jax.lax.fori_loop(0, n_groups, group_body, jnp.zeros_like(x))
+    # Per-particle likelihood = reduce over the beam (sublane) axis.
+    total = jnp.sum(prob, axis=-2, keepdims=True)
+    if log_mode:
+        out_ref[0] = jnp.broadcast_to(total, x.shape)
+        return
+    pmx, pmy = to_px(x, y)
+    invalid = dil_lookup(pmy, pmx)
+    inside = ((x >= origin_x) & (x < extent_x)
+              & (y >= origin_y) & (y < extent_y))
+    out_ref[0] = jnp.where(inside & ~invalid,
+                           jnp.broadcast_to(total, x.shape), 0.0)
+
+
+def beam_weights_pallas_beamsub(m: MazeMap, particles, angles, ranges,
+                                mask, cfg: SensorModelConfig,
+                                interpret: bool = False):
+    """Episode-batched launch of the beam-per-sublane layout.
+
+    particles [E, N, 3] -> weights [E, N].  Each grid step covers one
+    128-particle lane row of one episode (replicated across sublanes);
+    pads N to 128 only.  See _weights_kernel_beamsub for the tradeoff.
+    """
+    cast_fn, occ_lookup, dil_lookup, geom = _resolve_kernel_inputs(m, cfg)
+    n_ep, n = particles.shape[0], particles.shape[1]
+    rows = -(-n // TILE_LANE)
+    angles = jnp.asarray(angles, jnp.float32)
+    nb = int(angles.shape[0])
+    sign = -1.0 if cfg.negate_beam_angle else 1.0
+    cos_b = jnp.cos(sign * angles)
+    sin_b = jnp.sin(sign * angles)
+
+    def tile(a):  # [E, n] -> [E, rows, 8, 128], rows replicated over sublanes
+        a = jnp.pad(a, ((0, 0), (0, rows * TILE_LANE - n)))
+        a = a.reshape(n_ep, rows, 1, TILE_LANE)
+        return jnp.broadcast_to(
+            a, (n_ep, rows, TILE_SUB, TILE_LANE))
+
+    kernel = functools.partial(
+        _weights_kernel_beamsub, cfg=cfg, num_beams=nb, geom=geom,
+        occ_lookup=occ_lookup, dil_lookup=dil_lookup, cast_fn=cast_fn)
+    row_spec = pl.BlockSpec((1, 1, TILE_SUB, TILE_LANE),
+                            lambda e, i: (e, i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    ep_smem = pl.BlockSpec((1, nb), lambda e, i: (e, 0),
+                           memory_space=pltpu.SMEM)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct(
+            (n_ep, rows, TILE_SUB, TILE_LANE), jnp.float32),
+        grid=(n_ep, rows),
+        in_specs=[row_spec, row_spec, row_spec, smem, smem, smem,
+                  ep_smem, ep_smem],
+        out_specs=row_spec,
+        interpret=interpret,
+    )(tile(particles[:, :, 0]), tile(particles[:, :, 1]),
+      tile(particles[:, :, 2]), angles, cos_b, sin_b,
+      jnp.asarray(ranges, jnp.float32), jnp.asarray(mask, jnp.float32))
+    w = out[:, :, 0, :].reshape(n_ep, rows * TILE_LANE)
+    if cfg.beam_combine == "log":
+        from ..models.sensor import finish_log_weights
+
+        return finish_log_weights(m, cfg, particles, w[:, :n], axis=1)
+    return w[:, :n]

@@ -607,3 +607,188 @@ def shard_state(state: mcl.MCLState, mesh: Mesh,
         best_pose=put(state.best_pose, s_spec),
         key=put(state.key, s_spec),
     )
+
+
+# ---------------------------------------------------------------------------
+# Particle-sharded SLAM (VERDICT r4 #5: the [P, H, W] map stack is the
+# memory-cubic axis — sharding the SLAM particle axis distributes it)
+# ---------------------------------------------------------------------------
+def slam_step_sharded(state, encoder_left, encoder_right, ranges, angles,
+                      mask, cfg, axis_name: str = "particle"):
+    """One RBPF SLAM tick with the particle axis (poses AND per-particle
+    maps) sharded on `axis_name`.
+
+    Call inside shard_map with state.poses/logodds/weights/scores sharded
+    on P(axis_name), everything else replicated.  Design mirrors
+    models/slam.slam_step:
+
+      * proposal / likelihood-field weighting / map update are purely
+        per-particle — local, zero collectives;
+      * weight normalization, ESS, and the posterior-mean pose need
+        global reductions — [1]-scalar pmax/psum over ICI;
+      * the ESS-gated systematic resample rides the existing RING
+        offspring exchange (_ring_systematic_draw): each particle's
+        (pose, score, flattened map) rows rotate as ONE payload block, so
+        per-chip peak memory stays O(P/shards) map grids — the whole
+        point of sharding SLAM;
+      * the best-particle (MAP) estimate all_gathers only [shards]
+        scalars + poses.
+
+    The consensus closure correction (cfg.closure) is not supported in
+    the sharded step yet — it is opt-in and measured neutral-to-harmful
+    on the default maze (QUIRKS.md); raise rather than silently diverge.
+    """
+    from ..models import mapping, slam
+
+    if cfg.closure:
+        raise NotImplementedError(
+            "closure correction is not supported in slam_step_sharded")
+    p_loc = state.poses.shape[0]
+    n_shards = jax.lax.axis_size(axis_name)
+    p_glob = p_loc * n_shards
+    k_noise, k_draw, k_next = jax.random.split(state.key, 3)
+    k_noise_loc = _shard_keys(k_noise, axis_name)
+
+    new_odom, rot1, trans, rot2 = motion.diff_drive_update(
+        state.odom, encoder_left, encoder_right, cfg.motion)
+    turning_in_place = trans < 1e-4
+    rot2 = jnp.where(turning_in_place, rot1 + rot2, rot2)
+    rot1 = jnp.where(turning_in_place, 0.0, rot1)
+    mcfg = dataclasses.replace(
+        cfg.motion,
+        alpha_1=cfg.motion.alpha_1 * cfg.alpha_scale,
+        alpha_2=cfg.motion.alpha_2 * cfg.alpha_scale,
+        alpha_3=cfg.motion.alpha_3 * cfg.alpha_scale,
+        alpha_4=cfg.motion.alpha_4 * cfg.alpha_scale)
+    ranges = jnp.asarray(ranges, jnp.float32)
+    angles = jnp.asarray(angles, jnp.float32)
+    mask = jnp.asarray(mask, jnp.float32)
+
+    n_rot1, n_trans, n_rot2 = motion.sample_motion_noise(
+        k_noise_loc, rot1, trans, rot2, mcfg, (p_loc,))
+    poses = motion.propagate_particles(state.poses, n_rot1, n_trans,
+                                       n_rot2)
+    poses = poses.at[:, 2].set(normalize_angle(poses[:, 2]))
+
+    win, offsets = slam.field_windows(state.logodds, poses, cfg)
+    field = slam.hit_field(win, cfg)
+    loglik = slam.scan_log_likelihood(field, poses, ranges, angles, mask,
+                                      cfg, offsets)
+    logw = jnp.log(state.weights) + loglik
+    gmax = jax.lax.pmax(jnp.max(logw), axis_name)
+    w = jnp.exp(logw - gmax)
+    w = w / jax.lax.psum(jnp.sum(w), axis_name)
+    ess = 1.0 / jax.lax.psum(jnp.sum(w * w), axis_name)
+
+    h_px, w_px = state.logodds.shape[-2:]
+
+    def _resample(operand):
+        ps, lo, ww, sc = operand
+        u0 = jax.random.uniform(k_draw, ())     # same key -> same u0
+        payload = jnp.concatenate(
+            [ps, sc[:, None], lo.reshape(p_loc, h_px * w_px)], axis=1)
+        drawn = _ring_systematic_draw(payload, ww, u0, axis_name)
+        return (drawn[:, :3], drawn[:, 4:].reshape(p_loc, h_px, w_px),
+                jnp.full((p_loc,), 1.0 / p_glob, jnp.float32),
+                drawn[:, 3])
+
+    poses, logodds, w, scores = jax.lax.cond(
+        ess < cfg.ess_threshold * p_glob,
+        _resample, lambda op: op, (poses, state.logodds, w, w))
+
+    mx = jax.lax.psum(jnp.sum(w * poses[:, 0]), axis_name)
+    my = jax.lax.psum(jnp.sum(w * poses[:, 1]), axis_name)
+    mt = jnp.arctan2(
+        jax.lax.psum(jnp.sum(w * jnp.sin(poses[:, 2])), axis_name),
+        jax.lax.psum(jnp.sum(w * jnp.cos(poses[:, 2])), axis_name))
+    mean_pose = jnp.stack([mx, my, mt])
+
+    crit = []
+    if cfg.keyframe_trans > 0.0:
+        crit.append(jnp.hypot(mean_pose[0] - state.kf_pose[0],
+                              mean_pose[1] - state.kf_pose[1])
+                    >= cfg.keyframe_trans)
+    if cfg.keyframe_rot > 0.0:
+        crit.append(jnp.abs(normalize_angle(mean_pose[2]
+                                            - state.kf_pose[2]))
+                    >= cfg.keyframe_rot)
+    moved = jnp.bool_(True)
+    for i, c in enumerate(crit):
+        moved = c if i == 0 else (moved | c)
+
+    def _update_maps(lo):
+        return jax.vmap(
+            lambda l, p: mapping.update_map(l, p, ranges, angles, mask,
+                                            cfg.mapping, cfg.sensor)
+        )(lo, poses)
+
+    if crit:
+        logodds = jax.lax.cond(moved, _update_maps, lambda lo: lo, logodds)
+        kf_pose = jnp.where(moved, mean_pose, state.kf_pose)
+        mapped = moved
+    else:
+        logodds = _update_maps(logodds)
+        kf_pose = mean_pose
+        mapped = jnp.bool_(True)
+
+    # Global MAP estimate: local best, then [shards]-row gather of
+    # (score, pose) — scalars only, never the map stack.
+    loc_best = jnp.argmax(scores)
+    best_sc = jax.lax.all_gather(scores[loc_best], axis_name)   # [S]
+    best_ps = jax.lax.all_gather(poses[loc_best], axis_name)    # [S, 3]
+    best_pose = best_ps[jnp.argmax(best_sc)]
+
+    info = dict(pose=mean_pose, best_pose=best_pose, ess=ess,
+                resampled=ess < cfg.ess_threshold * p_glob, mapped=mapped,
+                closure_delta=jnp.zeros(3, jnp.float32))
+    new_state = slam.SLAMState(
+        poses=poses, logodds=logodds, weights=w, scores=scores,
+        odom=new_odom, key=k_next, kf_pose=kf_pose,
+        closure_cool=state.closure_cool)
+    return new_state, info
+
+
+def make_sharded_slam_step(mesh: Mesh, cfg, axis_name: str = "particle"):
+    """jit-compiled shard_map'd SLAM step over `mesh` (particle axis —
+    poses AND per-particle occupancy grids — sharded)."""
+    from jax import shard_map
+
+    from ..models import slam
+
+    state_spec = slam.SLAMState(
+        poses=P(axis_name), logodds=P(axis_name), weights=P(axis_name),
+        scores=P(axis_name),
+        odom=motion.OdometryState(x=P(), y=P(), theta=P(),
+                                  encoder_left=P(), encoder_right=P()),
+        key=P(), kf_pose=P(), closure_cool=P())
+    info_spec = dict(pose=P(), best_pose=P(), ess=P(), resampled=P(),
+                     mapped=P(), closure_delta=P())
+
+    def body(state, enc_l, enc_r, ranges, angles, mask):
+        return slam_step_sharded(state, enc_l, enc_r, ranges, angles,
+                                 mask, cfg, axis_name)
+
+    fn = shard_map(
+        body, mesh=mesh,
+        in_specs=(state_spec, P(), P(), P(), P(), P()),
+        out_specs=(state_spec, info_spec),
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
+def shard_slam_state(state, mesh: Mesh, axis_name: str = "particle"):
+    """Place a SLAMState on the mesh (particle-axis leaves sharded)."""
+    def put(x, spec):
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    from ..models import slam
+
+    return slam.SLAMState(
+        poses=put(state.poses, P(axis_name)),
+        logodds=put(state.logodds, P(axis_name)),
+        weights=put(state.weights, P(axis_name)),
+        scores=put(state.scores, P(axis_name)),
+        odom=jax.tree_util.tree_map(lambda x: put(x, P()), state.odom),
+        key=put(state.key, P()), kf_pose=put(state.kf_pose, P()),
+        closure_cool=put(state.closure_cool, P()))

@@ -79,7 +79,7 @@ def run_episode_batch(
         fn = _JIT_CACHE.get(cache_key)
         if fn is None:
             def one(k, enc, ranges, ang):
-                st = mcl.init_state(k, m, cfg)
+                st = mcl.init_state(k, m, cfg, known_map=known_map)
                 return mcl.run_episode(st, enc, ranges, ang, m, cfg,
                                        known_map=known_map)
 
@@ -87,10 +87,11 @@ def run_episode_batch(
             _JIT_CACHE[cache_key] = fn
         return fn(keys, encoders, scan_ranges, angles)
 
-    init_key = ("batch-init", id(m.occ), cfg, batch)
+    init_key = ("batch-init", id(m.occ), km_id, cfg, batch)
     init_fn = _JIT_CACHE.get(init_key)
     if init_fn is None:
-        init_fn = jax.jit(jax.vmap(lambda k: mcl.init_state(k, m, cfg)))
+        init_fn = jax.jit(jax.vmap(
+            lambda k: mcl.init_state(k, m, cfg, known_map=known_map)))
         _JIT_CACHE[init_key] = init_fn
     states = init_fn(keys)
     outs_chunks = []

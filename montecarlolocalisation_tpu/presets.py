@@ -460,7 +460,7 @@ def run_slam(world: World, seed: int = 0, num_ticks: int = 600,
                       proposal_candidates=proposal_candidates,
                       keyframe_trans=kf_t, keyframe_rot=kf_r)
     start = (1.25, 1.25, 0.0)
-    if explore_mode == "frontier":
+    if explore_mode in ("frontier", "hybrid"):
         from .sim import frontier
 
         phase_ticks = 120
@@ -468,6 +468,7 @@ def run_slam(world: World, seed: int = 0, num_ticks: int = 600,
             jax.random.PRNGKey(seed), m, scfg, world.angles,
             start_pose=start, phases=max(num_ticks // phase_ticks, 1),
             phase_ticks=phase_ticks, slip_noise=slip_noise,
+            policy=explore_mode,
             # Single world: capture the maze concretely so the in-phase
             # scan simulation keeps the concrete-map fast paths (the
             # per-world compile was already this preset's cost).

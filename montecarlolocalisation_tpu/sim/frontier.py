@@ -249,9 +249,23 @@ def run_frontier_slam(key, m_true: MazeMap, scfg: SLAMConfig, angles,
                       start_pose=(1.25, 1.25, 0.0), phases: int = 12,
                       phase_ticks: int = 120, wp_slots: int = 12,
                       slip_noise: float = 0.03, static_map: bool = False,
+                      policy: str = "frontier",
+                      hybrid_growth: float = 0.02,
                       **phase_kw):
     """The full frontier-exploration loop.  Returns (final ExploreState,
     dict with per-phase coverage history and the tick logs).
+
+    `policy` picks the per-phase behavior:
+      * "frontier" — every phase BFS-targets the nearest frontier cell
+        (the original mode; best map quality per explored edge);
+      * "hybrid"   — the round-4 sweep data's composition: WANDER phases
+        (the measured coverage/tick winner) by default, frontier
+        TARGETING only for phases after the wanderer's coverage growth
+        decays below `hybrid_growth` per phase — the wanderer sweeps the
+        open loops fast, the frontier planner then digs out the pockets
+        the freer-side heuristic never enters.  The fake-wall stall
+        escape (randomized wander after two growth-free phases) applies
+        to both policies.
 
     `static_map=True` closure-captures the true maze instead of tracing
     it: the per-phase executable is then specific to THIS world (compile
@@ -301,9 +315,17 @@ def run_frontier_slam(key, m_true: MazeMap, scfg: SLAMConfig, angles,
         # revises it.
         stalled = (len(coverage) >= 3
                    and coverage[-1] <= coverage[-3] + 1e-9)
-        path = ([] if stalled else
+        if policy == "hybrid":
+            # Wander while it still grows coverage; frontier-target once
+            # growth decays.  The first phase always wanders (no map yet).
+            grew = (coverage[-1] - coverage[-2]
+                    if len(coverage) >= 2 else 1.0)
+            want_frontier = (grew < hybrid_growth) and not stalled
+        else:
+            want_frontier = not stalled
+        path = ([] if not want_frontier else
                 plan_to_nearest_frontier(walls_cons, seen, cur, host_rng))
-        if not path and not stalled:
+        if not path and want_frontier:
             walls_opt = mapping.fit_walls(lo, cell_px=cell_px,
                                           unexplored_is_wall=False)
             path = plan_to_nearest_frontier(walls_opt, seen, cur,

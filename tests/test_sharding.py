@@ -472,3 +472,77 @@ def test_pallas_weight_kernel_composes_with_shard_map(maze, scan, monkeypatch):
         st2, out = step(sh_state, jnp.float32(0.1), jnp.float32(0.12), scan)
         assert np.isfinite(np.asarray(st2.particles)).all()
         assert np.isfinite(float(st2.confidence))
+
+
+# ---------------------------------------------------------------------------
+# Particle-sharded SLAM (poses + per-particle maps on the mesh)
+# ---------------------------------------------------------------------------
+def _slam_cfg(maze, **kw):
+    from montecarlolocalisation_tpu.config import MappingConfig, SLAMConfig
+
+    mc = MappingConfig(height=maze.height, width=maze.width,
+                       resolution=float(maze.resolution),
+                       origin_x=float(maze.origin_x),
+                       origin_y=float(maze.origin_y))
+    return SLAMConfig(mapping=mc, sensor=CFG.sensor, **kw)
+
+
+def test_sharded_slam_step_runs_and_normalizes(maze, scan):
+    from montecarlolocalisation_tpu.models import slam
+
+    cfg = _slam_cfg(maze, num_particles=32)   # 4 per shard
+    mesh = dist.make_mesh(n_particle_shards=8)
+    st = slam.init_slam(jax.random.PRNGKey(0), (1.25, 1.25, 0.0), cfg)
+    st = dist.shard_slam_state(st, mesh)
+    step = dist.make_sharded_slam_step(mesh, cfg)
+    st2, info = step(st, jnp.float32(0.3), jnp.float32(0.32),
+                     scan.ranges, jnp.asarray(ANGLES),
+                     jnp.ones_like(scan.ranges))
+    assert st2.poses.shape == (32, 3)
+    assert st2.logodds.shape == (32, maze.height, maze.width)
+    np.testing.assert_allclose(float(jnp.sum(st2.weights)), 1.0, rtol=1e-5)
+    assert np.isfinite(np.asarray(info["pose"])).all()
+    # Maps accumulated evidence locally (no collective needed to paint).
+    assert float(jnp.abs(st2.logodds).sum()) > 0.0
+
+
+def test_sharded_slam_resample_maps_ride_with_poses(maze, scan):
+    """Force a resample and verify each surviving (pose, map) pair stays
+    consistent through the RING payload exchange: particle i's map is
+    filled with the constant i and its pose x = 10 + i, so any cross-shard
+    slot assembly mismatch shows up as map != pose - 10."""
+    import dataclasses as dc
+
+    from montecarlolocalisation_tpu.models import slam
+
+    cfg = _slam_cfg(maze, num_particles=32, ess_threshold=1.1)  # always
+    mesh = dist.make_mesh(n_particle_shards=8)
+    st = slam.init_slam(jax.random.PRNGKey(1), (1.25, 1.25, 0.0), cfg)
+    ids = jnp.arange(32, dtype=jnp.float32)
+    st = dc.replace(
+        st,
+        poses=jnp.stack([10.0 + ids, jnp.full((32,), 1.25),
+                         jnp.zeros((32,))], axis=-1),
+        # Scaled below MappingConfig.clamp (8.0): update_map clamps the
+        # grid even on a zero-deposit tick.
+        logodds=jnp.broadcast_to(
+            ids[:, None, None] / 8.0, (32, maze.height, maze.width)),
+        # Skewed weights so the draw repeats some sources across shards.
+        weights=(ids + 1.0) ** 3 / jnp.sum((ids + 1.0) ** 3))
+    st = dist.shard_slam_state(st, mesh)
+    # Zero motion noise propagation keeps x identifiable: drive encoders
+    # by zero so poses stay put (alphas scale rot/trans = 0 -> no noise).
+    step = dist.make_sharded_slam_step(mesh, cfg)
+    st2, info = step(st, jnp.float32(0.0), jnp.float32(0.0),
+                     scan.ranges, jnp.asarray(ANGLES),
+                     jnp.zeros_like(scan.ranges))   # masked scan: no weight
+    assert bool(info["resampled"])
+    poses = np.asarray(st2.poses)
+    # The map update painted nothing (all beams masked), so map cells
+    # still hold the source id.
+    maps = np.asarray(st2.logodds)
+    src = poses[:, 0] - 10.0
+    np.testing.assert_allclose(8.0 * maps[:, 0, 0], src, atol=1e-4)
+    np.testing.assert_allclose(8.0 * maps[:, 5, 7], src, atol=1e-4)
+    # Skewed weights concentrate offspring on high-id sources.
+    assert src.mean() > 20.0

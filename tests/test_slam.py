@@ -479,3 +479,127 @@ def test_keyframe_off_is_bit_identical():
     assert bool(info["mapped"])
     np.testing.assert_array_equal(np.asarray(st2.kf_pose),
                                   np.asarray(info["pose"]))
+
+
+# ---------------------------------------------------------------------------
+# Consensus-anchored correlative correction ("loop closure lite")
+# ---------------------------------------------------------------------------
+def _painted_state(m, cfg, true_pose, angles, n_paint=2):
+    """[P, H, W] log-odds painted from poses AROUND the true pose (as a
+    keyframed episode would) with the true maze's own scans — the
+    accumulated-evidence fixture the closure matches.  Painting from one
+    pose only would leave the observed region a single scan wedge, and
+    the closure's frontier-suction gate (rightly) scores no beam whose
+    candidate-shifted approach point leaves observed space."""
+    from montecarlolocalisation_tpu.models import sensor
+
+    tp = np.asarray(true_pose, np.float32)
+    lo = jnp.zeros((cfg.mapping.height, cfg.mapping.width), jnp.float32)
+    for ddx, ddy in ((0.0, 0.0), (-0.2, 0.0), (0.2, 0.0), (0.0, -0.2),
+                     (0.0, 0.2)):
+        p = jnp.asarray([tp[0] + ddx, tp[1] + ddy, tp[2]], jnp.float32)
+        s = sensor.simulate_scan(m, p, angles, cfg.sensor)
+        for _ in range(n_paint):
+            lo = mapping.update_map(lo, p, s.ranges, angles, s.mask,
+                                    cfg.mapping, cfg.sensor)
+    sc = sensor.simulate_scan(m, jnp.asarray(tp, jnp.float32), angles,
+                              cfg.sensor)
+    return sc, jnp.broadcast_to(lo, (4,) + lo.shape)
+
+
+def test_closure_recovers_known_offset():
+    """A cloud whose mean pose drifted (dx, dy) off the pose its own map
+    was painted from must be pulled back by ~the drift (to grid step)."""
+    m = _maze()
+    cfg = _cfg(m, num_particles=4, closure=True)
+    # Dense beams: a sparse fan leaves unobserved gaps BETWEEN rays and
+    # the frontier-suction gate (rightly) refuses to match over them.
+    angles = jnp.asarray(np.deg2rad(np.linspace(-118, 118, 64)),
+                         jnp.float32)
+    true_pose = (1.25, 1.25, 0.0)
+    sc, lo = _painted_state(m, cfg, true_pose, angles)
+    w = jnp.full((4,), 0.25, jnp.float32)
+    drift = np.array([0.10, -0.05, 0.0], np.float32)
+    mean = jnp.asarray(np.asarray(true_pose) + drift)
+    delta, gain = slam.closure_correction(lo, w, mean, sc.ranges, angles,
+                                          sc.mask, cfg)
+    delta = np.asarray(delta)
+    assert float(gain) >= cfg.closure_margin
+    # Grid step is 0.05 m -> recovery to within one step per axis.
+    assert np.all(np.abs(delta[:2] + drift[:2]) <= 0.051), delta
+    assert abs(delta[2]) <= 0.04
+    # And a rotated cloud recovers heading — measured at a CORNER pose:
+    # rotation slides endpoints ALONG extended walls (a corridor gives it
+    # almost no signal), so heading observability comes from corners and
+    # wall ends, where two orientations pin the slide.
+    cfg_t = dataclasses.replace(cfg, closure_margin=0.5)
+    angles32 = jnp.asarray(np.deg2rad(np.linspace(-118, 118, 64)),
+                           jnp.float32)
+    corner = (2.05, 2.05, 0.7)
+    sc_t, lo_t = _painted_state(m, cfg_t, corner, angles32)
+    drift_t = np.array([0.0, 0.0, 0.08], np.float32)
+    mean_t = jnp.asarray(np.asarray(corner) + drift_t)
+    delta_t, gain_t = slam.closure_correction(lo_t, w, mean_t, sc_t.ranges,
+                                              angles32, sc_t.mask, cfg_t)
+    assert float(gain_t) >= cfg_t.closure_margin
+    assert abs(float(delta_t[2]) + 0.08) <= 0.04
+
+
+def test_closure_flat_surface_never_fires():
+    """Empty maps (unexplored space): the likelihood surface is flat, the
+    margin gate must keep the correction at exactly zero."""
+    m = _maze()
+    cfg = _cfg(m, num_particles=4, closure=True)
+    angles = jnp.asarray(np.deg2rad(np.linspace(-118, 118, 16)),
+                         jnp.float32)
+    lo = jnp.zeros((4, cfg.mapping.height, cfg.mapping.width), jnp.float32)
+    w = jnp.full((4,), 0.25, jnp.float32)
+    delta, gain = slam.closure_correction(
+        lo, w, jnp.asarray([1.25, 1.25, 0.0]),
+        jnp.full((16,), 0.6, jnp.float32), angles, jnp.ones((16,)), cfg)
+    assert np.allclose(np.asarray(delta), 0.0)
+    assert float(gain) < cfg.closure_margin
+
+
+def test_closure_rigid_apply_preserves_spread():
+    """_apply_rigid_delta is a rigid transform: pairwise distances and
+    relative headings survive; delta = 0 is the identity."""
+    rng = np.random.RandomState(0)
+    poses = jnp.asarray(rng.uniform(0, 4, size=(32, 3)), jnp.float32)
+    mean = jnp.asarray([2.0, 2.0, 0.3], jnp.float32)
+    ident = slam._apply_rigid_delta(poses, mean, jnp.zeros(3, jnp.float32))
+    np.testing.assert_allclose(np.asarray(ident)[:, :2],
+                               np.asarray(poses)[:, :2], atol=1e-6)
+    delta = jnp.asarray([0.2, -0.1, 0.4], jnp.float32)
+    out = np.asarray(slam._apply_rigid_delta(poses, mean, delta))
+    p = np.asarray(poses)
+    d_before = np.hypot(p[:, None, 0] - p[None, :, 0],
+                        p[:, None, 1] - p[None, :, 1])
+    d_after = np.hypot(out[:, None, 0] - out[None, :, 0],
+                       out[:, None, 1] - out[None, :, 1])
+    np.testing.assert_allclose(d_after, d_before, atol=1e-4)
+    dt = (out[:, 2] - p[:, 2] + np.pi) % (2 * np.pi) - np.pi
+    np.testing.assert_allclose(dt, 0.4, atol=1e-5)
+
+
+def test_closure_off_and_huge_margin_identical():
+    """closure=False and closure with an unreachable margin produce the
+    SAME episode (the gate is the only source of pose change)."""
+    m = _maze()
+    angles = jnp.asarray(np.deg2rad(np.linspace(-118, 118, 12)),
+                         jnp.float32)
+    cfg_off = _cfg(m, num_particles=8, keyframe_trans=0.1,
+                   keyframe_rot=0.35)
+    cfg_gate = dataclasses.replace(cfg_off, closure=True,
+                                   closure_margin=1e9)
+    start = (1.25, 1.25, 0.0)
+    fcfg = FilterConfig()
+    enc, scans, _ = robot.generate_wander_episode(
+        jax.random.PRNGKey(3), m, fcfg, np.asarray(angles), 60,
+        start_pose=start, slip_noise=0.05, explore=True)
+    _, est_off = slam.run_slam_episode(jax.random.PRNGKey(9), enc, scans,
+                                       angles, cfg_off, start)
+    _, est_gate = slam.run_slam_episode(jax.random.PRNGKey(9), enc, scans,
+                                        angles, cfg_gate, start)
+    np.testing.assert_allclose(np.asarray(est_off), np.asarray(est_gate),
+                               atol=1e-6)

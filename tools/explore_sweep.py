@@ -54,6 +54,12 @@ def main():
                     help="frontier base wheel speed (chip-tuned 8; the "
                          "wanderer's 0.04 m/tick straight-line ~= 12)")
     ap.add_argument("--frontier-turn", type=float, default=5.0)
+    ap.add_argument("--arms", nargs="+",
+                    default=["wander", "frontier", "hybrid"],
+                    choices=["wander", "frontier", "hybrid"],
+                    help="behaviors to sweep; 'hybrid' wanders while "
+                         "coverage grows, frontier-targets pockets after "
+                         "it saturates (sim/frontier policy='hybrid')")
     ap.add_argument("--seed0", type=int, default=0)
     args = ap.parse_args()
 
@@ -122,10 +128,11 @@ def main():
                                   mask=seen)["f1"]
         return np.asarray(cov), f1
 
-    def coverage_curve_frontier(m, scfg, cell_px, seed):
+    def coverage_curve_frontier(m, scfg, cell_px, seed,
+                                policy="frontier"):
         fst, finfo = frontier.run_frontier_slam(
             seed, m, scfg, angles, start_pose=start, phases=phases,
-            phase_ticks=args.chunk, slip_noise=args.slip,
+            phase_ticks=args.chunk, slip_noise=args.slip, policy=policy,
             base_speed=args.frontier_speed, turn_speed=args.frontier_turn)
         cov = np.asarray(finfo["coverage"], np.float64)
         # Early full-coverage stop: hold the final value to the budget
@@ -140,8 +147,8 @@ def main():
                                   mask=seen)["f1"]
         return cov[:n_ckpt], f1
 
-    curves = {"wander": [], "frontier": []}
-    f1s = {"wander": [], "frontier": []}
+    curves = {a: [] for a in args.arms}
+    f1s = {a: [] for a in args.arms}
     t0 = time.perf_counter()
     n_eps = 0
     for mi in range(args.maps):
@@ -152,17 +159,19 @@ def main():
         cell_px = int(round(m.cell_meters / m.resolution))
         for si in range(args.seeds_per_map):
             seed = args.seed0 + 7919 * mi + 37 * si
-            cw, fw = coverage_curve_wander(m, scfg, cell_px, seed)
-            cf, ff = coverage_curve_frontier(m, scfg, cell_px, seed)
-            curves["wander"].append(cw)
-            curves["frontier"].append(cf)
-            f1s["wander"].append(fw)
-            f1s["frontier"].append(ff)
+            msg = []
+            for arm in args.arms:
+                if arm == "wander":
+                    cv, f1 = coverage_curve_wander(m, scfg, cell_px, seed)
+                else:
+                    cv, f1 = coverage_curve_frontier(m, scfg, cell_px,
+                                                     seed, policy=arm)
+                curves[arm].append(cv)
+                f1s[arm].append(f1)
+                msg.append(f"{arm} cov {cv[-1]:.3f} F1 {f1:.3f}")
             n_eps += 1
-            print(f"map {mi} seed {si}: wander cov {cw[-1]:.3f} "
-                  f"F1 {fw:.3f} | frontier cov {cf[-1]:.3f} "
-                  f"F1 {ff:.3f}  [{time.perf_counter() - t0:.0f}s]",
-                  flush=True)
+            print(f"map {mi} seed {si}: " + " | ".join(msg)
+                  + f"  [{time.perf_counter() - t0:.0f}s]", flush=True)
 
     wall_s = time.perf_counter() - t0
     ckpts = sorted({max(phases // 4, 1), max(phases // 2, 1), phases})
@@ -170,7 +179,7 @@ def main():
                maps=args.maps, episodes=n_eps, ticks=args.ticks,
                chunk=args.chunk, slip=args.slip,
                particles=args.particles, wall_s=round(wall_s, 1))
-    for arm in ("wander", "frontier"):
+    for arm in args.arms:
         cv = np.stack(curves[arm])            # [E, n_ckpt]
         for p in ckpts:
             out[f"{arm}_cov@{p * args.chunk}"] = round(
@@ -185,9 +194,13 @@ def main():
         out[f"{arm}_reach{args.cov_thresh}_ticks_med"] = round(
             float(np.median(reach) * args.chunk), 1)
         out[f"{arm}_f1"] = round(float(np.mean(f1s[arm])), 4)
-    wins = sum(cf[-1] > cw[-1] for cw, cf in
-               zip(curves["wander"], curves["frontier"]))
-    out["frontier_wins_final_cov"] = f"{wins}/{n_eps}"
+    if "wander" in curves:
+        for arm in args.arms:
+            if arm == "wander":
+                continue
+            wins = sum(cf[-1] > cw[-1] for cw, cf in
+                       zip(curves["wander"], curves[arm]))
+            out[f"{arm}_wins_final_cov"] = f"{wins}/{n_eps}"
     print(json.dumps(out), flush=True)
 
 

@@ -44,8 +44,23 @@ def main():
     ap.add_argument("--clamp", type=float, default=None,
                     help="override MappingConfig.clamp (log-odds "
                          "saturation; lower = stale smear revises faster)")
+    ap.add_argument("--closure", action="store_true",
+                    help="consensus-anchored correlative correction on "
+                         "keyframe ticks (models/slam.closure_correction)")
+    ap.add_argument("--closure-margin", type=float, default=None)
+    ap.add_argument("--closure-xy-range", type=float, default=None)
+    ap.add_argument("--closure-theta-range", type=float, default=None)
     ap.add_argument("--offset-tol", type=int, default=None,
                     help="fit_walls offset_tol for the F1 scoring")
+    ap.add_argument("--map-est", default="best",
+                    choices=["best", "consensus", "rerender"],
+                    help="map estimate scored by F1: best particle's grid "
+                         "(slam.best_map), the importance-weighted mean "
+                         "grid (slam.consensus_map), or a map re-rendered "
+                         "from the posterior-mean trajectory "
+                         "(mapping.map_episode over the per-tick SLAM "
+                         "estimates — mean-pose smoothness kills paint "
+                         "jitter and ancestry-switch smear)")
     ap.add_argument("--seed0", type=int, default=0)
     args = ap.parse_args()
 
@@ -74,6 +89,13 @@ def main():
               keyframe_rot=args.keyframe_rot)
     if args.alpha_scale is not None:
         kw["alpha_scale"] = args.alpha_scale
+    if args.closure:
+        kw["closure"] = True
+        for name in ("closure_margin", "closure_xy_range",
+                     "closure_theta_range"):
+            v = getattr(args, name)
+            if v is not None:
+                kw[name] = v
     cfg = SLAMConfig(**kw)
     start = (1.25, 1.25, 0.0)
     cell_px = int(round(m.cell_meters / m.resolution))
@@ -81,6 +103,8 @@ def main():
 
     run = jax.jit(jax.vmap(lambda k, e, s: slam.run_slam_episode(
         k, e, s, world.angles, cfg, start)))
+    rerender_fn = jax.jit(lambda ps, rs: mapping.map_episode(
+        ps, rs, world.angles, mc, world.cfg.sensor))
 
     for slip in args.slip:
         encs, scans, truths = [], [], []
@@ -110,8 +134,15 @@ def main():
                 enc[ep], start, world.cfg.motion))
             de = np.hypot(dr[:, 0] - tr[ep, :, 0],
                           dr[:, 1] - tr[ep, :, 1])[-tail:].mean()
-            lo = np.asarray(final.logodds[ep])[
-                int(np.argmax(np.asarray(final.scores[ep])))]
+            if args.map_est == "rerender":
+                lo = np.asarray(rerender_fn(jnp.asarray(est[ep]),
+                                            sc[ep]))
+            elif args.map_est == "consensus":
+                lo = np.einsum("p,phw->hw", np.asarray(final.weights[ep]),
+                               np.asarray(final.logodds[ep]))
+            else:
+                lo = np.asarray(final.logodds[ep])[
+                    int(np.argmax(np.asarray(final.scores[ep])))]
             fkw = ({} if args.offset_tol is None
                    else dict(offset_tol=args.offset_tol))
             walls, seen = mapping.fit_walls(lo, cell_px=cell_px,
@@ -122,6 +153,7 @@ def main():
         slam_err, dr_err = np.asarray(slam_err), np.asarray(dr_err)
         beats = int((slam_err < dr_err).sum())
         print(f"slip={slip:.2f} K={args.candidates} "
+              f"closure={'on' if args.closure else 'off'} "
               f"kf=({args.keyframe_trans},{args.keyframe_rot}) "
               f"P={args.particles} T={args.ticks}: "
               f"slam {slam_err.mean():.3f}/{np.percentile(slam_err, 90):.3f}"
