@@ -157,10 +157,13 @@ def _weights_kernel(x_ref, y_ref, th_ref, ang_ref, cos_ref, sin_ref,
             # stays f32/int (the hot select chains are INTEGER bit ops
             # with no low-precision form), so this bounds what a bf16
             # "march" could buy: the float tail after the cast.
-            db = (obs - dist).astype(jnp.bfloat16)
-            db = jnp.abs(db)
+            # Comparisons stay f32 (the Mosaic target rejects bf16
+            # compares: "Target does not support this comparison");
+            # only the arithmetic runs in bf16.
+            diff32 = jnp.abs(obs - dist)
+            db = diff32.astype(jnp.bfloat16)
             g16 = jnp.where(
-                db <= jnp.bfloat16(cfg.gauss_max_diff),
+                diff32 <= cfg.gauss_max_diff,
                 jnp.exp(-(db * db) * jnp.bfloat16(
                     1.0 / (2.0 * sigma * sigma)))
                 * jnp.bfloat16(denom), jnp.bfloat16(0.0))
@@ -493,8 +496,8 @@ def _weights_kernel_beamsub(x_ref, y_ref, th_ref, ang_ref, cos_ref,
             here = sub == j
             cb = jnp.where(here, cos_ref[bi], cb)
             sb = jnp.where(here, sin_ref[bi], sb)
-            obs = jnp.where(here, obs_ref[0, bi], obs)
-            bmask = jnp.where(here, msk_ref[0, bi] * live, bmask)
+            obs = jnp.where(here, obs_ref[0, 0, bi], obs)
+            bmask = jnp.where(here, msk_ref[0, 0, bi] * live, bmask)
         dx = cth * cb - sth * sb
         dy = sth * cb + cth * sb
         if cast_fn is None:
@@ -560,7 +563,10 @@ def beam_weights_pallas_beamsub(m: MazeMap, particles, angles, ranges,
                             lambda e, i: (e, i, 0, 0),
                             memory_space=pltpu.VMEM)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
-    ep_smem = pl.BlockSpec((1, nb), lambda e, i: (e, 0),
+    # Same Mosaic block rule as the row kernel: a [E, 1, B] layout with
+    # (1, 1, B) blocks keeps the last two block dims equal to the array
+    # dims for any B.
+    ep_smem = pl.BlockSpec((1, 1, nb), lambda e, i: (e, 0, 0),
                            memory_space=pltpu.SMEM)
     out = pl.pallas_call(
         kernel,
@@ -573,7 +579,8 @@ def beam_weights_pallas_beamsub(m: MazeMap, particles, angles, ranges,
         interpret=interpret,
     )(tile(particles[:, :, 0]), tile(particles[:, :, 1]),
       tile(particles[:, :, 2]), angles, cos_b, sin_b,
-      jnp.asarray(ranges, jnp.float32), jnp.asarray(mask, jnp.float32))
+      jnp.asarray(ranges, jnp.float32)[:, None],
+      jnp.asarray(mask, jnp.float32)[:, None])
     w = out[:, :, 0, :].reshape(n_ep, rows * TILE_LANE)
     if cfg.beam_combine == "log":
         from ..models.sensor import finish_log_weights

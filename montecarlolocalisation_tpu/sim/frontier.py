@@ -76,7 +76,8 @@ def _explore_tick(state: ExploreState, tick_key, waypoints, n_wp,
                   m_true: MazeMap, scfg: SLAMConfig, angles,
                   slip_noise: float, scan_noise: float,
                   base_speed: float, turn_speed: float,
-                  avoid_thresh: float, arrival_tol: float, dt: float):
+                  avoid_thresh: float, arrival_tol: float, dt: float,
+                  novelty_bias: float = 0.0):
     # 1. Sense the TRUE world.
     scan = sensor.simulate_scan(m_true, state.robot.pose, angles,
                                 scfg.sensor, key=tick_key,
@@ -107,6 +108,27 @@ def _explore_tick(state: ExploreState, tick_key, waypoints, n_wp,
     half = r.shape[-1] // 2
     sum1 = jnp.sum(jnp.where(scan.mask, scan.ranges, 0.0)[:half])
     sum2 = jnp.sum(jnp.where(scan.mask, scan.ranges, 0.0)[half:])
+    if novelty_bias > 0.0:
+        # Novelty-biased turn choice: weigh each half-scan by how much
+        # UNKNOWN territory (per the robot's OWN consensus map) its beam
+        # endpoints touch — the wanderer keeps its speed but its
+        # avoidance turns steer toward unmapped space instead of merely
+        # freer space (the freer side is often an already-swept loop).
+        cons = slam.consensus_map(new_slam)[None]             # [1, H, W]
+        observed = (jnp.abs(cons)
+                    > 0.25 * scfg.mapping.l_free).astype(jnp.float32)
+        theta = est[2]
+        sign = -1.0 if scfg.sensor.negate_beam_angle else 1.0
+        ray = theta + sign * angles
+        ox = est[0] + scfg.sensor.laser_offset * jnp.cos(theta)
+        oy = est[1] + scfg.sensor.laser_offset * jnp.sin(theta)
+        ex = (ox + scan.ranges * jnp.cos(ray))[None]          # [1, B]
+        ey = (oy + scan.ranges * jnp.sin(ray))[None]
+        unk = 1.0 - slam._bilinear(observed, ex, ey,
+                                   scfg.mapping)[0]           # [B]
+        nov = novelty_bias * scfg.sensor.max_range
+        sum1 = sum1 + nov * jnp.sum(unk[:half])
+        sum2 = sum2 + nov * jnp.sum(unk[half:])
     start_turn = blocked & (state.turn_left == 0)
     # pi/3 timed turn at turn_speed (wanderer_try_final.cpp:167-191).
     omega = turn_speed * (scfg.motion.wheel_size / 2.0) / (
@@ -162,7 +184,8 @@ def explore_phase(state: ExploreState, key, waypoints, n_wp,
                   num_ticks: int, slip_noise: float = 0.03,
                   scan_noise: float = 0.02, base_speed: float = 8.0,
                   turn_speed: float = 5.0, avoid_thresh: float = 0.25,
-                  arrival_tol: float = 0.25, dt: float = 0.1):
+                  arrival_tol: float = 0.25, dt: float = 0.1,
+                  novelty_bias: float = 0.0):
     # Speeds tuned on chip sweeps: faster driving (base 13 / spin 8)
     # raised coverage per tick but wrecked MAP quality (explored-edge F1
     # 0.8-0.9 -> 0.5-0.6; more motion per scan smears the free-space
@@ -175,7 +198,8 @@ def explore_phase(state: ExploreState, key, waypoints, n_wp,
     def body(st, k):
         return _explore_tick(st, k, waypoints, n_wp, m_true, scfg,
                              angles, slip_noise, scan_noise, base_speed,
-                             turn_speed, avoid_thresh, arrival_tol, dt)
+                             turn_speed, avoid_thresh, arrival_tol, dt,
+                             novelty_bias)
 
     return jax.lax.scan(body, state, keys)
 
@@ -321,6 +345,10 @@ def run_frontier_slam(key, m_true: MazeMap, scfg: SLAMConfig, angles,
             grew = (coverage[-1] - coverage[-2]
                     if len(coverage) >= 2 else 1.0)
             want_frontier = (grew < hybrid_growth) and not stalled
+        elif policy == "wander":
+            # Closed-loop wander only (pair with novelty_bias in
+            # phase_kw for the novelty-steered wanderer).
+            want_frontier = False
         else:
             want_frontier = not stalled
         path = ([] if not want_frontier else

@@ -283,3 +283,48 @@ def test_beam_weights_partial_frontier_credit():
     cons_only = float(sensor.beam_weights(
         cons, parts, scan_beyond, cfg, valid_offset=cons.resolution)[0])
     assert score(0.9) > 10.0 * cons_only
+
+
+def test_beam_weights_partial_interval_credit():
+    """unknown_credit_mode='interval' (frontier-DISTANCE-aware credit,
+    r4 VERDICT #2): the credit is the marginal density of the observation
+    under "a wall sits uniformly in the unknown stretch beyond the
+    frontier" — 1/(max_range - d_frontier + sigma), capped at the
+    Gaussian peak.  Grazing beams (short unknown stretch) score HIGHER
+    than beams traveling deep through unknown space; chip-measured to
+    nearly double half-explored-map relocalization (BENCH_DETAILS
+    round-5 reloc table)."""
+    import dataclasses as dc
+
+    cfg = SensorModelConfig(ray_mode="dda", lookup_mode="gather",
+                            unknown_credit_mode="interval")
+    cons, known = _corridor_pair()
+    parts = jnp.asarray([[0.25, 0.4, 0.0]], jnp.float32)
+    angles = jnp.zeros((1,), jnp.float32)
+
+    def score(obs, c=cfg):
+        scan = sensor.make_scan(angles, jnp.asarray([obs], jnp.float32))
+        return float(sensor.beam_weights_partial(
+            cons, known, parts, scan, c, valid_offset=cons.resolution)[0])
+
+    # Frontier at d_cons = 0.45: expected credit w_hit / (1.0 - 0.45 + σ).
+    want = cfg.w_hit / (cfg.max_range - 0.45 + cfg.sigma)
+    np.testing.assert_allclose(score(0.9), want, rtol=1e-4)
+    # The credit formula is monotone in the frontier distance (grazing >
+    # deep unknown) and capped at the Gaussian peak.
+    peak = cfg.w_hit / (cfg.sigma * math.sqrt(2.0 * math.pi))
+    credit = lambda d: cfg.w_hit * min(
+        1.0 / (cfg.max_range - d + cfg.sigma), peak / cfg.w_hit)
+    assert credit(0.05) < credit(0.45) < credit(0.95) <= peak
+    assert want < peak
+    # Short-of-frontier observations keep the standard (punishing) score
+    # exactly as in flat mode.
+    flat = dc.replace(cfg, unknown_credit_mode="flat")
+    scan_short = sensor.make_scan(angles, jnp.asarray([0.2], jnp.float32))
+    a = float(sensor.beam_weights_partial(
+        cons, known, parts, scan_short, cfg,
+        valid_offset=cons.resolution)[0])
+    b = float(sensor.beam_weights_partial(
+        cons, known, parts, scan_short, flat,
+        valid_offset=cons.resolution)[0])
+    np.testing.assert_allclose(a, b, rtol=1e-6)

@@ -56,7 +56,8 @@ def main():
     ap.add_argument("--frontier-turn", type=float, default=5.0)
     ap.add_argument("--arms", nargs="+",
                     default=["wander", "frontier", "hybrid"],
-                    choices=["wander", "frontier", "hybrid"],
+                    choices=["wander", "frontier", "hybrid", "nwander",
+                             "nhybrid"],
                     help="behaviors to sweep; 'hybrid' wanders while "
                          "coverage grows, frontier-targets pockets after "
                          "it saturates (sim/frontier policy='hybrid')")
@@ -129,11 +130,12 @@ def main():
         return np.asarray(cov), f1
 
     def coverage_curve_frontier(m, scfg, cell_px, seed,
-                                policy="frontier"):
+                                policy="frontier", novelty=0.0):
         fst, finfo = frontier.run_frontier_slam(
             seed, m, scfg, angles, start_pose=start, phases=phases,
             phase_ticks=args.chunk, slip_noise=args.slip, policy=policy,
-            base_speed=args.frontier_speed, turn_speed=args.frontier_turn)
+            base_speed=args.frontier_speed, turn_speed=args.frontier_turn,
+            novelty_bias=novelty)
         cov = np.asarray(finfo["coverage"], np.float64)
         # Early full-coverage stop: hold the final value to the budget
         # horizon so checkpoint comparisons stay aligned.
@@ -164,8 +166,11 @@ def main():
                 if arm == "wander":
                     cv, f1 = coverage_curve_wander(m, scfg, cell_px, seed)
                 else:
-                    cv, f1 = coverage_curve_frontier(m, scfg, cell_px,
-                                                     seed, policy=arm)
+                    policy = {"nwander": "wander",
+                              "nhybrid": "hybrid"}.get(arm, arm)
+                    nov = 1.0 if arm.startswith("n") else 0.0
+                    cv, f1 = coverage_curve_frontier(
+                        m, scfg, cell_px, seed, policy=policy, novelty=nov)
                 curves[arm].append(cv)
                 f1s[arm].append(f1)
                 msg.append(f"{arm} cov {cv[-1]:.3f} F1 {f1:.3f}")

@@ -61,6 +61,8 @@ def main():
                          "(mapping.map_episode over the per-tick SLAM "
                          "estimates — mean-pose smoothness kills paint "
                          "jitter and ancestry-switch smear)")
+    ap.add_argument("--per-episode", action="store_true",
+                    help="print per-episode (slam_err, dr_err, F1) rows")
     ap.add_argument("--seed0", type=int, default=0)
     args = ap.parse_args()
 
@@ -150,6 +152,9 @@ def main():
             f1 = mapping.wall_metrics(walls, np.asarray(m.walls),
                                       mask=seen)["f1"]
             slam_err.append(se), dr_err.append(de), f1s.append(f1)
+            if args.per_episode:
+                print(f"  ep{ep:02d}: slam {se:.3f} dr {de:.3f} "
+                      f"F1 {f1:.3f}", flush=True)
         slam_err, dr_err = np.asarray(slam_err), np.asarray(dr_err)
         beats = int((slam_err < dr_err).sum())
         print(f"slip={slip:.2f} K={args.candidates} "
