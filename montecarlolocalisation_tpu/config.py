@@ -97,7 +97,11 @@ class SensorModelConfig:
     #                scores low — so particles are no longer uniformly
     #                subsidized for looking outward (`unknown_credit` is
     #                ignored in this mode; the geometry sets the credit).
-    unknown_credit_mode: str = "flat"
+    # Default "interval": chip-measured over SIX 16-episode seed sets on
+    # half-explored maps (T=300): flat 30/96 relocalized -> interval
+    # 46/96 (BENCH_DETAILS round-5 reloc table); "flat" restores the
+    # round-4 behavior.
+    unknown_credit_mode: str = "interval"
 
     @property
     def num_ray_steps(self) -> int:

@@ -157,19 +157,19 @@ def _weights_kernel(x_ref, y_ref, th_ref, ang_ref, cos_ref, sin_ref,
             # stays f32/int (the hot select chains are INTEGER bit ops
             # with no low-precision form), so this bounds what a bf16
             # "march" could buy: the float tail after the cast.
-            # Comparisons stay f32 (the Mosaic target rejects bf16
-            # compares: "Target does not support this comparison");
-            # only the arithmetic runs in bf16.
+            # Comparisons AND selects stay out of bf16 (the Mosaic
+            # target rejects bf16 compares and fails to legalize
+            # arith.select on bf16): gate by mask-MULTIPLY instead —
+            # exp(-x^2) is bounded, so multiply-by-0/1 equals the select.
             diff32 = jnp.abs(obs - dist)
             db = diff32.astype(jnp.bfloat16)
-            g16 = jnp.where(
-                diff32 <= cfg.gauss_max_diff,
-                jnp.exp(-(db * db) * jnp.bfloat16(
-                    1.0 / (2.0 * sigma * sigma)))
-                * jnp.bfloat16(denom), jnp.bfloat16(0.0))
-            pr16 = jnp.where(
-                jnp.abs((obs - cfg.max_range)) < cfg.rand_window,
-                jnp.bfloat16(1.0), jnp.bfloat16(0.0))
+            sel = (diff32 <= cfg.gauss_max_diff).astype(
+                jnp.float32).astype(jnp.bfloat16)
+            g16 = sel * jnp.exp(-(db * db) * jnp.bfloat16(
+                1.0 / (2.0 * sigma * sigma))) * jnp.bfloat16(denom)
+            pr16 = (jnp.abs(obs - cfg.max_range)
+                    < cfg.rand_window).astype(jnp.float32).astype(
+                        jnp.bfloat16)
             pb16 = (jnp.bfloat16(cfg.w_hit) * g16
                     + jnp.bfloat16(cfg.w_rand) * pr16)
             if log_mode:

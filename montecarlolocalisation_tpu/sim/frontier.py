@@ -77,7 +77,8 @@ def _explore_tick(state: ExploreState, tick_key, waypoints, n_wp,
                   slip_noise: float, scan_noise: float,
                   base_speed: float, turn_speed: float,
                   avoid_thresh: float, arrival_tol: float, dt: float,
-                  novelty_bias: float = 0.0):
+                  novelty_bias: float = 0.0,
+                  wander_style: str = "freer"):
     # 1. Sense the TRUE world.
     scan = sensor.simulate_scan(m_true, state.robot.pose, angles,
                                 scfg.sensor, key=tick_key,
@@ -134,9 +135,13 @@ def _explore_tick(state: ExploreState, tick_key, waypoints, n_wp,
     omega = turn_speed * (scfg.motion.wheel_size / 2.0) / (
         scfg.motion.wheel_space / 2.0)
     turn_ticks = jnp.int32(jnp.ceil((jnp.pi / 3.0) / (omega * dt)))
-    turn_sign = jnp.where(start_turn,
-                          jnp.where(sum1 >= sum2, 1.0, -1.0),
-                          state.turn_sign)
+    if wander_style == "wallfollow":
+        # Keep the followed wall on the LEFT (+theta side): every
+        # avoidance turn rotates AWAY from it (heading decreases).
+        new_sign = jnp.float32(-1.0)
+    else:
+        new_sign = jnp.where(sum1 >= sum2, 1.0, -1.0)
+    turn_sign = jnp.where(start_turn, new_sign, state.turn_sign)
     turn_left = jnp.where(start_turn, turn_ticks, state.turn_left)
     turning = turn_left > 0
 
@@ -148,8 +153,32 @@ def _explore_tick(state: ExploreState, tick_key, waypoints, n_wp,
     # phase with NO waypoints at all (n_wp == 0: no reachable frontier)
     # wanders forward instead.
     spin = ~wp_active & (n_wp > 0)
-    fwd_l = jnp.where(spin, turn_speed, base_speed)
-    fwd_r = jnp.where(spin, -turn_speed, base_speed)
+    if wander_style == "wallfollow":
+        # Left-hand wall following: in a perfect maze the cell graph is
+        # a TREE, and hugging one wall traverses EVERY corridor in the
+        # optimal 2x(edges) walk — random freer-side wandering needs the
+        # cover time of a random walk instead (measured 0.17 coverage at
+        # 1200 ticks on 10x10 mazes vs the 0.43 travel bound).  Reactive
+        # like the reference wanderer: a differential P-term holds the
+        # left-side clearance at a setpoint; blocked front falls through
+        # to the timed avoidance turn above (which turns AWAY from the
+        # followed side via the freer-side rule, i.e. right).
+        off = (-1.0 if scfg.sensor.negate_beam_angle else 1.0) * angles
+        left_sector = (off > 0.35) & (off < 1.6) & scan.mask
+        left_min = jnp.min(jnp.where(left_sector, scan.ranges, 9.99))
+        # Sim heading convention: dtheta = (d_L - d_R) / wheel_space
+        # (heading INCREASES with the faster LEFT wheel — reference
+        # diffDriveModel, monte_carlo.cpp:695-739), and the followed
+        # left sector sits on the +theta side: steering toward a too-far
+        # wall (err > 0) needs the LEFT wheel faster.
+        err = jnp.clip(left_min - 0.45, -0.2, 0.2)
+        wf_l = base_speed * (1.0 + 2.5 * err)
+        wf_r = base_speed * (1.0 - 2.5 * err)
+        fwd_l = jnp.where(spin, turn_speed, wf_l)
+        fwd_r = jnp.where(spin, -turn_speed, wf_r)
+    else:
+        fwd_l = jnp.where(spin, turn_speed, base_speed)
+        fwd_r = jnp.where(spin, -turn_speed, base_speed)
     left = jnp.where(turning, turn_speed * turn_sign,
                      jnp.where(wp_active, gl, fwd_l))
     right = jnp.where(turning, -turn_speed * turn_sign,
@@ -185,7 +214,8 @@ def explore_phase(state: ExploreState, key, waypoints, n_wp,
                   scan_noise: float = 0.02, base_speed: float = 8.0,
                   turn_speed: float = 5.0, avoid_thresh: float = 0.25,
                   arrival_tol: float = 0.25, dt: float = 0.1,
-                  novelty_bias: float = 0.0):
+                  novelty_bias: float = 0.0,
+                  wander_style: str = "freer"):
     # Speeds tuned on chip sweeps: faster driving (base 13 / spin 8)
     # raised coverage per tick but wrecked MAP quality (explored-edge F1
     # 0.8-0.9 -> 0.5-0.6; more motion per scan smears the free-space
@@ -199,7 +229,7 @@ def explore_phase(state: ExploreState, key, waypoints, n_wp,
         return _explore_tick(st, k, waypoints, n_wp, m_true, scfg,
                              angles, slip_noise, scan_noise, base_speed,
                              turn_speed, avoid_thresh, arrival_tol, dt,
-                             novelty_bias)
+                             novelty_bias, wander_style)
 
     return jax.lax.scan(body, state, keys)
 
@@ -345,9 +375,10 @@ def run_frontier_slam(key, m_true: MazeMap, scfg: SLAMConfig, angles,
             grew = (coverage[-1] - coverage[-2]
                     if len(coverage) >= 2 else 1.0)
             want_frontier = (grew < hybrid_growth) and not stalled
-        elif policy == "wander":
-            # Closed-loop wander only (pair with novelty_bias in
-            # phase_kw for the novelty-steered wanderer).
+        elif policy in ("wander", "wallfollow"):
+            # Closed-loop wander only ("wallfollow" additionally sets
+            # wander_style via phase_kw at call time; pair "wander" with
+            # novelty_bias for the novelty-steered wanderer).
             want_frontier = False
         else:
             want_frontier = not stalled

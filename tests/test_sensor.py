@@ -250,8 +250,10 @@ def test_beam_weights_partial_fully_known_matches_standard():
 def test_beam_weights_partial_frontier_credit():
     """A beam that crosses the exploration frontier and measures beyond
     it gets the flat unknown credit — not the phantom-wall mismatch the
-    conservative map alone would give."""
-    cfg = SensorModelConfig(ray_mode="dda", lookup_mode="gather")
+    conservative map alone would give.  (Pins the "flat" mode explicitly;
+    the default is the interval credit since round 5.)"""
+    cfg = SensorModelConfig(ray_mode="dda", lookup_mode="gather",
+                            unknown_credit_mode="flat")
     cons, known = _corridor_pair()
     # Facing +x from the left cell: frontier (sealed shared edge) at
     # x=0.8 -> d_cons = 0.45 from the laser at x=0.35; known map runs to

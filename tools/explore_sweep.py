@@ -57,7 +57,7 @@ def main():
     ap.add_argument("--arms", nargs="+",
                     default=["wander", "frontier", "hybrid"],
                     choices=["wander", "frontier", "hybrid", "nwander",
-                             "nhybrid"],
+                             "nhybrid", "wallfollow"],
                     help="behaviors to sweep; 'hybrid' wanders while "
                          "coverage grows, frontier-targets pockets after "
                          "it saturates (sim/frontier policy='hybrid')")
@@ -130,12 +130,13 @@ def main():
         return np.asarray(cov), f1
 
     def coverage_curve_frontier(m, scfg, cell_px, seed,
-                                policy="frontier", novelty=0.0):
+                                policy="frontier", novelty=0.0,
+                                style_kw={}):
         fst, finfo = frontier.run_frontier_slam(
             seed, m, scfg, angles, start_pose=start, phases=phases,
             phase_ticks=args.chunk, slip_noise=args.slip, policy=policy,
             base_speed=args.frontier_speed, turn_speed=args.frontier_turn,
-            novelty_bias=novelty)
+            novelty_bias=novelty, **style_kw)
         cov = np.asarray(finfo["coverage"], np.float64)
         # Early full-coverage stop: hold the final value to the budget
         # horizon so checkpoint comparisons stay aligned.
@@ -170,7 +171,9 @@ def main():
                               "nhybrid": "hybrid"}.get(arm, arm)
                     nov = 1.0 if arm.startswith("n") else 0.0
                     cv, f1 = coverage_curve_frontier(
-                        m, scfg, cell_px, seed, policy=policy, novelty=nov)
+                        m, scfg, cell_px, seed, policy=policy, novelty=nov,
+                        style_kw=(dict(wander_style="wallfollow")
+                                  if arm == "wallfollow" else {}))
                 curves[arm].append(cv)
                 f1s[arm].append(f1)
                 msg.append(f"{arm} cov {cv[-1]:.3f} F1 {f1:.3f}")

@@ -61,6 +61,10 @@ def main():
                          "(mapping.map_episode over the per-tick SLAM "
                          "estimates — mean-pose smoothness kills paint "
                          "jitter and ancestry-switch smear)")
+    ap.add_argument("--ess-threshold", type=float, default=None,
+                    help="override SLAMConfig.ess_threshold (default 0.7; "
+                         "lower = rarer resampling, more trajectory "
+                         "diversity preserved)")
     ap.add_argument("--per-episode", action="store_true",
                     help="print per-episode (slam_err, dr_err, F1) rows")
     ap.add_argument("--seed0", type=int, default=0)
@@ -91,6 +95,8 @@ def main():
               keyframe_rot=args.keyframe_rot)
     if args.alpha_scale is not None:
         kw["alpha_scale"] = args.alpha_scale
+    if args.ess_threshold is not None:
+        kw["ess_threshold"] = args.ess_threshold
     if args.closure:
         kw["closure"] = True
         for name in ("closure_margin", "closure_xy_range",
