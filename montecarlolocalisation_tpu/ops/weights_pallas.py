@@ -157,6 +157,11 @@ def _weights_kernel(x_ref, y_ref, th_ref, ang_ref, cos_ref, sin_ref,
             # stays f32/int (the hot select chains are INTEGER bit ops
             # with no low-precision form), so this bounds what a bf16
             # "march" could buy: the float tail after the cast.
+            # MEASURED DEAD on the 2026-08-21 Mosaic toolchain: bf16
+            # compares, selects, AND vector arith.mulf all fail to
+            # legalize on this target (BENCH_DETAILS round-5 perf
+            # experiments) — the flag compiles only in interpret mode
+            # and is kept as the documented experiment.
             # Comparisons AND selects stay out of bf16 (the Mosaic
             # target rejects bf16 compares and fails to legalize
             # arith.select on bf16): gate by mask-MULTIPLY instead —

@@ -61,6 +61,8 @@ def main():
                     help="behaviors to sweep; 'hybrid' wanders while "
                          "coverage grows, frontier-targets pockets after "
                          "it saturates (sim/frontier policy='hybrid')")
+    ap.add_argument("--kf-trans", type=float, default=0.10)
+    ap.add_argument("--kf-rot", type=float, default=0.35)
     ap.add_argument("--seed0", type=int, default=0)
     args = ap.parse_args()
 
@@ -93,7 +95,8 @@ def main():
                        origin_y=float(first.origin_y))
     scfg = SLAMConfig(num_particles=args.particles, mapping=mc,
                       sensor=fcfg.sensor, motion=fcfg.motion,
-                      keyframe_trans=0.10, keyframe_rot=0.35)
+                      keyframe_trans=args.kf_trans,
+                      keyframe_rot=args.kf_rot)
     ja = jnp.asarray(angles)
     gen_jit = jax.jit(lambda k, mt: robot.generate_wander_episode(
         k, mt, fcfg, angles, args.ticks, start_pose=start,
