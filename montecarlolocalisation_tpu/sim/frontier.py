@@ -6,15 +6,30 @@ semantics, localized by the SLAM posterior itself.  No reference
 counterpart — the reference's exploration is the blind wanderer and its
 map is hand-written (publish_map.py).
 
-Measured honestly (BENCH_DETAILS.md exploration sweep, 16 episodes per
-world family on chip): the freer-side wanderer covers 1.3-1.6x MORE
-edges per tick than this mode on every family tried — including the
-dead-end-heavy 10x10 perfect mazes this mode was expected to win — so
-the slam preset's default explorer is the wanderer.  What frontier
-exploration buys at its chip-tuned speed is map QUALITY per explored
-edge (best explored-edge F1 in the sweep) and deterministic targeting:
-use it to map a NAMED region (plan to it, observe it, stop), not for
-raw coverage.
+Measured honestly (BENCH_DETAILS.md exploration sweeps, rounds 3-5, 12-16
+episodes per world family on chip): the freer-side wanderer covers
+1.3-1.6x MORE edges per tick than frontier targeting on every family
+tried, and the wander-then-frontier "hybrid" composition ALSO loses to
+pure wandering (frontier legs travel slower than they earn coverage) —
+so the slam preset's default explorer is the wanderer.  Frontier
+exploration buys map QUALITY per explored edge and deterministic
+targeting (map a NAMED region), not raw coverage.  Two round-5 styles
+with measured niches (round-5 exploration table in BENCH_DETAILS):
+
+* `novelty_bias=1` (nwander): avoidance turns steer toward unknown mass
+  on the robot's own consensus map — the perfect-MAZE winner (+38%
+  coverage, +0.09 F1 over freer-side; neutral-to-negative in open
+  rooms).
+* `wander_style="wallfollow"`: left-hand wall following — the ROOMS
+  coverage winner (0.69 vs 0.60, min 0.54 vs 0.22) and the maze F1
+  winner (0.94), but in rooms it pays 3-4x the SLAM pose error:
+  wall-parallel motion has no along-track likelihood constraint between
+  corners (corridor-sliding ambiguity), which no keyframe or steering
+  retune recovered.
+
+The 0.85-coverage-at-1200-ticks target is TRAVEL-BOUND infeasible for
+families above 6x6 at reference wander speed (tools/coverage_bound.py:
+the spanning-walk lower bound alone exceeds the tick budget).
 
 Two layers:
 
@@ -170,10 +185,15 @@ def _explore_tick(state: ExploreState, tick_key, waypoints, n_wp,
         # (heading INCREASES with the faster LEFT wheel — reference
         # diffDriveModel, monte_carlo.cpp:695-739), and the followed
         # left sector sits on the +theta side: steering toward a too-far
-        # wall (err > 0) needs the LEFT wheel faster.
-        err = jnp.clip(left_min - 0.45, -0.2, 0.2)
-        wf_l = base_speed * (1.0 + 2.5 * err)
-        wf_r = base_speed * (1.0 - 2.5 * err)
+        # wall (err > 0) needs the LEFT wheel faster.  Gentle gain + a
+        # deadband: an aggressive P-term wiggles the heading EVERY tick
+        # and each wiggle pays alpha_1|rot| proposal noise — measured to
+        # triple the SLAM pose error vs the mostly-straight wanderer.
+        err = left_min - 0.45
+        err = jnp.where(jnp.abs(err) < 0.06, 0.0, err)
+        err = jnp.clip(err, -0.2, 0.2)
+        wf_l = base_speed * (1.0 + 1.2 * err)
+        wf_r = base_speed * (1.0 - 1.2 * err)
         fwd_l = jnp.where(spin, turn_speed, wf_l)
         fwd_r = jnp.where(spin, -turn_speed, wf_r)
     else:
