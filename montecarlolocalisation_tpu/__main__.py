@@ -42,8 +42,10 @@ def main() -> None:
                     help="map file: reference map.txt wall list, or a ROS "
                          "map_server YAML (+PGM raster)")
     ap.add_argument("--particles", type=int, default=None,
-                    help="particle count (default 1500; slam preset: 64 "
-                         "FastSLAM particles, each carrying its own map)")
+                    help="particle count (default 1500; slam preset: 128 "
+                         "FastSLAM particles, each carrying its own map — "
+                         "round-5 chip-swept default, BENCH_DETAILS r5 "
+                         "SLAM campaign)")
     ap.add_argument("--beams", type=int, default=24)
     ap.add_argument("--ticks", type=int, default=None)
     ap.add_argument("--seed", type=int, default=0)
@@ -100,8 +102,8 @@ def main() -> None:
                          "default maze — exploratory knob)")
     ap.add_argument("--keyframe", default=None, metavar="TRANS:ROT",
                     help="slam preset: keyframe map-update gates in "
-                         "meters:radians (default 0.10:0.35, chip-swept; "
-                         "'0:0' = update every tick)")
+                         "meters:radians (default 0.15:0.5, re-swept at "
+                         "8% slip in round 5; '0:0' = update every tick)")
     ap.add_argument("--mission", action="store_true",
                     help="slam preset: after mapping, plan the gold/pickup "
                          "TSP challenge ON the learned map and drive it "
@@ -207,7 +209,7 @@ def main() -> None:
                 ap.error("--keyframe expects TRANS:ROT, e.g. 0.10:0.35")
         out = presets.run_slam(world, seed=args.seed,
                                num_ticks=args.ticks or 1000,
-                               num_particles=slam_particles or 64,
+                               num_particles=slam_particles or 128,
                                slip_noise=args.slip,
                                mission=args.mission,
                                explore_mode=args.explore,

@@ -407,7 +407,7 @@ def _track_on(learned_maze, true_maze, world: World, num_ticks: int,
 
 
 def run_slam(world: World, seed: int = 0, num_ticks: int = 600,
-             num_particles: int = 64, slip_noise: float = 0.03,
+             num_particles: int = 128, slip_noise: float = 0.03,
              relocalize: bool = True, mission: bool = False,
              mission_ticks: int = 2000,
              gold_path: str = DEFAULT_GOLD,
@@ -415,7 +415,7 @@ def run_slam(world: World, seed: int = 0, num_ticks: int = 600,
              export: Optional[str] = None,
              explore_mode: str = "wander",
              proposal_candidates: int = 1,
-             keyframe: Optional[Tuple[float, float]] = (0.10, 0.35)):
+             keyframe: Optional[Tuple[float, float]] = (0.15, 0.5)):
     """The full SLAM autonomy loop the reference cannot close.
 
     The reference stack REQUIRES a hand-written map.txt (publish_map.py:
