@@ -87,3 +87,49 @@ def test_run_frontier_slam_grows_coverage():
     walls, seen = mapping.fit_walls(lo, return_explored=True)
     met = mapping.wall_metrics(walls, np.asarray(m.walls), mask=seen)
     assert met["f1"] > 0.5
+
+
+def test_explore_policies_and_styles_run():
+    """Round-5 explorer knobs compose and gather coverage: hybrid and
+    wander policies, novelty-biased turns, and the wall-following style
+    (each honestly characterized in BENCH_DETAILS' round-5 exploration
+    table — these are smoke/mechanics pins, not quality claims)."""
+    m = from_map_file(MAP_PATH)
+    cfg = _scfg(m)
+    angles = np.deg2rad(np.linspace(-118, 118, 12)).astype(np.float32)
+    for policy, kw in (("hybrid", {}),
+                       ("wander", dict(novelty_bias=1.0)),
+                       ("wallfollow", dict(wander_style="wallfollow"))):
+        fst, finfo = frontier.run_frontier_slam(
+            11, m, cfg, angles, phases=3, phase_ticks=40,
+            slip_noise=0.02, policy=policy, **kw)
+        cov = finfo["coverage"]
+        assert cov[-1] > 0.05, (policy, cov)
+        assert np.isfinite(np.asarray(fst.est)).all()
+        # Coverage never decreases (evidence only accumulates).
+        assert all(b >= a - 1e-9 for a, b in zip(cov, cov[1:])), (policy,
+                                                                 cov)
+
+
+def test_wallfollow_turns_away_from_followed_wall():
+    """The follower's avoidance turn must rotate AWAY from the +theta
+    (left) side it follows: forced turn_sign = -1 (heading decreases,
+    sim convention dtheta = (dL - dR)/wheel_space)."""
+    m = from_map_file(MAP_PATH)
+    cfg = _scfg(m, particles=8)
+    angles = jnp.asarray(np.deg2rad(np.linspace(-118, 118, 12)),
+                         jnp.float32)
+    st = frontier.init_explore(jax.random.PRNGKey(0), (1.25, 1.25, 0.0),
+                               cfg)
+    # Face a wall dead ahead so the avoidance turn starts immediately.
+    import dataclasses as dc
+
+    from montecarlolocalisation_tpu.sim import robot as R
+
+    st = dc.replace(st, robot=R.make_robot(0.35, 1.25, jnp.pi))
+    wps = jnp.zeros((4, 2), jnp.float32)
+    st2, _ = frontier._explore_tick(
+        st, jax.random.PRNGKey(1), wps, jnp.int32(0), m, cfg, angles,
+        0.0, 0.0, 8.0, 5.0, 0.4, 0.25, 0.1, wander_style="wallfollow")
+    assert int(st2.turn_left) > 0
+    assert float(st2.turn_sign) == -1.0
