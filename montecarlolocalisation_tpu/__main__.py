@@ -109,6 +109,12 @@ def main() -> None:
                          "TSP challenge ON the learned map and drive it "
                          "closed-loop (sensing the true maze) — the full "
                          "explore→SLAM→plan autonomy loop")
+    ap.add_argument("--slam-serve", action="store_true",
+                    help="serve preset: run LIVE SLAM instead of "
+                         "localization (io/server.SLAMServer — joint "
+                         "pose+map posterior per JSONL frame, "
+                         "'export_map' command writes the learned map; "
+                         "for robots WITHOUT a map)")
     ap.add_argument("--adapt", default=None, metavar="[kld:]NMIN:NMAX",
                     help="serve preset (single robot): elastic particle "
                          "budget — halve the count every 20 confident "
@@ -231,7 +237,26 @@ def main() -> None:
         # step (io/fleet.py).
         import sys
 
-        if args.robots > 1:
+        if args.slam_serve:
+            from .config import MappingConfig, SLAMConfig
+            from .io.server import SLAMServer
+
+            m = world.maze
+            scfg = SLAMConfig(
+                num_particles=slam_particles or 128,
+                mapping=MappingConfig(
+                    height=m.height, width=m.width,
+                    resolution=float(m.resolution),
+                    origin_x=float(m.origin_x),
+                    origin_y=float(m.origin_y)),
+                sensor=world.cfg.sensor, motion=world.cfg.motion,
+                keyframe_trans=0.15, keyframe_rot=0.5)
+            sserver = SLAMServer(scfg, world.angles, seed=args.seed)
+            sserver.serve(sys.stdin)
+            print(_dumps(dict(preset="serve", slam=True,
+                              ticks=sserver.tick_count)),
+                  file=sys.stderr)
+        elif args.robots > 1:
             from .io.fleet import MCLFleetServer
 
             fleet = MCLFleetServer(world.maze, world.cfg, world.angles,

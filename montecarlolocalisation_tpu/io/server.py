@@ -331,3 +331,163 @@ class MCLServer:
             return False
         print(json.dumps(dict(ok=True)), file=out_stream, flush=True)
         return False
+
+
+class SLAMServer:
+    """Live SLAM: the serve surface for robots WITHOUT a map.
+
+    Same JSONL tick protocol as MCLServer (the beam table fixed at
+    construction), but the device-resident state is a `slam.SLAMState` —
+    joint (pose, per-particle map) posterior; each input frame runs one
+    compiled `slam.slam_step`.  No reference counterpart at all: the
+    reference's live node REQUIRES the hand-written map at startup
+    (monte_carlo.cpp:82-84,1187-1196); this is the deployment form of
+    the slam preset's offline loop.
+
+    Extra commands beyond the MCLServer set:
+
+      {"cmd": "export_map", "path": "out"}   -> {"ok": true, "yaml": ...}
+        writes the current best-particle map as ROS map_server PGM+YAML
+        (mapping.export_learned_map) and the fitted wall tensor as
+        map.txt-format JSON rows in the reply.
+    """
+
+    def __init__(self, cfg, angles, start_pose=(1.25, 1.25, 0.0),
+                 seed: int = 0):
+        from ..models import slam as slam_mod
+
+        self.cfg = cfg                     # SLAMConfig
+        self.angles = np.asarray(angles, np.float32)
+        self._angles_dev = jnp.asarray(self.angles)
+        self.start_pose = tuple(float(v) for v in start_pose)
+        self.tick_count = 0
+        self._slam = slam_mod
+        nb = len(self.angles)
+
+        def step(state, frame):
+            return slam_mod.slam_step(
+                state, frame[0], frame[1], frame[2:2 + nb],
+                self._angles_dev, frame[2 + nb:], cfg)
+
+        self._step = jax.jit(step)
+        self._frame = np.zeros(2 + 2 * nb, np.float32)
+        self.reset(seed)
+
+    def reset(self, seed: int = 0) -> None:
+        self.state = self._slam.init_slam(
+            jax.random.PRNGKey(seed), self.start_pose, self.cfg)
+        self.tick_count = 0
+
+    def checkpoint(self, path: str) -> None:
+        logs.save_pytree(path, self.state)
+
+    def restore(self, path: str) -> None:
+        self.state = logs.load_pytree(path, self.state)
+
+    def tick(self, encoder_left: float, encoder_right: float, ranges,
+             mask=None) -> dict:
+        ranges = np.asarray(ranges, np.float32)
+        if ranges.shape != self.angles.shape:
+            raise ValueError(
+                f"ranges has shape {ranges.shape}, beam table has "
+                f"{self.angles.shape}")
+        nb = len(self.angles)
+        f = self._frame
+        f[0], f[1] = encoder_left, encoder_right
+        f[2:2 + nb] = ranges
+        f[2 + nb:] = 1.0 if mask is None else np.asarray(mask, np.float32)
+        self.state, info = self._step(self.state, f)
+        self.tick_count += 1
+        pose, best, ess, mapped = jax.device_get(
+            (info["pose"], info["best_pose"], info["ess"],
+             info["mapped"]))
+        return dict(
+            tick=self.tick_count,
+            pose=[round(float(v), 6) for v in pose],
+            best_pose=[round(float(v), 6) for v in best],
+            ess=round(float(ess), 2),
+            mapped=bool(mapped))
+
+    def tick_raw(self, encoder_left: float, encoder_right: float,
+                 raw: dict) -> dict:
+        _, radii, mask = sensor.filter_scan(
+            np.asarray(raw["ranges"], np.float64),
+            float(raw["angle_min"]), float(raw["angle_increment"]),
+            float(raw.get("range_min", 0.0)),
+            float(raw.get("range_max", self.cfg.sensor.max_range)),
+            self.cfg.sensor, pad_to=len(self.angles))
+        return self.tick(encoder_left, encoder_right, radii, mask)
+
+    def export_map(self, path: str) -> dict:
+        """Write the best-particle map as map_server PGM+YAML; return the
+        fitted wall tensor (row lists of per-cell wall-index lists)."""
+        from ..models import mapping
+
+        lo = np.asarray(self._slam.best_map(self.state))
+        base = path[:-5] if path.endswith(".yaml") else path
+        mapping.export_learned_map(lo, self.cfg.mapping, base + ".pgm",
+                                   base + ".yaml")
+        cell_px = int(round(0.8 / self.cfg.mapping.resolution))
+        walls = mapping.fit_walls(lo, cell_px=cell_px)
+        tensor = [[[e for e in range(4) if walls[r, c, e]]
+                   for c in range(walls.shape[1])]
+                  for r in range(walls.shape[0])]
+        return dict(ok=True, yaml=base + ".yaml", walls=tensor)
+
+    def serve(self, lines: Iterable[str], out_stream: IO[str] = sys.stdout
+              ) -> None:
+        """JSONL loop (same shape as MCLServer.serve)."""
+        for line in lines:
+            line = line.strip()
+            if not line:
+                continue
+            try:
+                msg = json.loads(line)
+            except json.JSONDecodeError as e:
+                print(json.dumps(dict(error=f"bad json: {e}")),
+                      file=out_stream, flush=True)
+                continue
+            if "cmd" in msg:
+                if not self._handle_cmd(msg, out_stream):
+                    return
+                continue
+            try:
+                if "raw_scan" in msg:
+                    out = self.tick_raw(msg["encoder_left"],
+                                        msg["encoder_right"],
+                                        msg["raw_scan"])
+                else:
+                    out = self.tick(msg["encoder_left"],
+                                    msg["encoder_right"], msg["ranges"],
+                                    msg.get("mask"))
+                print(json.dumps(out), file=out_stream, flush=True)
+            except (KeyError, ValueError) as e:
+                print(json.dumps(dict(error=str(e))), file=out_stream,
+                      flush=True)
+
+    def _handle_cmd(self, msg: dict, out_stream: IO[str]) -> bool:
+        cmd = msg.get("cmd")
+        if cmd == "reset":
+            self.reset(int(msg.get("seed", 0)))
+            print(json.dumps(dict(ok=True)), file=out_stream, flush=True)
+        elif cmd == "checkpoint":
+            self.checkpoint(msg["path"])
+            print(json.dumps(dict(ok=True)), file=out_stream, flush=True)
+        elif cmd == "restore":
+            self.restore(msg["path"])
+            print(json.dumps(dict(ok=True)), file=out_stream, flush=True)
+        elif cmd == "export_map":
+            print(json.dumps(self.export_map(msg["path"])),
+                  file=out_stream, flush=True)
+        elif cmd == "stats":
+            print(json.dumps(dict(tick=self.tick_count,
+                                  particles=int(
+                                      self.state.poses.shape[0]))),
+                  file=out_stream, flush=True)
+        elif cmd == "shutdown":
+            print(json.dumps(dict(ok=True)), file=out_stream, flush=True)
+            return False
+        else:
+            print(json.dumps(dict(error=f"unknown cmd {cmd!r}")),
+                  file=out_stream, flush=True)
+        return True

@@ -114,3 +114,93 @@ def test_serve_protocol_loop(tmp_path):
     assert replies[6] == dict(ok=True)                  # restore
     assert replies[7] == dict(ok=True)                  # shutdown
     assert len(replies) == 8                            # loop exited
+
+
+# ---------------------------------------------------------------------------
+# Live SLAM serving (SLAMServer — no reference counterpart: the
+# reference's live node REQUIRES the hand-written map at startup)
+# ---------------------------------------------------------------------------
+def _slam_server(ticks=30, seed=0, slip=0.05):
+    from montecarlolocalisation_tpu.config import MappingConfig, SLAMConfig
+    from montecarlolocalisation_tpu.io.server import SLAMServer
+
+    m = from_map_file(MAP_PATH)
+    fcfg = FilterConfig()
+    angles = np.deg2rad(np.linspace(-118, 118, 12)).astype(np.float32)
+    scfg = SLAMConfig(
+        num_particles=16,
+        mapping=MappingConfig(height=m.height, width=m.width,
+                              resolution=float(m.resolution),
+                              origin_x=float(m.origin_x),
+                              origin_y=float(m.origin_y)),
+        sensor=fcfg.sensor, motion=fcfg.motion,
+        keyframe_trans=0.15, keyframe_rot=0.5)
+    enc, scans, truth = robot.generate_wander_episode(
+        jax.random.PRNGKey(seed), m, fcfg, angles, ticks,
+        start_pose=(1.25, 1.25, 0.0), slip_noise=slip, explore=True)
+    srv = SLAMServer(scfg, angles, seed=seed)
+    return srv, np.asarray(enc), np.asarray(scans), np.asarray(truth)
+
+
+def test_slam_server_matches_offline_episode():
+    """Feeding the episode tick-by-tick must reproduce the offline
+    run_slam_episode pose estimates exactly (same step, same RNG)."""
+    from montecarlolocalisation_tpu.models import slam
+
+    srv, enc, scans, truth = _slam_server()
+    _, est = slam.run_slam_episode(
+        jax.random.PRNGKey(0), enc, scans, srv.angles, srv.cfg,
+        (1.25, 1.25, 0.0))
+    est = np.asarray(est)
+    for t in range(enc.shape[0]):
+        out = srv.tick(enc[t, 0], enc[t, 1], scans[t])
+        np.testing.assert_allclose(out["pose"],
+                                   np.round(est[t].astype(np.float64), 6),
+                                   atol=1e-5)
+        assert set(out) == {"tick", "pose", "best_pose", "ess", "mapped"}
+    err = np.hypot(out["pose"][0] - truth[-1, 0],
+                   out["pose"][1] - truth[-1, 1])
+    assert err < 0.5      # tracking from a known start over 30 ticks
+
+
+def test_slam_server_export_and_checkpoint(tmp_path):
+    from montecarlolocalisation_tpu.maps import from_pgm
+
+    srv, enc, scans, _ = _slam_server(ticks=40)
+    for t in range(enc.shape[0]):
+        srv.tick(enc[t, 0], enc[t, 1], scans[t])
+    out = srv.export_map(str(tmp_path / "live"))
+    assert out["ok"] and out["yaml"].endswith("live.yaml")
+    m2 = from_pgm(out["yaml"])
+    assert m2.occ.shape == (srv.cfg.mapping.height, srv.cfg.mapping.width)
+    # Wall tensor rows match the maze lattice.
+    assert len(out["walls"]) == 6 and len(out["walls"][0]) == 6
+    # Checkpoint/restore round-trip: state identical, stream resumes.
+    ck = str(tmp_path / "slam.ckpt.npz")
+    srv.checkpoint(ck)
+    before = np.asarray(srv.state.poses)
+    srv.reset(99)
+    assert not np.allclose(np.asarray(srv.state.poses), before)
+    srv.restore(ck)
+    np.testing.assert_array_equal(np.asarray(srv.state.poses), before)
+
+
+def test_slam_server_jsonl_loop():
+    srv, enc, scans, _ = _slam_server(ticks=6)
+    lines = []
+    for t in range(4):
+        lines.append(json.dumps(dict(
+            encoder_left=float(enc[t, 0]), encoder_right=float(enc[t, 1]),
+            ranges=[float(r) for r in scans[t]])))
+    lines.append("not json")
+    lines.append(json.dumps(dict(cmd="stats")))
+    lines.append(json.dumps(dict(cmd="shutdown")))
+    lines.append(json.dumps(dict(cmd="never-reached")))
+    out = pyio.StringIO()
+    srv.serve(lines, out_stream=out)
+    replies = [json.loads(l) for l in out.getvalue().splitlines()]
+    assert [r.get("tick") for r in replies[:4]] == [1, 2, 3, 4]
+    assert "error" in replies[4]
+    assert replies[5] == dict(tick=4, particles=16)
+    assert replies[6] == dict(ok=True)
+    assert len(replies) == 7    # shutdown exits before the last line
