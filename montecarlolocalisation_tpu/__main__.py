@@ -239,7 +239,6 @@ def main() -> None:
 
         if args.slam_serve:
             from .config import MappingConfig, SLAMConfig
-            from .io.server import SLAMServer
 
             m = world.maze
             scfg = SLAMConfig(
@@ -251,9 +250,22 @@ def main() -> None:
                     origin_y=float(m.origin_y)),
                 sensor=world.cfg.sensor, motion=world.cfg.motion,
                 keyframe_trans=0.15, keyframe_rot=0.5)
-            sserver = SLAMServer(scfg, world.angles, seed=args.seed)
+            if args.robots > 1:
+                # Fleet SLAM: all robots anchor at the default start (a
+                # shared world frame); per-robot re-anchoring via the
+                # {"cmd": "reset", "robot": i} command.
+                from .io.fleet import SLAMFleetServer
+
+                sserver = SLAMFleetServer(
+                    scfg, world.angles,
+                    [(1.25, 1.25, 0.0)] * args.robots, seed=args.seed)
+            else:
+                from .io.server import SLAMServer
+
+                sserver = SLAMServer(scfg, world.angles, seed=args.seed)
             sserver.serve(sys.stdin)
             print(_dumps(dict(preset="serve", slam=True,
+                              robots=args.robots,
                               ticks=sserver.tick_count)),
                   file=sys.stderr)
         elif args.robots > 1:

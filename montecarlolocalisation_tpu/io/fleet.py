@@ -288,3 +288,175 @@ class MCLFleetServer:
             return False
         reply(dict(ok=True))
         return False
+
+
+class SLAMFleetServer:
+    """Many live SLAM robots in one batched device step + FUSED map export.
+
+    The multi-robot mapping story (models/mapping's log-odds fusion, the
+    `mapping` preset's 8-wanderer run) in its ONLINE serving form: R
+    robots, each carrying a full RBPF SLAM posterior ([R, P, H, W]
+    per-particle map stacks on device), advance as ONE vmapped
+    `slam.slam_step` per fleet frame.  Robots share a WORLD frame via
+    their known start poses (the same convention as the offline
+    multi-robot mapper); `export_map` fuses each robot's best-particle
+    grid by log-odds addition (mapping.fuse_maps) — the fleet's combined
+    map, downloadable mid-stream.  No reference counterpart on either
+    axis (one node per robot AND no mapping at all).
+
+    Protocol: the MCLFleetServer fleet-frame shape, with SLAM outputs
+    (pose/best_pose [R][3], ess [R], mapped [R]) and the extra
+    `{"cmd": "export_map", "path": p}` -> fused PGM+YAML + wall lists.
+    """
+
+    def __init__(self, cfg, angles, start_poses, seed: int = 0):
+        from ..models import slam as slam_mod
+
+        self.cfg = cfg                      # SLAMConfig
+        self._slam = slam_mod
+        self.angles = np.asarray(angles, np.float32)
+        self._angles_dev = jnp.asarray(self.angles)
+        self.start_poses = np.asarray(start_poses, np.float32)
+        if self.start_poses.ndim != 2 or self.start_poses.shape[1] != 3:
+            raise ValueError("start_poses must be [R, 3] (x, y, theta)")
+        self.n_robots = self.start_poses.shape[0]
+        nb = len(self.angles)
+
+        def one_step(state, frame):
+            return slam_mod.slam_step(
+                state, frame[0], frame[1], frame[2:2 + nb],
+                self._angles_dev, frame[2 + nb:], cfg)
+
+        self._step = jax.jit(jax.vmap(one_step))
+        self._frame = np.zeros((self.n_robots, 2 + 2 * nb), np.float32)
+        self.tick_count = 0
+        self.reset(seed)
+
+    def _init_one(self, key, start_pose):
+        return self._slam.init_slam(key, start_pose, self.cfg)
+
+    def reset(self, seed: int = 0) -> None:
+        keys = jax.vmap(jax.random.fold_in, (None, 0))(
+            jax.random.PRNGKey(seed),
+            jnp.arange(self.n_robots, dtype=jnp.uint32))
+        self.state = jax.vmap(self._init_one)(
+            keys, jnp.asarray(self.start_poses))
+        self.tick_count = 0
+
+    def reset_robot(self, robot: int, seed: int = 0) -> None:
+        """Redeploy ONE robot (fresh pose anchor + empty map); the other
+        robots' posteriors are untouched."""
+        if not 0 <= robot < self.n_robots:
+            raise ValueError(f"robot {robot} out of range "
+                             f"[0, {self.n_robots})")
+        fresh = self._init_one(
+            jax.random.fold_in(jax.random.PRNGKey(seed), np.uint32(robot)),
+            jnp.asarray(self.start_poses[robot]))
+        self.state = jax.tree_util.tree_map(
+            lambda batch, one: batch.at[robot].set(one), self.state, fresh)
+
+    def checkpoint(self, path: str) -> None:
+        logs.save_pytree(path, self.state)
+
+    def restore(self, path: str) -> None:
+        self.state = logs.load_pytree(path, self.state)
+
+    def tick(self, encoder_left, encoder_right, ranges, mask=None) -> dict:
+        r, nb = self.n_robots, len(self.angles)
+        ranges = np.asarray(ranges, np.float32)
+        if ranges.shape != (r, nb):
+            raise ValueError(
+                f"ranges has shape {ranges.shape}; fleet expects "
+                f"({r}, {nb})")
+        f = self._frame
+        f[:, 0] = np.asarray(encoder_left, np.float32)
+        f[:, 1] = np.asarray(encoder_right, np.float32)
+        f[:, 2:2 + nb] = ranges
+        f[:, 2 + nb:] = (1.0 if mask is None
+                         else np.asarray(mask, np.float32))
+        self.state, info = self._step(self.state, jnp.asarray(f))
+        self.tick_count += 1
+        pose, best, ess, mapped = jax.device_get(
+            (info["pose"], info["best_pose"], info["ess"],
+             info["mapped"]))
+        return dict(
+            tick=self.tick_count,
+            pose=[[round(float(v), 6) for v in p] for p in pose],
+            best_pose=[[round(float(v), 6) for v in p] for p in best],
+            ess=[round(float(e), 2) for e in ess],
+            mapped=[bool(m) for m in mapped])
+
+    def fused_logodds(self) -> np.ndarray:
+        """Each robot's best-particle grid, fused by log-odds addition."""
+        from ..models import mapping
+
+        best = jax.vmap(self._slam.best_map)(self.state)        # [R, H, W]
+        return np.asarray(mapping.fuse_maps(best))
+
+    def export_map(self, path: str) -> dict:
+        from ..models import mapping
+
+        lo = self.fused_logodds()
+        base = path[:-5] if path.endswith(".yaml") else path
+        mapping.export_learned_map(lo, self.cfg.mapping, base + ".pgm",
+                                   base + ".yaml")
+        cell_px = int(round(0.8 / self.cfg.mapping.resolution))
+        walls = mapping.fit_walls(lo, cell_px=cell_px)
+        tensor = [[[e for e in range(4) if walls[r, c, e]]
+                   for c in range(walls.shape[1])]
+                  for r in range(walls.shape[0])]
+        return dict(ok=True, yaml=base + ".yaml", walls=tensor)
+
+    def serve(self, lines: Iterable[str], out_stream: IO[str] = sys.stdout
+              ) -> int:
+        for line in lines:
+            line = line.strip()
+            if not line:
+                continue
+            try:
+                msg = json.loads(line)
+            except json.JSONDecodeError as e:
+                print(json.dumps(dict(error=f"bad json: {e}")),
+                      file=out_stream, flush=True)
+                continue
+            if "cmd" in msg:
+                cmd = msg.get("cmd")
+                if cmd == "reset":
+                    if "robot" in msg:
+                        self.reset_robot(int(msg["robot"]),
+                                         int(msg.get("seed", 0)))
+                    else:
+                        self.reset(int(msg.get("seed", 0)))
+                    print(json.dumps(dict(ok=True)), file=out_stream,
+                          flush=True)
+                elif cmd == "checkpoint":
+                    self.checkpoint(msg["path"])
+                    print(json.dumps(dict(ok=True)), file=out_stream,
+                          flush=True)
+                elif cmd == "restore":
+                    self.restore(msg["path"])
+                    print(json.dumps(dict(ok=True)), file=out_stream,
+                          flush=True)
+                elif cmd == "export_map":
+                    print(json.dumps(self.export_map(msg["path"])),
+                          file=out_stream, flush=True)
+                elif cmd == "stats":
+                    print(json.dumps(dict(tick=self.tick_count,
+                                          robots=self.n_robots)),
+                          file=out_stream, flush=True)
+                elif cmd == "shutdown":
+                    print(json.dumps(dict(ok=True)), file=out_stream,
+                          flush=True)
+                    return self.tick_count
+                else:
+                    print(json.dumps(dict(error=f"unknown cmd {cmd!r}")),
+                          file=out_stream, flush=True)
+                continue
+            try:
+                out = self.tick(msg["encoder_left"], msg["encoder_right"],
+                                msg["ranges"], msg.get("mask"))
+                print(json.dumps(out), file=out_stream, flush=True)
+            except (KeyError, ValueError) as e:
+                print(json.dumps(dict(error=str(e))), file=out_stream,
+                      flush=True)
+        return self.tick_count

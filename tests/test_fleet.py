@@ -196,3 +196,96 @@ def test_fleet_sharded_over_mesh(default_map, cfg):
     out2 = fl2.tick(enc, enc, rngs)
     np.testing.assert_allclose(out["confidence"], out2["confidence"],
                                atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# Fleet SLAM serving (SLAMFleetServer)
+# ---------------------------------------------------------------------------
+def _slam_fleet(robots=3, ticks=25, seed=0):
+    from montecarlolocalisation_tpu.config import MappingConfig, SLAMConfig
+    from montecarlolocalisation_tpu.io.fleet import SLAMFleetServer
+    from montecarlolocalisation_tpu.maps import from_map_file
+    import os.path as osp
+
+    from montecarlolocalisation_tpu.sim import robot
+
+    m = from_map_file(osp.join(osp.dirname(__file__), "..",
+                               "montecarlolocalisation_tpu", "maps",
+                               "default_map.txt"))
+    fcfg = FilterConfig()
+    angles = np.deg2rad(np.linspace(-118, 118, 12)).astype(np.float32)
+    scfg = SLAMConfig(
+        num_particles=8,
+        mapping=MappingConfig(height=m.height, width=m.width,
+                              resolution=float(m.resolution),
+                              origin_x=float(m.origin_x),
+                              origin_y=float(m.origin_y)),
+        sensor=fcfg.sensor, motion=fcfg.motion,
+        keyframe_trans=0.15, keyframe_rot=0.5)
+    starts = [(1.25, 1.25, 0.0), (2.85, 1.25, 3.14), (1.25, 2.85, 1.57)
+              ][:robots]
+    eps = []
+    for r, sp in enumerate(starts):
+        enc, scans, truth = robot.generate_wander_episode(
+            jax.random.PRNGKey(seed + 31 * r), m, fcfg, angles, ticks,
+            start_pose=sp, slip_noise=0.03, explore=True)
+        eps.append((np.asarray(enc), np.asarray(scans)))
+    srv = SLAMFleetServer(scfg, angles, starts, seed=seed)
+    return srv, eps, m
+
+
+def test_slam_fleet_matches_standalone_per_robot():
+    """Each fleet robot's pose stream must equal a standalone SLAM episode
+    run with the fleet's per-robot key (fold_in(seed, r)) — the vmap is a
+    batching, not a semantic change."""
+    from montecarlolocalisation_tpu.models import slam
+
+    srv, eps, m = _slam_fleet()
+    T = eps[0][0].shape[0]
+    outs = []
+    for t in range(T):
+        outs.append(srv.tick(
+            [e[0][t, 0] for e in eps], [e[0][t, 1] for e in eps],
+            np.stack([e[1][t] for e in eps])))
+    for r in range(srv.n_robots):
+        key = jax.random.fold_in(jax.random.PRNGKey(0), np.uint32(r))
+        _, est = slam.run_slam_episode(
+            key, eps[r][0], eps[r][1], srv.angles, srv.cfg,
+            tuple(srv.start_poses[r]))
+        est = np.asarray(est)
+        for t in (0, T // 2, T - 1):
+            np.testing.assert_allclose(outs[t]["pose"][r],
+                                       est[t].astype(np.float64),
+                                       atol=1e-4)
+
+
+def test_slam_fleet_fused_map_covers_more(tmp_path):
+    """Three robots mapping from different corners: the FUSED grid has
+    more observed evidence than any single robot's best map, and the
+    export round-trips through map_server format."""
+    from montecarlolocalisation_tpu.maps import from_pgm
+    from montecarlolocalisation_tpu.models import slam as slam_mod
+
+    srv, eps, m = _slam_fleet(ticks=40)
+    T = eps[0][0].shape[0]
+    for t in range(T):
+        srv.tick([e[0][t, 0] for e in eps], [e[0][t, 1] for e in eps],
+                 np.stack([e[1][t] for e in eps]))
+    fused = srv.fused_logodds()
+    per_robot = np.asarray(jax.vmap(slam_mod.best_map)(srv.state))
+    observed = lambda lo: (np.abs(lo) > 0.3).sum()
+    assert all(observed(fused) >= observed(per_robot[r])
+               for r in range(srv.n_robots))
+    assert observed(fused) > max(observed(per_robot[r])
+                                 for r in range(srv.n_robots))
+    out = srv.export_map(str(tmp_path / "fleetmap"))
+    assert out["ok"]
+    m2 = from_pgm(out["yaml"])
+    assert m2.occ.shape == fused.shape
+    # Redeploy robot 1: empty map, anchored back at its start pose.
+    srv.reset_robot(1)
+    per2 = np.asarray(jax.vmap(slam_mod.best_map)(srv.state))
+    assert observed(per2[1]) == 0
+    np.testing.assert_allclose(np.asarray(srv.state.poses[1, 0]),
+                               srv.start_poses[1], atol=1e-5)
+    np.testing.assert_array_equal(per2[0], per_robot[0])
