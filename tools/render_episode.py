@@ -145,6 +145,68 @@ def run_closed_loop_capture(m, cfg, num_ticks: int, seed: int, every: int,
     return frames, labels
 
 
+def run_slam_capture(m, num_ticks: int, seed: int, every: int,
+                     scale: int, beams: int):
+    """SLAM map-growth frames: best particle's log-odds grid rendered as
+    greyscale (unknown mid-grey, free light, walls dark), true pose in
+    green, SLAM estimate in red."""
+    import jax
+    import jax.numpy as jnp
+
+    from montecarlolocalisation_tpu.config import (FilterConfig,
+                                                   MappingConfig,
+                                                   SLAMConfig)
+    from montecarlolocalisation_tpu.models import slam
+    from montecarlolocalisation_tpu.sim import robot
+
+    fcfg = FilterConfig()
+    angles = np.deg2rad(
+        np.linspace(-118.0, 118.0, beams)).astype(np.float32)
+    scfg = SLAMConfig(
+        num_particles=64,
+        mapping=MappingConfig(height=m.height, width=m.width,
+                              resolution=float(m.resolution),
+                              origin_x=float(m.origin_x),
+                              origin_y=float(m.origin_y)),
+        sensor=fcfg.sensor, motion=fcfg.motion,
+        keyframe_trans=0.15, keyframe_rot=0.5)
+    start = (1.25, 1.25, 0.0)
+    enc, scans, truth = robot.generate_wander_episode(
+        jax.random.PRNGKey(seed), m, fcfg, angles, num_ticks,
+        start_pose=start, slip_noise=0.05, explore=True)
+    enc, scans, truth = map(np.asarray, (enc, scans, truth))
+    ja = jnp.asarray(angles)
+    step = jax.jit(lambda st, e, r: slam.slam_step(
+        st, e[0], e[1], r, ja, jnp.ones_like(r), scfg))
+    st = slam.init_slam(jax.random.PRNGKey(seed + 1), start, scfg)
+
+    def to_px(x, y):
+        c = int((x - m.origin_x) / float(m.resolution) * scale)
+        r = int((y - m.origin_y) / float(m.resolution) * scale)
+        return r, c
+
+    frames, labels = [], []
+    for t in range(num_ticks):
+        st, info = step(st, jnp.asarray(enc[t]), jnp.asarray(scans[t]))
+        if t % every and t != num_ticks - 1:
+            continue
+        lo = np.asarray(slam.best_map(st))
+        grey = np.clip(127.0 - 100.0 * np.tanh(lo / 4.0), 0, 255
+                       ).astype(np.uint8)
+        img = np.repeat(np.repeat(grey, scale, 0), scale, 1)
+        img = np.stack([img] * 3, -1)
+        est = np.asarray(info["pose"])
+        for pose, color in ((truth[t], (0, 200, 0)),
+                            (est, (220, 0, 0))):
+            r, c = to_px(pose[0], pose[1])
+            rr = slice(max(r - scale // 2, 0), r + scale // 2 + 1)
+            cc = slice(max(c - scale // 2, 0), c + scale // 2 + 1)
+            img[rr, cc] = color
+        frames.append(img)
+        labels.append(t)
+    return frames, labels
+
+
 def save_strip(frames, path: str, max_frames: int = 12) -> None:
     idx = np.linspace(0, len(frames) - 1, min(max_frames, len(frames)))
     strip = np.concatenate([frames[int(i)] for i in idx], axis=1)
@@ -172,6 +234,11 @@ def main() -> None:
                      help="closed-loop plan execution with controller "
                           "debug markers (heading-error arrow + APF "
                           "force/influence panel)")
+    src.add_argument("--slam", action="store_true",
+                     help="RBPF SLAM map growth: the best particle's "
+                          "log-odds grid per frame (walls darken, carved "
+                          "free space lightens, unknown grey) with the "
+                          "TRUE pose (green) and the SLAM estimate (red)")
     ap.add_argument("--map", default=DEFAULT_MAP)
     ap.add_argument("--ticks", type=int, default=150)
     ap.add_argument("--particles", type=int, default=1500)
@@ -189,6 +256,17 @@ def main() -> None:
     m = from_map_file(args.map)
     cfg = FilterConfig(num_particles=args.particles,
                        sensor=SensorModelConfig())
+
+    if args.slam:
+        frames, labels = run_slam_capture(m, args.ticks, args.seed,
+                                          args.every, args.scale,
+                                          args.beams)
+        save_strip(frames, args.strip)
+        print(f"wrote {args.strip} ({len(frames)} frames, ticks "
+              f"{labels[0]}...{labels[-1]})")
+        if save_gif(frames, args.out):
+            print(f"wrote {args.out}")
+        return
 
     if args.closed_loop:
         frames, labels = run_closed_loop_capture(
