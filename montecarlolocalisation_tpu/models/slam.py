@@ -76,6 +76,14 @@ class SLAMState:
         default_factory=lambda: jnp.int32(0))
     #                        keyframes left before the closure may fire
     #                        again (cooldown breaks correction ratchets)
+    log_evidence: jax.Array = dataclasses.field(
+        default_factory=lambda: jnp.float32(0.0))
+    #                        accumulated log marginal likelihood
+    #                        sum_t log p(z_t | z_{1:t-1}): each tick adds
+    #                        logsumexp over particles of log w_{t-1} +
+    #                        loglik_t (the SIR evidence estimate).  The
+    #                        model-selection statistic replica selection
+    #                        keys on (run_slam_replicas).
 
 
 def init_slam(key, start_pose, cfg: SLAMConfig) -> SLAMState:
@@ -612,6 +620,10 @@ def slam_step(state: SLAMState, encoder_left, encoder_right, ranges,
         loglik = scan_log_likelihood(field, poses, ranges, angles, mask,
                                      cfg, offsets)
     logw = jnp.log(state.weights) + loglik
+    # SIR evidence increment: log p(z_t | z_{1:t-1}) ~= logsumexp(logw)
+    # (weights are normalized, so no 1/N correction).
+    log_evidence = (state.log_evidence
+                    + jax.scipy.special.logsumexp(logw))
     logw = logw - jnp.max(logw)
     w = jnp.exp(logw)
     w = w / jnp.sum(w)
@@ -725,9 +737,11 @@ def slam_step(state: SLAMState, encoder_left, encoder_right, ranges,
                 resampled=ess < cfg.ess_threshold * p_count,
                 mapped=mapped,
                 closure_delta=closure_delta)
+    info["log_evidence"] = log_evidence
     new_state = SLAMState(poses=poses, logodds=logodds, weights=w,
                           scores=scores, odom=new_odom, key=k_next,
-                          kf_pose=kf_pose, closure_cool=closure_cool)
+                          kf_pose=kf_pose, closure_cool=closure_cool,
+                          log_evidence=log_evidence)
     return new_state, info
 
 
@@ -756,6 +770,36 @@ def run_slam_episode(key, encoders, scan_ranges, scan_angles,
         (jnp.asarray(encoders, jnp.float32), ranges,
          jnp.asarray(scan_mask, jnp.float32)))
     return final, poses
+
+
+def run_slam_replicas(key, encoders, scan_ranges, scan_angles,
+                      cfg: SLAMConfig, start_pose, replicas: int = 4,
+                      scan_mask=None):
+    """K independent SLAM replicas over the SAME episode, selected by
+    accumulated log marginal likelihood.
+
+    The per-episode failure mode at high wheel slip is an alias MISLOCK:
+    one unlucky proposal stream paints an early wall slightly off, the
+    filter locks to its own wrong map, and the episode's F1/pose land in
+    the tail (BENCH_DETAILS round-5 per-episode forensics).  Replicas
+    differ ONLY in the RNG stream; the SIR evidence estimate
+    sum_t logsumexp_p(log w_{t-1,p} + loglik_t,p) (SLAMState.log_evidence)
+    is each replica's log p(z_{1:T}) — the principled model-selection
+    statistic, computed for free inside the step.  vmap makes the K
+    replicas one device program (embarrassingly parallel — the TPU-native
+    answer to an inherently sequential filter's seed sensitivity).
+
+    Returns (final state of the winner, est poses [T, 3] of the winner,
+    info dict with per-replica evidence and the chosen index).
+    """
+    keys = jax.random.split(key, replicas)
+    finals, ests = jax.vmap(
+        lambda k: run_slam_episode(k, encoders, scan_ranges, scan_angles,
+                                   cfg, start_pose, scan_mask))(keys)
+    best = jnp.argmax(finals.log_evidence)
+    final = jax.tree_util.tree_map(lambda x: x[best], finals)
+    return final, ests[best], dict(
+        log_evidence=finals.log_evidence, chosen=best)
 
 
 def best_map(state: SLAMState):

@@ -677,7 +677,11 @@ def slam_step_sharded(state, encoder_left, encoder_right, ranges, angles,
     logw = jnp.log(state.weights) + loglik
     gmax = jax.lax.pmax(jnp.max(logw), axis_name)
     w = jnp.exp(logw - gmax)
-    w = w / jax.lax.psum(jnp.sum(w), axis_name)
+    tot = jax.lax.psum(jnp.sum(w), axis_name)
+    # Global SIR evidence increment (same statistic as the single-chip
+    # step): logsumexp over ALL shards' particles.
+    log_evidence = state.log_evidence + gmax + jnp.log(tot)
+    w = w / tot
     ess = 1.0 / jax.lax.psum(jnp.sum(w * w), axis_name)
 
     h_px, w_px = state.logodds.shape[-2:]
@@ -741,10 +745,11 @@ def slam_step_sharded(state, encoder_left, encoder_right, ranges, angles,
     info = dict(pose=mean_pose, best_pose=best_pose, ess=ess,
                 resampled=ess < cfg.ess_threshold * p_glob, mapped=mapped,
                 closure_delta=jnp.zeros(3, jnp.float32))
+    info["log_evidence"] = log_evidence
     new_state = slam.SLAMState(
         poses=poses, logodds=logodds, weights=w, scores=scores,
         odom=new_odom, key=k_next, kf_pose=kf_pose,
-        closure_cool=state.closure_cool)
+        closure_cool=state.closure_cool, log_evidence=log_evidence)
     return new_state, info
 
 
@@ -760,9 +765,9 @@ def make_sharded_slam_step(mesh: Mesh, cfg, axis_name: str = "particle"):
         scores=P(axis_name),
         odom=motion.OdometryState(x=P(), y=P(), theta=P(),
                                   encoder_left=P(), encoder_right=P()),
-        key=P(), kf_pose=P(), closure_cool=P())
+        key=P(), kf_pose=P(), closure_cool=P(), log_evidence=P())
     info_spec = dict(pose=P(), best_pose=P(), ess=P(), resampled=P(),
-                     mapped=P(), closure_delta=P())
+                     mapped=P(), closure_delta=P(), log_evidence=P())
 
     def body(state, enc_l, enc_r, ranges, angles, mask):
         return slam_step_sharded(state, enc_l, enc_r, ranges, angles,
@@ -791,4 +796,5 @@ def shard_slam_state(state, mesh: Mesh, axis_name: str = "particle"):
         scores=put(state.scores, P(axis_name)),
         odom=jax.tree_util.tree_map(lambda x: put(x, P()), state.odom),
         key=put(state.key, P()), kf_pose=put(state.kf_pose, P()),
-        closure_cool=put(state.closure_cool, P()))
+        closure_cool=put(state.closure_cool, P()),
+        log_evidence=put(state.log_evidence, P()))

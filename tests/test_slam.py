@@ -603,3 +603,53 @@ def test_closure_off_and_huge_margin_identical():
                                         angles, cfg_gate, start)
     np.testing.assert_allclose(np.asarray(est_off), np.asarray(est_gate),
                                atol=1e-6)
+
+
+def test_log_evidence_accumulates_and_prefers_consistency():
+    """SLAMState.log_evidence is the SIR marginal-likelihood estimate:
+    it accumulates every tick, and an episode whose scans are CONSISTENT
+    (generated by the true maze) accumulates more evidence than the same
+    filter fed shuffled (inconsistent) scans."""
+    m = _maze()
+    cfg = _cfg(m, num_particles=16, keyframe_trans=0.15, keyframe_rot=0.5)
+    angles = jnp.asarray(np.deg2rad(np.linspace(-118, 118, 12)),
+                         jnp.float32)
+    fcfg = FilterConfig()
+    enc, scans, _ = robot.generate_wander_episode(
+        jax.random.PRNGKey(5), m, fcfg, np.asarray(angles), 60,
+        start_pose=(1.25, 1.25, 0.0), slip_noise=0.03, explore=True)
+    fin, _ = slam.run_slam_episode(jax.random.PRNGKey(2), enc, scans,
+                                   angles, cfg, (1.25, 1.25, 0.0))
+    ev_good = float(fin.log_evidence)
+    assert np.isfinite(ev_good)
+    shuffled = jnp.asarray(np.asarray(scans)[::-1].copy())
+    fin_bad, _ = slam.run_slam_episode(jax.random.PRNGKey(2), enc,
+                                       shuffled, angles, cfg,
+                                       (1.25, 1.25, 0.0))
+    assert ev_good > float(fin_bad.log_evidence)
+
+
+def test_run_slam_replicas_selects_argmax_evidence():
+    m = _maze()
+    cfg = _cfg(m, num_particles=8, keyframe_trans=0.15, keyframe_rot=0.5)
+    angles = jnp.asarray(np.deg2rad(np.linspace(-118, 118, 12)),
+                         jnp.float32)
+    fcfg = FilterConfig()
+    enc, scans, _ = robot.generate_wander_episode(
+        jax.random.PRNGKey(9), m, fcfg, np.asarray(angles), 40,
+        start_pose=(1.25, 1.25, 0.0), slip_noise=0.05, explore=True)
+    key = jax.random.PRNGKey(4)
+    final, est, info = slam.run_slam_replicas(
+        key, enc, scans, angles, cfg, (1.25, 1.25, 0.0), replicas=3)
+    evs = np.asarray(info["log_evidence"])
+    assert evs.shape == (3,) and np.isfinite(evs).all()
+    chosen = int(info["chosen"])
+    assert chosen == int(np.argmax(evs))
+    # The returned final/est ARE the winning replica's.
+    keys = jax.random.split(key, 3)
+    fin_c, est_c = slam.run_slam_episode(
+        keys[chosen], enc, scans, angles, cfg, (1.25, 1.25, 0.0))
+    np.testing.assert_allclose(np.asarray(est), np.asarray(est_c),
+                               atol=1e-6)
+    np.testing.assert_allclose(float(final.log_evidence),
+                               float(fin_c.log_evidence), rtol=1e-6)

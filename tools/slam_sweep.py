@@ -65,6 +65,10 @@ def main():
                     help="override SLAMConfig.ess_threshold (default 0.7; "
                          "lower = rarer resampling, more trajectory "
                          "diversity preserved)")
+    ap.add_argument("--replicas", type=int, default=1,
+                    help="K RNG replicas per episode, winner by "
+                         "accumulated log evidence "
+                         "(slam.run_slam_replicas)")
     ap.add_argument("--per-episode", action="store_true",
                     help="print per-episode (slam_err, dr_err, F1) rows")
     ap.add_argument("--seed0", type=int, default=0)
@@ -109,8 +113,13 @@ def main():
     cell_px = int(round(m.cell_meters / m.resolution))
     tail = max(args.ticks // 4, 1)
 
-    run = jax.jit(jax.vmap(lambda k, e, s: slam.run_slam_episode(
-        k, e, s, world.angles, cfg, start)))
+    if args.replicas > 1:
+        run = jax.jit(jax.vmap(lambda k, e, s: slam.run_slam_replicas(
+            k, e, s, world.angles, cfg, start,
+            replicas=args.replicas)[:2]))
+    else:
+        run = jax.jit(jax.vmap(lambda k, e, s: slam.run_slam_episode(
+            k, e, s, world.angles, cfg, start)))
     rerender_fn = jax.jit(lambda ps, rs: mapping.map_episode(
         ps, rs, world.angles, mc, world.cfg.sensor))
 
@@ -164,6 +173,7 @@ def main():
         slam_err, dr_err = np.asarray(slam_err), np.asarray(dr_err)
         beats = int((slam_err < dr_err).sum())
         print(f"slip={slip:.2f} K={args.candidates} "
+              f"reps={args.replicas} "
               f"closure={'on' if args.closure else 'off'} "
               f"kf=({args.keyframe_trans},{args.keyframe_rot}) "
               f"P={args.particles} T={args.ticks}: "
