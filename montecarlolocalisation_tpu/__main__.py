@@ -94,6 +94,10 @@ def main() -> None:
                          "'hybrid' wanders while coverage grows and "
                          "frontier-targets the leftover pockets once "
                          "the wanderer saturates")
+    ap.add_argument("--slam-replicas", type=int, default=4,
+                    help="slam preset: K RNG replicas per episode, "
+                         "winner by accumulated log evidence (cuts "
+                         "seed-mislock tails; 1 = single stream)")
     ap.add_argument("--slam-candidates", type=int, default=1,
                     help="slam preset: Monte-Carlo optimal-proposal "
                          "candidates per particle (K motion draws, one "
@@ -221,6 +225,7 @@ def main() -> None:
                                explore_mode=args.explore,
                                export=args.export,
                                proposal_candidates=args.slam_candidates,
+                               replicas=args.slam_replicas,
                                **({} if kf is None else dict(keyframe=kf)))
         print(_dumps(dict(preset="slam", **{
             k: (round(float(v), 4) if isinstance(v, float) else v)

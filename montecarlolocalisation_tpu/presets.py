@@ -415,7 +415,8 @@ def run_slam(world: World, seed: int = 0, num_ticks: int = 600,
              export: Optional[str] = None,
              explore_mode: str = "wander",
              proposal_candidates: int = 1,
-             keyframe: Optional[Tuple[float, float]] = (0.15, 0.5)):
+             keyframe: Optional[Tuple[float, float]] = (0.15, 0.5),
+             replicas: int = 4):
     """The full SLAM autonomy loop the reference cannot close.
 
     The reference stack REQUIRES a hand-written map.txt (publish_map.py:
@@ -482,9 +483,21 @@ def run_slam(world: World, seed: int = 0, num_ticks: int = 600,
             jax.random.PRNGKey(seed), m, world.cfg, world.angles,
             num_ticks, start_pose=start, slip_noise=slip_noise,
             explore=True)
-        final, est = jax.jit(lambda k, e, s: slam.run_slam_episode(
-            k, e, s, world.angles, scfg, start))(
-            jax.random.PRNGKey(seed + 1), enc, scans)
+        # K RNG replicas, winner by accumulated log evidence (the SIR
+        # marginal likelihood, slam.run_slam_replicas): chip-measured to
+        # cut pose error and beats-DR tails at F1-neutral cost
+        # (BENCH_DETAILS round-5 replica table); replicas=1 runs the
+        # single-stream filter.
+        if replicas > 1:
+            final, est, _ = jax.jit(
+                lambda k, e, s: slam.run_slam_replicas(
+                    k, e, s, world.angles, scfg, start,
+                    replicas=replicas))(
+                jax.random.PRNGKey(seed + 1), enc, scans)
+        else:
+            final, est = jax.jit(lambda k, e, s: slam.run_slam_episode(
+                k, e, s, world.angles, scfg, start))(
+                jax.random.PRNGKey(seed + 1), enc, scans)
         tn, est = np.asarray(truth), np.asarray(est)
         dr = np.asarray(mapping.dead_reckon_poses(enc, start,
                                                   world.cfg.motion))
