@@ -64,6 +64,9 @@ class MCLOutput:
     wanderer_cmd: jax.Array   # int32: -1 noop, 0 stop, 1 start
     n_injected: jax.Array
     p_inject: jax.Array
+    total_weight: jax.Array   # sum of this tick's beam likelihoods —
+    #                           log-summed over an episode it is the
+    #                           filter's evidence proxy (replica selection)
 
 
 def init_state(key, m: MazeMap, cfg: FilterConfig,
@@ -253,6 +256,7 @@ def mcl_step(
         song=song, wanderer_cmd=wanderer,
         n_injected=info["n_injected"].astype(jnp.int32),
         p_inject=info["p_inject"],
+        total_weight=info["total_weight"],
     )
     return new_state, out
 

@@ -477,7 +477,7 @@ def mcl_step_sharded(
         exact_pose=exact_pose, cell_pose=cell_pose, confidence=confidence,
         song=song, wanderer_cmd=wanderer,
         n_injected=info["n_injected"].astype(jnp.int32),
-        p_inject=info["p_inject"])
+        p_inject=info["p_inject"], total_weight=info["total_weight"])
     return new_state, out
 
 
@@ -496,7 +496,7 @@ def make_sharded_step(mesh: Mesh, m: MazeMap, cfg: FilterConfig,
         confident_threshold=P(), best_pose=P(), key=P())
     out_spec = mcl.MCLOutput(
         exact_pose=P(), cell_pose=P(), confidence=P(), song=P(),
-        wanderer_cmd=P(), n_injected=P(), p_inject=P())
+        wanderer_cmd=P(), n_injected=P(), p_inject=P(), total_weight=P())
     map_spec = jax.tree_util.tree_map(lambda _: P(), m)
 
     def body(state, enc_l, enc_r, angles, ranges, mask, m_arrays):
@@ -543,7 +543,7 @@ def make_sharded_step_batched(mesh: Mesh, m: MazeMap, cfg: FilterConfig,
         confident_threshold=ep, best_pose=ep, key=ep)
     out_spec = mcl.MCLOutput(
         exact_pose=ep, cell_pose=ep, confidence=ep, song=ep,
-        wanderer_cmd=ep, n_injected=ep, p_inject=ep)
+        wanderer_cmd=ep, n_injected=ep, p_inject=ep, total_weight=ep)
     map_spec = jax.tree_util.tree_map(lambda _: P(), m)
 
     def one_episode(state, enc_l, enc_r, angles, ranges, mask, m_arrays):
