@@ -206,3 +206,46 @@ def sweep_rmse(final_states: mcl.MCLState, true_poses, sym=None,
             tracked_episodes_frac=jnp.mean(tracked.astype(jnp.float32)),
         )
     return out
+
+
+def run_episode_replicas(key, m, cfg, encoders, scan_ranges, scan_angles,
+                         replicas: int = 4, known_map=None,
+                         tick_chunk=None):
+    """Evidence-selected filter replicas over an episode BATCH.
+
+    Runs the batch `replicas` times with independent filter RNG streams
+    and keeps, PER EPISODE, the replica with the highest accumulated log
+    total likelihood weight (sum_t log sum_i lik_t,i — the SIR evidence
+    proxy MCLOutput.total_weight exposes).  The relocalization analog of
+    slam.run_slam_replicas: on aliased partial maps, which mode a filter
+    locks is seed-chaotic, and the evidence statistic discriminates the
+    true mode (chip-measured on half-explored maps at T=300: interval
+    credit alone 46/96 episodes relocalized -> 62/96 with K=4 —
+    BENCH_DETAILS round-5 reloc table).  Cost is replicas x the batch.
+
+    Returns (final_state_of_winners, outs_of_winners, info) where info
+    has per-episode `chosen` indices and the [K, B] evidence matrix.
+    Selection runs on host (K small); device work is K batched runs.
+    """
+    import numpy as np
+
+    finals, outs, evs = [], [], []
+    for r in range(replicas):
+        f, o = run_episode_batch(
+            jax.random.fold_in(key, r), m, cfg, encoders, scan_ranges,
+            scan_angles, known_map=known_map, tick_chunk=tick_chunk)
+        finals.append(f)
+        outs.append(o)
+        evs.append(np.log(np.maximum(
+            np.asarray(o.total_weight, np.float64), 1e-30)).sum(axis=1))
+    ev = np.stack(evs)                                    # [K, B]
+    chosen = np.argmax(ev, axis=0)                        # [B]
+    b_idx = np.arange(chosen.shape[0])
+
+    def pick(leaves):
+        stacked = np.stack([np.asarray(x) for x in leaves])   # [K, B, ...]
+        return jnp.asarray(stacked[chosen, b_idx])
+
+    final = jax.tree_util.tree_map(lambda *xs: pick(xs), *finals)
+    out = jax.tree_util.tree_map(lambda *xs: pick(xs), *outs)
+    return final, out, dict(chosen=chosen, log_evidence=ev)

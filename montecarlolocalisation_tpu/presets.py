@@ -258,7 +258,8 @@ def _maze_from_wall_tensor(learned_walls) -> "object":
 def _relocalize_on(learned_maze, true_maze, world: World, num_ticks: int,
                    seed: int, batch: int = 8,
                    start_pose=(2.05, 2.05, 0.0), explored_px=None,
-                   coverage_thresh: float = 0.8, known_maze=None) -> dict:
+                   coverage_thresh: float = 0.8, known_maze=None,
+                   replicas: int = 8) -> dict:
     """Localize a fresh episode SWEEP against a learned map.
 
     Scans are generated on the TRUE maze (the world the robot actually
@@ -281,9 +282,21 @@ def _relocalize_on(learned_maze, true_maze, world: World, num_ticks: int,
     enc, scans, truth = episodes.simulate_episode_batch(
         k1, true_maze, world.cfg, world.angles, num_ticks, batch=batch,
         start_pose=start_pose)
-    final, _ = episodes.run_episode_batch(
-        k2, learned_maze, world.cfg, enc, scans, world.angles,
-        known_map=known_maze)
+    if replicas > 1:
+        # Evidence-selected filter replicas (run_episode_replicas): the
+        # deployment-correct reloc procedure on an aliased partial map —
+        # which mode a single filter stream locks is seed-chaotic, the
+        # accumulated likelihood discriminates (chip, six 16-episode
+        # seed sets on half-explored maps at T=300: 46/96 single stream
+        # -> 62/96 at K=4 -> 72/96 at K=8 — the r4 VERDICT 12/16 bar,
+        # BENCH_DETAILS r5 reloc table).
+        final, _, _ = episodes.run_episode_replicas(
+            k2, learned_maze, world.cfg, enc, scans, world.angles,
+            replicas=replicas, known_map=known_maze)
+    else:
+        final, _ = episodes.run_episode_batch(
+            k2, learned_maze, world.cfg, enc, scans, world.angles,
+            known_map=known_maze)
     best = np.asarray(final.best_pose)
     tpa = np.asarray(truth)                       # [B, T, 3]
     tp = tpa[:, -1, :]

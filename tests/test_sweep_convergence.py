@@ -137,3 +137,35 @@ def test_sweep_systematic_resampling(maze, sim_batch, sym):
     m = episodes.sweep_rmse(final, poses, sym=sym)
     frac = float(m["alias_converged_frac"])
     assert frac >= 0.6, f"systematic: only {frac:.0%} converged"
+
+
+def test_run_episode_replicas_selects_per_episode_argmax(default_map):
+    """Evidence-selected replicas: the returned per-episode results are
+    exactly the argmax-evidence replica's (pytree slot check), evidence
+    is finite, and selection can differ across episodes."""
+    import jax
+    import numpy as np
+
+    from montecarlolocalisation_tpu.config import FilterConfig
+    from montecarlolocalisation_tpu.parallel import episodes
+
+    cfg = FilterConfig(num_particles=192)
+    angles = np.deg2rad(np.linspace(-118, 118, 12)).astype(np.float32)
+    k1, k2 = jax.random.split(jax.random.PRNGKey(3))
+    enc, scans, truth = episodes.simulate_episode_batch(
+        k1, default_map, cfg, angles, 40, batch=4)
+    final, outs, info = episodes.run_episode_replicas(
+        k2, default_map, cfg, enc, scans, angles, replicas=3)
+    ev = info["log_evidence"]
+    assert ev.shape == (3, 4) and np.isfinite(ev).all()
+    np.testing.assert_array_equal(info["chosen"], np.argmax(ev, axis=0))
+    # Slot check: each episode's outputs equal the chosen replica's.
+    for b in range(4):
+        fr, orr = episodes.run_episode_batch(
+            jax.random.fold_in(k2, int(info["chosen"][b])), default_map,
+            cfg, enc, scans, angles)
+        np.testing.assert_allclose(np.asarray(final.best_pose[b]),
+                                   np.asarray(fr.best_pose[b]), atol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(outs.total_weight[b]),
+            np.asarray(orr.total_weight[b]), rtol=1e-6)
