@@ -267,7 +267,8 @@ def main() -> None:
             else:
                 from .io.server import SLAMServer
 
-                sserver = SLAMServer(scfg, world.angles, seed=args.seed)
+                sserver = SLAMServer(scfg, world.angles, seed=args.seed,
+                                     replicas=args.slam_replicas)
             sserver.serve(sys.stdin)
             print(_dumps(dict(preset="serve", slam=True,
                               robots=args.robots,

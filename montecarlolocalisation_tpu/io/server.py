@@ -353,7 +353,7 @@ class SLAMServer:
     """
 
     def __init__(self, cfg, angles, start_pose=(1.25, 1.25, 0.0),
-                 seed: int = 0):
+                 seed: int = 0, replicas: int = 1):
         from ..models import slam as slam_mod
 
         self.cfg = cfg                     # SLAMConfig
@@ -362,20 +362,35 @@ class SLAMServer:
         self.start_pose = tuple(float(v) for v in start_pose)
         self.tick_count = 0
         self._slam = slam_mod
+        # `replicas` > 1: K independent RNG replicas advance on every
+        # frame (one vmapped step) and the outputs report the replica
+        # with the highest accumulated log evidence — the live form of
+        # slam.run_slam_replicas (seed-mislock insurance while serving).
+        self.replicas = int(replicas)
         nb = len(self.angles)
 
-        def step(state, frame):
+        def one_step(state, frame):
             return slam_mod.slam_step(
                 state, frame[0], frame[1], frame[2:2 + nb],
                 self._angles_dev, frame[2 + nb:], cfg)
 
-        self._step = jax.jit(step)
+        self._step = jax.jit(
+            one_step if self.replicas == 1
+            else jax.vmap(one_step, in_axes=(0, None)))
         self._frame = np.zeros(2 + 2 * nb, np.float32)
         self.reset(seed)
 
     def reset(self, seed: int = 0) -> None:
-        self.state = self._slam.init_slam(
-            jax.random.PRNGKey(seed), self.start_pose, self.cfg)
+        if self.replicas == 1:
+            self.state = self._slam.init_slam(
+                jax.random.PRNGKey(seed), self.start_pose, self.cfg)
+        else:
+            keys = jax.vmap(jax.random.fold_in, (None, 0))(
+                jax.random.PRNGKey(seed),
+                jnp.arange(self.replicas, dtype=jnp.uint32))
+            self.state = jax.vmap(
+                lambda k: self._slam.init_slam(k, self.start_pose,
+                                               self.cfg))(keys)
         self.tick_count = 0
 
     def checkpoint(self, path: str) -> None:
@@ -398,9 +413,20 @@ class SLAMServer:
         f[2 + nb:] = 1.0 if mask is None else np.asarray(mask, np.float32)
         self.state, info = self._step(self.state, f)
         self.tick_count += 1
-        pose, best, ess, mapped = jax.device_get(
+        pose, best, ess, mapped, ev = jax.device_get(
             (info["pose"], info["best_pose"], info["ess"],
-             info["mapped"]))
+             info["mapped"], self.state.log_evidence))
+        if self.replicas > 1:
+            pick = int(np.argmax(ev))
+            out = dict(
+                tick=self.tick_count,
+                pose=[round(float(v), 6) for v in pose[pick]],
+                best_pose=[round(float(v), 6) for v in best[pick]],
+                ess=round(float(ess[pick]), 2),
+                mapped=bool(mapped[pick]),
+                replica=pick,
+                log_evidence=[round(float(e), 2) for e in ev])
+            return out
         return dict(
             tick=self.tick_count,
             pose=[round(float(v), 6) for v in pose],
@@ -423,7 +449,11 @@ class SLAMServer:
         fitted wall tensor (row lists of per-cell wall-index lists)."""
         from ..models import mapping
 
-        lo = np.asarray(self._slam.best_map(self.state))
+        st = self.state
+        if self.replicas > 1:
+            pick = int(np.argmax(np.asarray(st.log_evidence)))
+            st = jax.tree_util.tree_map(lambda x: x[pick], st)
+        lo = np.asarray(self._slam.best_map(st))
         base = path[:-5] if path.endswith(".yaml") else path
         mapping.export_learned_map(lo, self.cfg.mapping, base + ".pgm",
                                    base + ".yaml")

@@ -204,3 +204,45 @@ def test_slam_server_jsonl_loop():
     assert replies[5] == dict(tick=4, particles=16)
     assert replies[6] == dict(ok=True)
     assert len(replies) == 7    # shutdown exits before the last line
+
+
+def test_slam_server_replica_mode():
+    """replicas=K: outputs report the max-evidence replica (and its
+    index); export_map uses the winning replica's map; single-replica
+    protocol keys unchanged."""
+    from montecarlolocalisation_tpu.config import MappingConfig, SLAMConfig
+    from montecarlolocalisation_tpu.io.server import SLAMServer
+
+    m = from_map_file(MAP_PATH)
+    fcfg = FilterConfig()
+    angles = np.deg2rad(np.linspace(-118, 118, 12)).astype(np.float32)
+    scfg = SLAMConfig(
+        num_particles=8,
+        mapping=MappingConfig(height=m.height, width=m.width,
+                              resolution=float(m.resolution),
+                              origin_x=float(m.origin_x),
+                              origin_y=float(m.origin_y)),
+        sensor=fcfg.sensor, motion=fcfg.motion,
+        keyframe_trans=0.15, keyframe_rot=0.5)
+    enc, scans, _ = robot.generate_wander_episode(
+        jax.random.PRNGKey(2), m, fcfg, angles, 20,
+        start_pose=(1.25, 1.25, 0.0), slip_noise=0.05, explore=True)
+    enc, scans = np.asarray(enc), np.asarray(scans)
+    srv = SLAMServer(scfg, angles, seed=1, replicas=3)
+    for t in range(enc.shape[0]):
+        out = srv.tick(enc[t, 0], enc[t, 1], scans[t])
+    assert set(out) >= {"tick", "pose", "best_pose", "ess", "mapped",
+                        "replica", "log_evidence"}
+    ev = out["log_evidence"]
+    assert len(ev) == 3 and out["replica"] == int(np.argmax(ev))
+    # The reported pose equals a standalone replica run with the same
+    # folded key.
+    from montecarlolocalisation_tpu.models import slam
+
+    key = jax.random.fold_in(jax.random.PRNGKey(1),
+                             np.uint32(out["replica"]))
+    _, est = slam.run_slam_episode(key, enc, scans, jnp.asarray(angles),
+                                   scfg, (1.25, 1.25, 0.0))
+    np.testing.assert_allclose(out["pose"],
+                               np.asarray(est)[-1].astype(np.float64),
+                               atol=1e-5)

@@ -71,6 +71,10 @@ def main():
                          "(slam.run_slam_replicas)")
     ap.add_argument("--per-episode", action="store_true",
                     help="print per-episode (slam_err, dr_err, F1) rows")
+    ap.add_argument("--world", default=None, metavar="STYLExRxC:SEED",
+                    help="sweep a GENERATED world instead of the default "
+                         "maze, e.g. 'rooms6x6:3' or 'maze10x10:7' "
+                         "(maps/generator)")
     ap.add_argument("--seed0", type=int, default=0)
     args = ap.parse_args()
 
@@ -83,6 +87,19 @@ def main():
 
     world = presets.make_world(num_beams=args.beams)
     m = world.maze
+    if args.world:
+        import re
+
+        from montecarlolocalisation_tpu.maps import generator
+        from montecarlolocalisation_tpu.maps.grid import from_walls
+
+        mm = re.fullmatch(r"(rooms|maze)(\d+)x(\d+):(\d+)", args.world)
+        if not mm:
+            ap.error("--world expects STYLExRxC:SEED, e.g. rooms6x6:3")
+        gen = (generator.generate_rooms if mm.group(1) == "rooms"
+               else generator.generate_maze)
+        m = from_walls(gen(int(mm.group(2)), int(mm.group(3)),
+                           seed=int(mm.group(4))))
     mkw = dict(height=m.height, width=m.width,
                resolution=float(m.resolution),
                origin_x=float(m.origin_x),
@@ -172,8 +189,8 @@ def main():
                       f"F1 {f1:.3f}", flush=True)
         slam_err, dr_err = np.asarray(slam_err), np.asarray(dr_err)
         beats = int((slam_err < dr_err).sum())
-        print(f"slip={slip:.2f} K={args.candidates} "
-              f"reps={args.replicas} "
+        print(f"slip={slip:.2f} world={args.world or 'default'} "
+              f"K={args.candidates} reps={args.replicas} "
               f"closure={'on' if args.closure else 'off'} "
               f"kf=({args.keyframe_trans},{args.keyframe_rot}) "
               f"P={args.particles} T={args.ticks}: "
