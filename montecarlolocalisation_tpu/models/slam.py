@@ -746,19 +746,21 @@ def slam_step(state: SLAMState, encoder_left, encoder_right, ranges,
 
 
 def run_slam_episode(key, encoders, scan_ranges, scan_angles,
-                     cfg: SLAMConfig, start_pose, scan_mask=None):
+                     cfg: SLAMConfig, start_pose, scan_mask=None,
+                     state0: "SLAMState" = None):
     """Fold a whole episode under `lax.scan`.
 
     encoders [T, 2] cumulative wheel radians, scan_ranges [T, B],
     scan_angles [B] static.  Returns (final SLAMState, per-tick pose
     estimates [T, 3]).  vmap over a leading episode axis for parallel
-    SLAM robots.
+    SLAM robots.  `state0` (optional) resumes from a carried state
+    instead of init_slam(key, ...) — the host-chunked runner's hook.
     """
     angles = jnp.asarray(scan_angles, jnp.float32)
     ranges = jnp.asarray(scan_ranges, jnp.float32)
     if scan_mask is None:
         scan_mask = jnp.ones(ranges.shape, jnp.float32)
-    state = init_slam(key, start_pose, cfg)
+    state = init_slam(key, start_pose, cfg) if state0 is None else state0
 
     def body(st, xs):
         enc, rng, msk = xs
@@ -770,6 +772,35 @@ def run_slam_episode(key, encoders, scan_ranges, scan_angles,
         (jnp.asarray(encoders, jnp.float32), ranges,
          jnp.asarray(scan_mask, jnp.float32)))
     return final, poses
+
+
+def run_slam_episode_chunked(key, encoders, scan_ranges, scan_angles,
+                             cfg: SLAMConfig, start_pose,
+                             tick_chunk: int, scan_mask=None):
+    """run_slam_episode in host-synced tick segments — BIT-IDENTICAL
+    (the per-tick RNG rides in the carried state).
+
+    The axon runtime KILLS single executions with multi-minute device
+    time (BENCH_DETAILS "axon runtime limits"); large-world replica
+    sweeps (e.g. 16 episodes x 4 replicas x 128 particles on 97x81-px
+    maps) cross it.  Chunking bounds each dispatch; a host round trip
+    per segment costs ~ms.  vmap over a leading axis works on each
+    segment exactly as on the full scan.
+    """
+    t = jnp.asarray(encoders).shape[0]
+    ranges = jnp.asarray(scan_ranges, jnp.float32)
+    if scan_mask is None:
+        scan_mask = jnp.ones(ranges.shape, jnp.float32)
+    state = init_slam(key, start_pose, cfg)
+    chunks = []
+    for t0 in range(0, t, tick_chunk):
+        sl = slice(t0, min(t0 + tick_chunk, t))
+        state, poses = run_slam_episode(
+            key, jnp.asarray(encoders)[sl], ranges[sl], scan_angles,
+            cfg, start_pose, scan_mask=scan_mask[sl], state0=state)
+        jax.block_until_ready(state.poses)      # bound execution time
+        chunks.append(poses)
+    return state, jnp.concatenate(chunks, axis=0)
 
 
 def run_slam_replicas(key, encoders, scan_ranges, scan_angles,

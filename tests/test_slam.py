@@ -653,3 +653,28 @@ def test_run_slam_replicas_selects_argmax_evidence():
                                atol=1e-6)
     np.testing.assert_allclose(float(final.log_evidence),
                                float(fin_c.log_evidence), rtol=1e-6)
+
+
+def test_chunked_slam_episode_bit_identical():
+    """run_slam_episode_chunked must reproduce the one-scan episode
+    exactly (RNG rides the carried state; chunking is pure dispatch
+    bounding for the axon long-execution kill)."""
+    m = _maze()
+    cfg = _cfg(m, num_particles=8, keyframe_trans=0.15, keyframe_rot=0.5)
+    angles = jnp.asarray(np.deg2rad(np.linspace(-118, 118, 12)),
+                         jnp.float32)
+    fcfg = FilterConfig()
+    enc, scans, _ = robot.generate_wander_episode(
+        jax.random.PRNGKey(6), m, fcfg, np.asarray(angles), 30,
+        start_pose=(1.25, 1.25, 0.0), slip_noise=0.05, explore=True)
+    key = jax.random.PRNGKey(8)
+    f_full, est_full = slam.run_slam_episode(
+        key, enc, scans, angles, cfg, (1.25, 1.25, 0.0))
+    f_ch, est_ch = slam.run_slam_episode_chunked(
+        key, enc, scans, angles, cfg, (1.25, 1.25, 0.0), tick_chunk=7)
+    np.testing.assert_array_equal(np.asarray(est_full),
+                                  np.asarray(est_ch))
+    np.testing.assert_array_equal(np.asarray(f_full.logodds),
+                                  np.asarray(f_ch.logodds))
+    np.testing.assert_array_equal(np.asarray(f_full.log_evidence),
+                                  np.asarray(f_ch.log_evidence))

@@ -71,6 +71,11 @@ def main():
                          "(slam.run_slam_replicas)")
     ap.add_argument("--per-episode", action="store_true",
                     help="print per-episode (slam_err, dr_err, F1) rows")
+    ap.add_argument("--tick-chunk", type=int, default=None,
+                    help="host-synced SLAM dispatch segments "
+                         "(bit-identical; bounds device time under the "
+                         "axon long-execution kill — needed for "
+                         "large-world replica sweeps)")
     ap.add_argument("--world", default=None, metavar="STYLExRxC:SEED",
                     help="sweep a GENERATED world instead of the default "
                          "maze, e.g. 'rooms6x6:3' or 'maze10x10:7' "
@@ -130,7 +135,39 @@ def main():
     cell_px = int(round(m.cell_meters / m.resolution))
     tail = max(args.ticks // 4, 1)
 
-    if args.replicas > 1:
+    if args.tick_chunk:
+        import numpy as _np
+
+        def run(keys, enc_b, sc_b):
+            # Host-chunked: vmap each segment over (episode x replica).
+            reps = max(args.replicas, 1)
+            kk = jnp.stack([jax.vmap(
+                lambda k: jax.random.fold_in(k, r))(keys)
+                for r in range(reps)])                  # [R, E]
+            # state per (R, E)
+            states = jax.jit(jax.vmap(jax.vmap(
+                lambda k: slam.init_slam(k, start, cfg))))(kk)
+            t = enc_b.shape[1]
+            est_chunks = []
+            for t0 in range(0, t, args.tick_chunk):
+                sl = slice(t0, min(t0 + args.tick_chunk, t))
+                states, est = jax.jit(jax.vmap(jax.vmap(
+                    lambda k, st, e, s: slam.run_slam_episode(
+                        k, e, s, world.angles, cfg, start, state0=st),
+                    in_axes=(0, 0, 0, 0)), in_axes=(0, 0, None, None)))(
+                    kk, states, enc_b[:, sl], sc_b[:, sl])
+                jax.block_until_ready(states.poses)
+                est_chunks.append(est)
+            est = jnp.concatenate(est_chunks, axis=2)   # [R, E, T, 3]
+            if reps == 1:
+                return jax.tree_util.tree_map(lambda x: x[0], states), est[0]
+            ev = _np.asarray(states.log_evidence)       # [R, E]
+            pick = _np.argmax(ev, axis=0)
+            e_idx = _np.arange(pick.shape[0])
+            fin = jax.tree_util.tree_map(
+                lambda x: jnp.asarray(_np.asarray(x)[pick, e_idx]), states)
+            return fin, jnp.asarray(_np.asarray(est)[pick, e_idx])
+    elif args.replicas > 1:
         run = jax.jit(jax.vmap(lambda k, e, s: slam.run_slam_replicas(
             k, e, s, world.angles, cfg, start,
             replicas=args.replicas)[:2]))
