@@ -805,7 +805,7 @@ def run_slam_episode_chunked(key, encoders, scan_ranges, scan_angles,
 
 def run_slam_replicas(key, encoders, scan_ranges, scan_angles,
                       cfg: SLAMConfig, start_pose, replicas: int = 4,
-                      scan_mask=None):
+                      scan_mask=None, tick_chunk=None):
     """K independent SLAM replicas over the SAME episode, selected by
     accumulated log marginal likelihood.
 
@@ -824,9 +824,36 @@ def run_slam_replicas(key, encoders, scan_ranges, scan_angles,
     info dict with per-replica evidence and the chosen index).
     """
     keys = jax.random.split(key, replicas)
-    finals, ests = jax.vmap(
-        lambda k: run_slam_episode(k, encoders, scan_ranges, scan_angles,
-                                   cfg, start_pose, scan_mask))(keys)
+    if tick_chunk:
+        # Host-synced segments bound per-dispatch device time (the axon
+        # runtime kills multi-minute single executions — BENCH_DETAILS
+        # "axon runtime limits"; first hit by replica sweeps on 97x81-px
+        # worlds).  BIT-IDENTICAL to the one-scan path: the per-tick RNG
+        # rides the carried state and init uses the same split keys.
+        ranges = jnp.asarray(scan_ranges, jnp.float32)
+        mask = (jnp.ones(ranges.shape, jnp.float32) if scan_mask is None
+                else jnp.asarray(scan_mask, jnp.float32))
+        states = jax.jit(jax.vmap(
+            lambda k: init_slam(k, start_pose, cfg)))(keys)
+        seg = jax.jit(jax.vmap(
+            lambda k, st, e, r, mk: run_slam_episode(
+                k, e, r, scan_angles, cfg, start_pose, scan_mask=mk,
+                state0=st),
+            in_axes=(0, 0, None, None, None)))
+        t = jnp.asarray(encoders).shape[0]
+        chunks = []
+        for t0 in range(0, t, tick_chunk):
+            sl = slice(t0, min(t0 + tick_chunk, t))
+            states, est = seg(keys, states, jnp.asarray(encoders)[sl],
+                              ranges[sl], mask[sl])
+            jax.block_until_ready(states.poses)
+            chunks.append(est)
+        finals, ests = states, jnp.concatenate(chunks, axis=1)
+    else:
+        finals, ests = jax.vmap(
+            lambda k: run_slam_episode(k, encoders, scan_ranges,
+                                       scan_angles, cfg, start_pose,
+                                       scan_mask))(keys)
     best = jnp.argmax(finals.log_evidence)
     final = jax.tree_util.tree_map(lambda x: x[best], finals)
     return final, ests[best], dict(

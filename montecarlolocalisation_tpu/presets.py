@@ -502,11 +502,12 @@ def run_slam(world: World, seed: int = 0, num_ticks: int = 600,
         # (BENCH_DETAILS round-5 replica table); replicas=1 runs the
         # single-stream filter.
         if replicas > 1:
-            final, est, _ = jax.jit(
-                lambda k, e, s: slam.run_slam_replicas(
-                    k, e, s, world.angles, scfg, start,
-                    replicas=replicas))(
-                jax.random.PRNGKey(seed + 1), enc, scans)
+            # tick_chunk bounds per-dispatch device time (bit-identical;
+            # the axon runtime kills multi-minute single executions and
+            # K replicas on large worlds cross it — BENCH_DETAILS).
+            final, est, _ = slam.run_slam_replicas(
+                jax.random.PRNGKey(seed + 1), enc, scans, world.angles,
+                scfg, start, replicas=replicas, tick_chunk=250)
         else:
             final, est = jax.jit(lambda k, e, s: slam.run_slam_episode(
                 k, e, s, world.angles, scfg, start))(
